@@ -1,0 +1,45 @@
+"""Primary-sample-space RNG contract.
+
+The reference relies on an SFMT-19937 stream plus a `ReplayableSampler`
+(include/mitsuba/bidir/rsampler.h) that can rewind to an absolute sample
+index so a bootstrap `PathSeed` (= stream index) fully determines a chain's
+initial state.  On TPU we replace that with JAX's counter-based threefry:
+
+    chain seed  := fold_in(root_key, sample_index)
+    u           := uniform(seed, (MAX_DIM,))
+
+which is a strictly stronger replay contract (O(1) rewind, no serial stream),
+while keeping the *fixed-dimension* PSS invariant the DRMLT samplers require
+(drmlt_sampler.cpp fillSpace always consumes exactly maxDim uniforms).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pss_uniform(key, n_dims: int):
+    """A full primary-sample vector u ~ U[0,1)^n from a key."""
+    return jax.random.uniform(key, (n_dims,), dtype=jnp.float32)
+
+
+def seed_to_key(root_key, sample_index):
+    """PathSeed-equivalent: absolute bootstrap index -> replayable key."""
+    return jax.random.fold_in(root_key, sample_index)
+
+
+def pss_wrap(y):
+    """Reflective [0,1] wrap of a perturbed primary sample.
+
+    Mirror of the reference DRMLTSampler::wrap (drmlt_sampler.h:140-144):
+        y > 1  -> 2 - y;   y <= 0 -> |y|;   else y.
+    Valid for |offset| < 1, which all small-step kernels guarantee.
+    """
+    y = jnp.where(y > 1.0, 2.0 - y, y)
+    y = jnp.where(y <= 0.0, jnp.abs(y), y)
+    return y
+
+
+def split_many(key, n: int):
+    """Split a key into n keys as a stacked (n, 2) array."""
+    return jax.random.split(key, n)

@@ -1,0 +1,232 @@
+"""Unidirectional path tracer with NEE + MIS, as L(u).
+
+Capability match for the reference `path` plugin (src/integrators/path/
+path.cpp MIPathTracer: BSDF sampling + emitter sampling combined with the
+power heuristic, Russian roulette after rrDepth) and the
+PathSampler::EUnidirectional technique (src/libbidir/pathsampler.cpp:529-567)
+that drives PSSMLT/DRMLT.
+
+TPU form: a masked fixed-depth wavefront.  The whole batch of R lanes (one
+per chain or pixel sample) advances together through `max_depth` bounces
+under lax.scan; dead lanes carry zero throughput.  The function is pure in
+the primary-sample matrix u (R, n_dims), so the same code serves
+  * plain path tracing   (u ~ U[0,1)^n from jax.random)
+  * MCMC                 (u = chain state)
+  * gradients            (jax.grad through scene parameters)
+"""
+from __future__ import annotations
+
+import flax.struct as struct
+import jax
+import jax.numpy as jnp
+
+from drmlt_mitsuba_tpu.core.math import RAY_EPS, mis_power
+from drmlt_mitsuba_tpu.core.spectrum import luminance
+from drmlt_mitsuba_tpu.core import frame
+from drmlt_mitsuba_tpu.integrators.layout import (
+    BOUNCE_DIMS, OFF_BSDF_CMP, OFF_LIGHT_PICK, OFF_RR, SENSOR_DIMS,
+    PathConfig,
+)
+from drmlt_mitsuba_tpu.ops.intersect import intersect, occluded
+from drmlt_mitsuba_tpu.render.bsdf import (
+    eval_bsdf, is_delta_kind, sample_bsdf,
+)
+from drmlt_mitsuba_tpu.render.emitter import (
+    eval_emitter, eval_env, pdf_emitter_direct, sample_emitter_direct,
+)
+from drmlt_mitsuba_tpu.render.sensor import sample_ray
+from drmlt_mitsuba_tpu.scene.types import Scene
+
+
+@struct.dataclass
+class Splats:
+    """Fixed-size splat list for a batch of samples (ref: SplatList,
+    include/mitsuba/bidir/pathsampler.h:317).  For the unidirectional
+    technique there is exactly one splat per sample (S=1)."""
+    pos: jnp.ndarray   # (R, S, 2) continuous [0,1)^2 film position
+    value: jnp.ndarray  # (R, S, 3)
+    lum: jnp.ndarray   # (R,) total luminance (MCMC target density)
+
+
+def _albedo(scene: Scene, hit):
+    """Textured albedo lookup (bilinear) with constant fallback."""
+    mat = scene.materials
+    base = mat.albedo[hit.mat_id]
+    if scene.textures is None:
+        return base
+    tex_id = mat.tex_id[hit.mat_id]
+    tex = scene.textures.data  # (N, H, W, 3)
+    n, h, w, _ = tex.shape
+    uv = hit.tex_uv
+    x = jnp.clip(uv[..., 0] % 1.0, 0.0, 1.0) * (w - 1)
+    y = jnp.clip(uv[..., 1] % 1.0, 0.0, 1.0) * (h - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    ti = jnp.clip(tex_id, 0, n - 1)
+    c00 = tex[ti, y0, x0]
+    c01 = tex[ti, y0, x1]
+    c10 = tex[ti, y1, x0]
+    c11 = tex[ti, y1, x1]
+    val = (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (c10 * (1 - fx) + c11 * fx) * fy
+    return jnp.where((tex_id >= 0)[..., None], val, base)
+
+
+def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
+    """Trace a batch of camera paths from primary samples u (R, cfg.n_dims).
+
+    Returns the SplatList: film position (= u[:, :2]) and RGB contribution.
+    """
+    R = u.shape[0]
+    uv = u[:, 0:2]
+    o, d = sample_ray(
+        scene.camera, uv, u[:, 2:4] if cfg.thinlens else None
+    )
+
+    # reshape the per-bounce dims for lax.scan: (max_depth, R, BOUNCE_DIMS)
+    ub = u[:, SENSOR_DIMS:SENSOR_DIMS + cfg.max_depth * BOUNCE_DIMS]
+    ub = ub.reshape(R, cfg.max_depth, BOUNCE_DIMS).transpose(1, 0, 2)
+
+    carry = dict(
+        o=o,
+        d=d,
+        throughput=jnp.ones((R, 3)),
+        L=jnp.zeros((R, 3)),
+        active=jnp.ones((R,), bool),
+        prev_pdf=jnp.zeros((R,)),      # bsdf pdf of the segment we're on
+        prev_delta=jnp.ones((R,), bool),  # camera vertex counts as delta
+        eta_scale=jnp.ones((R,)),
+    )
+
+    def bounce(carry, xs):
+        ub_b, depth = xs   # depth = 1-based segment count of the current ray
+        hit = intersect(scene, carry["o"], carry["d"])
+        active = carry["active"]
+        tp = carry["throughput"]
+
+        # ---- emitted radiance at the hit (BSDF-sampling strategy) --------
+        wi_world = -carry["d"]
+        le = eval_emitter(scene, hit.emitter_id, wi_world, hit.ng)
+        # MIS against NEE at the *previous* vertex; delta previous vertex
+        # (or the camera) had no NEE competitor.
+        nee_pdf = pdf_emitter_direct(
+            scene, carry["o"], hit.emitter_id, hit.p, hit.ng
+        )
+        w_bsdf = jnp.where(
+            carry["prev_delta"], 1.0, mis_power(carry["prev_pdf"], nee_pdf)
+        )
+        hit_emitter = active & hit.valid & (hit.emitter_id >= 0)
+        L = carry["L"] + jnp.where(
+            hit_emitter[:, None], tp * le * w_bsdf[:, None], 0.0
+        )
+
+        # ---- environment on escape ---------------------------------------
+        escaped = active & ~hit.valid
+        env = eval_env(scene, carry["d"])
+        L = L + jnp.where(escaped[:, None], tp * env, 0.0)
+
+        active = active & hit.valid
+
+        # ---- local frame -------------------------------------------------
+        # flip shading normal to the side of the incident ray (two-sided
+        # shading; the BSDF kinds decide transmission themselves)
+        ns = hit.ns
+        wi = frame.to_local(ns, wi_world)
+        albedo = _albedo(scene, hit)
+
+        # ---- next-event estimation ---------------------------------------
+        if cfg.use_nee:
+            delta_mat = is_delta_kind(scene.materials, hit.mat_id)
+            ds = sample_emitter_direct(scene, hit.p, ub_b[:, OFF_LIGHT_PICK:OFF_LIGHT_PICK + 3])
+            wo_l = frame.to_local(ns, ds.d)
+            f_val, f_pdf = eval_bsdf(scene.materials, hit.mat_id, albedo, wi, wo_l)
+            nee_ok = (
+                active & ~delta_mat & (ds.pdf > 0)
+                & (luminance(f_val) > 0) & (depth + 1 <= cfg.max_depth)
+            )
+            shadow_o = hit.p + ds.d * RAY_EPS * jnp.maximum(1.0, hit.t)[:, None]
+            shadow_blocked = occluded(
+                scene, shadow_o, ds.d,
+                ds.dist * (1.0 - 1e-3) - RAY_EPS,
+            )
+            nee_ok = nee_ok & ~shadow_blocked
+            w_nee = mis_power(ds.pdf, f_pdf)
+            contrib = tp * f_val * ds.radiance * (w_nee / jnp.maximum(ds.pdf, 1e-20))[:, None]
+            L = L + jnp.where(nee_ok[:, None], contrib, 0.0)
+
+        # ---- BSDF sampling ------------------------------------------------
+        bs = sample_bsdf(
+            scene.materials, hit.mat_id, albedo, wi,
+            ub_b[:, OFF_BSDF_CMP:OFF_BSDF_CMP + 3],
+        )
+        wo_world = frame.to_world(ns, bs.wo)
+        tp = tp * bs.weight
+        eta_scale = carry["eta_scale"] * bs.eta
+        alive = active & (luminance(tp) > 0) & (depth + 1 <= cfg.max_depth)
+
+        # ---- russian roulette (ref: path.cpp rr after rrDepth) ------------
+        u_rr = ub_b[:, OFF_RR]
+        q = jnp.minimum(jnp.max(tp, axis=-1) * eta_scale * eta_scale, 0.95)
+        do_rr = depth >= cfg.rr_depth
+        survive = jnp.where(do_rr, u_rr < q, True)
+        tp = jnp.where(
+            (do_rr & survive)[:, None], tp / jnp.maximum(q, 1e-8)[:, None], tp
+        )
+        alive = alive & survive
+
+        new_o = hit.p + wo_world * RAY_EPS * jnp.maximum(1.0, hit.t)[:, None]
+        carry_out = dict(
+            o=jnp.where(active[:, None], new_o, carry["o"]),
+            d=jnp.where(active[:, None], wo_world, carry["d"]),
+            throughput=jnp.where(alive[:, None], tp, 0.0),
+            L=L,
+            active=alive,
+            prev_pdf=bs.pdf,
+            prev_delta=bs.delta,
+            eta_scale=eta_scale,
+        )
+        return carry_out, None
+
+    depths = jnp.arange(1, cfg.max_depth + 1)
+    carry, _ = jax.lax.scan(bounce, carry, (ub, depths))
+
+    value = carry["L"]
+    return Splats(
+        pos=uv[:, None, :],
+        value=value[:, None, :],
+        lum=luminance(value),
+    )
+
+
+def render_pt(scene: Scene, cfg: PathConfig, key, n_samples: int, film_cfg,
+              mode: str = "accum"):
+    """Plain Monte-Carlo render: n_samples random paths splatted to a film.
+
+    Returns the raw film (H, W, 4); develop with render.film.develop.
+    """
+    from drmlt_mitsuba_tpu.render import film as filmlib
+
+    chunk = 16384
+    n_chunks = max(1, -(-n_samples // chunk))
+    scale = jnp.array([film_cfg.width, film_cfg.height], jnp.float32)
+
+    @jax.jit
+    def run():
+        def body(film, i):
+            u = jax.random.uniform(jax.random.fold_in(key, i),
+                                   (chunk, cfg.n_dims))
+            sp = trace_paths(scene, cfg, u)
+            film = filmlib.splat(
+                film_cfg, film, sp.pos[:, 0, :] * scale, sp.value[:, 0, :],
+                mode=mode,
+            )
+            return film, None
+
+        f = filmlib.new_film(film_cfg)
+        f, _ = jax.lax.scan(body, f, jnp.arange(n_chunks))
+        return f
+
+    return run()

@@ -1,0 +1,210 @@
+"""Ray-scene intersection (the analog of ShapeKDTree::rayIntersect,
+include/mitsuba/render/skdtree.h:125).
+
+TPU stance: rays arrive in large batches (one per Markov chain / pixel lane),
+so intersection is a dense rays x primitives sweep rather than a per-ray tree
+walk.  Three tiers:
+
+  * `intersect` / `occluded` — chunked brute force over the triangle soup
+    (lax.scan over static-size chunks; XLA keeps the (R, chunk) temporaries
+    fused in registers/VMEM).  Exact, used for small scenes and as the
+    reference oracle for the accelerated paths.
+  * MXU variant (ops/intersect_mxu.py) — Wald TriAccel-style affine
+    projection expressed as two (R,4)x(4,3T) matmuls.
+  * Pallas kernel (ops/pallas/) — BVH-clustered sweep with triangle blocks
+    staged in VMEM.
+
+All functions broadcast over a single leading ray axis R.
+"""
+from __future__ import annotations
+
+import flax.struct as struct
+import jax
+import jax.numpy as jnp
+
+from drmlt_mitsuba_tpu.core.math import RAY_EPS, normalize, safe_sqrt
+from drmlt_mitsuba_tpu.scene.types import Scene
+
+INF = jnp.float32(3.0e38)
+
+# static chunk size for the triangle sweep; multiple of the 128-lane VPU width
+TRI_CHUNK = 256
+
+
+@struct.dataclass
+class Hit:
+    """Surface interaction record (ref: Intersection, shape.h)."""
+    valid: jnp.ndarray    # (R,) bool
+    t: jnp.ndarray        # (R,)
+    p: jnp.ndarray        # (R, 3) hit position
+    ng: jnp.ndarray       # (R, 3) geometric normal (unit)
+    ns: jnp.ndarray       # (R, 3) shading normal (unit)
+    uv: jnp.ndarray       # (R, 2) barycentric / param coords
+    tex_uv: jnp.ndarray   # (R, 2) interpolated texture coords
+    mat_id: jnp.ndarray   # (R,) int32
+    emitter_id: jnp.ndarray  # (R,) int32 (-1 = none)
+    prim: jnp.ndarray     # (R,) int32 triangle index (or ~sphere_idx)
+
+
+def _tri_sweep(tris, o, d, t_max, find_best: bool):
+    """Scan all triangles in chunks; returns (best_t, best_idx, best_uv) or an
+    any-hit mask when find_best is False."""
+    T = tris.v0.shape[0]
+    pad = (-T) % TRI_CHUNK
+    if pad:
+        padf = lambda a: jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
+        v0, e1, e2 = padf(tris.v0), padf(tris.e1), padf(tris.e2)
+        valid = jnp.concatenate([tris.valid, jnp.zeros((pad,), bool)], 0)
+    else:
+        v0, e1, e2, valid = tris.v0, tris.e1, tris.e2, tris.valid
+    n_chunks = v0.shape[0] // TRI_CHUNK
+    v0 = v0.reshape(n_chunks, TRI_CHUNK, 3)
+    e1 = e1.reshape(n_chunks, TRI_CHUNK, 3)
+    e2 = e2.reshape(n_chunks, TRI_CHUNK, 3)
+    valid = valid.reshape(n_chunks, TRI_CHUNK)
+
+    R = o.shape[0]
+    o_ = o[:, None, :]
+    d_ = d[:, None, :]
+
+    def chunk_hits(cv0, ce1, ce2, cvalid):
+        # Moller-Trumbore against one chunk: (R, TRI_CHUNK)
+        pvec = jnp.cross(d_, ce2[None])
+        det = jnp.sum(ce1[None] * pvec, axis=-1)
+        ok = jnp.abs(det) > 1e-12
+        inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+        tvec = o_ - cv0[None]
+        b1 = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        qvec = jnp.cross(tvec, ce1[None])
+        b2 = jnp.sum(d_ * qvec, axis=-1) * inv_det
+        t = jnp.sum(ce2[None] * qvec, axis=-1) * inv_det
+        hit = (
+            ok & cvalid[None]
+            & (b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+            & (t > RAY_EPS) & (t < t_max[:, None])
+        )
+        return hit, t, b1, b2
+
+    if not find_best:
+        def body(any_hit, chunk):
+            cv0, ce1, ce2, cvalid = chunk
+            hit, _, _, _ = chunk_hits(cv0, ce1, ce2, cvalid)
+            return any_hit | jnp.any(hit, axis=-1), None
+
+        any_hit, _ = jax.lax.scan(body, jnp.zeros((R,), bool), (v0, e1, e2, valid))
+        return any_hit
+
+    def body(carry, chunk):
+        best_t, best_idx, best_b1, best_b2 = carry
+        cv0, ce1, ce2, cvalid, base = chunk
+        hit, t, b1, b2 = chunk_hits(cv0, ce1, ce2, cvalid)
+        t = jnp.where(hit, t, INF)
+        j = jnp.argmin(t, axis=-1)
+        rows = jnp.arange(R)
+        tj = t[rows, j]
+        better = tj < best_t
+        best_idx = jnp.where(better, base + j, best_idx)
+        best_b1 = jnp.where(better, b1[rows, j], best_b1)
+        best_b2 = jnp.where(better, b2[rows, j], best_b2)
+        best_t = jnp.minimum(best_t, tj)
+        return (best_t, best_idx, best_b1, best_b2), None
+
+    base = jnp.arange(n_chunks, dtype=jnp.int32) * TRI_CHUNK
+    init = (
+        jnp.full((R,), INF),
+        jnp.full((R,), -1, jnp.int32),
+        jnp.zeros((R,)),
+        jnp.zeros((R,)),
+    )
+    (best_t, best_idx, b1, b2), _ = jax.lax.scan(
+        body, init, (v0, e1, e2, valid, base)
+    )
+    return best_t, best_idx, b1, b2
+
+
+def _sphere_hits(spheres, o, d, t_max):
+    """Analytic sphere intersection; returns (t, idx) best over spheres."""
+    oc = o[:, None, :] - spheres.center[None]          # (R, S, 3)
+    b = jnp.sum(oc * d[:, None, :], axis=-1)
+    c = jnp.sum(oc * oc, axis=-1) - spheres.radius[None] ** 2
+    disc = b * b - c
+    ok = (disc >= 0.0) & spheres.valid[None]
+    sq = safe_sqrt(disc)
+    t0 = -b - sq
+    t1 = -b + sq
+    t = jnp.where(t0 > RAY_EPS, t0, t1)
+    hit = ok & (t > RAY_EPS) & (t < t_max[:, None])
+    t = jnp.where(hit, t, INF)
+    j = jnp.argmin(t, axis=-1)
+    rows = jnp.arange(o.shape[0])
+    return t[rows, j], j.astype(jnp.int32)
+
+
+def intersect(scene: Scene, o, d, t_max=None) -> Hit:
+    """Closest-hit query for a batch of rays (R, 3)."""
+    R = o.shape[0]
+    if t_max is None:
+        t_max = jnp.full((R,), INF)
+    tri_t, tri_idx, b1, b2 = _tri_sweep(scene.tris, o, d, t_max, find_best=True)
+    sph_t, sph_idx = _sphere_hits(scene.spheres, o, d, t_max)
+
+    use_sph = sph_t < tri_t
+    t = jnp.where(use_sph, sph_t, tri_t)
+    valid = t < INF
+
+    ti = jnp.clip(tri_idx, 0, scene.tris.v0.shape[0] - 1)
+    tris = scene.tris
+    p_tri = tris.v0[ti] + b1[:, None] * tris.e1[ti] + b2[:, None] * tris.e2[ti]
+    ng_tri = normalize(jnp.cross(tris.e1[ti], tris.e2[ti]))
+    w = 1.0 - b1 - b2
+    ns_tri = normalize(
+        w[:, None] * tris.n0[ti] + b1[:, None] * tris.n1[ti] + b2[:, None] * tris.n2[ti]
+    )
+    uv_tri = jnp.stack([b1, b2], axis=-1)
+    tex_tri = (
+        w[:, None] * tris.uv0[ti] + b1[:, None] * tris.uv1[ti] + b2[:, None] * tris.uv2[ti]
+    )
+    mat_tri = tris.mat_id[ti]
+    emit_tri = tris.emitter_id[ti]
+
+    si = sph_idx
+    p_sph = o + sph_t[:, None] * d
+    ng_sph = normalize(p_sph - scene.spheres.center[si])
+    mat_sph = scene.spheres.mat_id[si]
+    emit_sph = scene.spheres.emitter_id[si]
+    # sphere param uv (theta, phi) — used only for textures
+    uv_sph = jnp.stack(
+        [jnp.arccos(jnp.clip(ng_sph[..., 2], -1, 1)) / jnp.pi,
+         (jnp.arctan2(ng_sph[..., 1], ng_sph[..., 0]) / (2 * jnp.pi)) + 0.5],
+        axis=-1,
+    )
+
+    us = use_sph[:, None]
+    p = jnp.where(us, p_sph, p_tri)
+    ng = jnp.where(us, ng_sph, ng_tri)
+    ns = jnp.where(us, ng_sph, ns_tri)
+    uv = jnp.where(us, uv_sph, uv_tri)
+    tex_uv = jnp.where(us, uv_sph, tex_tri)
+    mat_id = jnp.where(use_sph, mat_sph, mat_tri)
+    emitter_id = jnp.where(use_sph, emit_sph, emit_tri)
+    prim = jnp.where(use_sph, ~si, tri_idx)
+
+    return Hit(
+        valid=valid,
+        t=jnp.where(valid, t, INF),
+        p=p,
+        ng=ng,
+        ns=ns,
+        uv=uv,
+        tex_uv=tex_uv,
+        mat_id=jnp.where(valid, mat_id, 0),
+        emitter_id=jnp.where(valid, emitter_id, -1),
+        prim=prim,
+    )
+
+
+def occluded(scene: Scene, o, d, t_max) -> jnp.ndarray:
+    """Any-hit (shadow ray) query; t_max should already be shortened by eps."""
+    tri_any = _tri_sweep(scene.tris, o, d, t_max, find_best=False)
+    sph_t, _ = _sphere_hits(scene.spheres, o, d, t_max)
+    return tri_any | (sph_t < INF)

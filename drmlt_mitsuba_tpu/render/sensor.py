@@ -1,0 +1,40 @@
+"""Camera ray generation (ref: src/sensors/perspective.cpp, thinlens.cpp).
+
+sample_ray consumes the first 2 (pinhole) or 4 (thinlens) primary-sample
+dimensions — the sensor part of the PSS layout (pathsampler.cpp:530-546
+consumes position 2D + aperture 2D when needed).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from drmlt_mitsuba_tpu.core.math import normalize
+from drmlt_mitsuba_tpu.core.transform import apply_point, apply_vector
+from drmlt_mitsuba_tpu.core.warp import square_to_uniform_disk_concentric
+from drmlt_mitsuba_tpu.scene.types import Camera
+
+
+def sample_ray(camera: Camera, uv, u_aperture=None):
+    """Generate camera rays.
+
+    uv: (R, 2) continuous film position in [0,1)^2 (x right, y down).
+    u_aperture: (R, 2) lens uniforms (thinlens only; ignored for pinhole).
+    Returns (o, d) world-space origins/directions (unit).
+    """
+    # film plane at z=1 in camera space; +x right, +y up in camera space
+    x = (2.0 * uv[..., 0] - 1.0) * camera.tan_half_fov_x
+    y = (1.0 - 2.0 * uv[..., 1]) * camera.tan_half_fov_y
+    d_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+
+    if u_aperture is not None:
+        # thinlens: focus plane at focus_distance
+        p_focus = d_cam * camera.focus_distance
+        lens = square_to_uniform_disk_concentric(u_aperture) * camera.aperture_radius
+        o_cam = jnp.stack([lens[..., 0], lens[..., 1], jnp.zeros_like(lens[..., 0])], -1)
+        d_cam = p_focus - o_cam
+    else:
+        o_cam = jnp.zeros_like(d_cam)
+
+    o = apply_point(camera.to_world, o_cam)
+    d = normalize(apply_vector(camera.to_world, d_cam))
+    return o, d

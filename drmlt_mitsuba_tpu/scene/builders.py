@@ -1,0 +1,180 @@
+"""Procedural test scenes.
+
+The reference's parity scenes (Cornell variants, veach-door) ship as external
+zips; these builders reproduce the standard constructions procedurally so the
+test-suite and benchmarks are self-contained.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from drmlt_mitsuba_tpu.core import transform
+from drmlt_mitsuba_tpu.scene import types as st
+
+
+def _quad(p0, p1, p2, p3):
+    """Two triangles for quad p0-p1-p2-p3 (ccw)."""
+    return [p0, p1, p2], [p0, p2, p3]
+
+
+def _box(pmin, pmax):
+    """12 triangles of an axis-aligned box, normals outward."""
+    x0, y0, z0 = pmin
+    x1, y1, z1 = pmax
+    quads = [
+        # floor (y0, normal -y -> outward = down; we want inward-facing walls
+        # for the cornell box so callers choose winding via this order)
+        ([x0, y0, z0], [x1, y0, z0], [x1, y0, z1], [x0, y0, z1]),  # bottom
+        ([x0, y1, z1], [x1, y1, z1], [x1, y1, z0], [x0, y1, z0]),  # top
+        ([x0, y0, z1], [x1, y0, z1], [x1, y1, z1], [x0, y1, z1]),  # back(+z)
+        ([x1, y0, z0], [x0, y0, z0], [x0, y1, z0], [x1, y1, z0]),  # front(-z)
+        ([x0, y0, z0], [x0, y0, z1], [x0, y1, z1], [x0, y1, z0]),  # left
+        ([x1, y0, z1], [x1, y0, z0], [x1, y1, z0], [x1, y1, z1]),  # right
+    ]
+    tris = []
+    for q in quads:
+        tris.extend(_quad(*q))
+    return tris
+
+
+def _rotate_y(pts, angle_deg, center):
+    a = np.deg2rad(angle_deg)
+    c, s = np.cos(a), np.sin(a)
+    r = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    return (np.asarray(pts) - center) @ r.T + center
+
+
+def cornell_box(
+    width: int = 128,
+    height: int = 128,
+    light_radiance=(18.4, 15.6, 8.0),
+    tall_box_material: str = "diffuse",
+) -> st.Scene:
+    """The classic Cornell box (dimensions after the CG-standard 556-unit
+    box), camera on -z looking in.  tall_box_material picks the round-trip
+    hard case: "diffuse" | "mirror" | "glass" | "roughconductor".
+    """
+    verts: list = []
+    faces: list = []
+    mat_ids: list = []
+    emit_ids: list = []
+
+    def add_tri(tri, mat, emit=-1):
+        base = len(verts)
+        verts.extend(tri)
+        faces.append([base, base + 1, base + 2])
+        mat_ids.append(mat)
+        emit_ids.append(emit)
+
+    white, red, green, light_m, tall_m = 0, 1, 2, 3, 4
+
+    s = 556.0
+    # floor
+    for t in _quad([0, 0, 0], [0, 0, s], [s, 0, s], [s, 0, 0]):
+        add_tri(t, white)
+    # ceiling
+    for t in _quad([0, s, 0], [s, s, 0], [s, s, s], [0, s, s]):
+        add_tri(t, white)
+    # back wall
+    for t in _quad([0, 0, s], [0, s, s], [s, s, s], [s, 0, s]):
+        add_tri(t, white)
+    # left wall (x=0) red
+    for t in _quad([0, 0, 0], [0, s, 0], [0, s, s], [0, 0, s]):
+        add_tri(t, red)
+    # right wall (x=s) green
+    for t in _quad([s, 0, 0], [s, 0, s], [s, s, s], [s, s, 0]):
+        add_tri(t, green)
+
+    # light: 130x105 patch slightly below ceiling, normal down (-y)
+    lx0, lx1 = 213.0, 343.0
+    lz0, lz1 = 227.0, 332.0
+    ly = s - 0.5
+    for t in _quad([lx0, ly, lz0], [lx1, ly, lz0], [lx1, ly, lz1], [lx0, ly, lz1]):
+        add_tri(t, light_m, emit=0)
+
+    # short box
+    short = _box([0, 0, 0], [166, 165, 166])
+    for t in short:
+        add_tri(_rotate_y(t, -17.0, np.array([83, 0, 83])) + np.array([130, 0, 65]), white)
+    # tall box
+    tall = _box([0, 0, 0], [166, 330, 166])
+    for t in tall:
+        add_tri(_rotate_y(t, 107.0, np.array([83, 0, 83])) + np.array([265, 0, 296]), tall_m)
+
+    tall_mats = {
+        "diffuse": dict(kind=st.BSDF_DIFFUSE, albedo=(0.725, 0.71, 0.68)),
+        "mirror": dict(kind=st.BSDF_MIRROR, albedo=(0.9, 0.9, 0.9)),
+        "glass": dict(kind=st.BSDF_DIELECTRIC, eta=(1.5, 1.5, 1.5)),
+        "roughconductor": dict(
+            kind=st.BSDF_ROUGH_CONDUCTOR, roughness=0.15,
+            eta=(0.2, 0.92, 1.1), k=(3.9, 2.45, 2.14),
+        ),
+    }
+    mats = [
+        dict(kind=st.BSDF_DIFFUSE, albedo=(0.725, 0.71, 0.68)),   # white
+        dict(kind=st.BSDF_DIFFUSE, albedo=(0.63, 0.065, 0.05)),   # red
+        dict(kind=st.BSDF_DIFFUSE, albedo=(0.14, 0.45, 0.091)),   # green
+        dict(kind=st.BSDF_DIFFUSE, albedo=(0.78, 0.78, 0.78)),    # light surf
+        tall_mats[tall_box_material],                              # tall box
+    ]
+
+    tris = st.build_triangles(
+        np.asarray(verts, np.float32),
+        np.asarray(faces, np.int32),
+        np.asarray(mat_ids, np.int32),
+        np.asarray(emit_ids, np.int32),
+    )
+    emitters = st.build_emitters(tris, np.asarray([light_radiance], np.float32))
+    # rewrite per-triangle emitter ids to emitter-table rows
+    import jax.numpy as jnp
+
+    row_of_tri = np.full(len(faces), -1, np.int32)
+    row_of_tri[np.asarray(emitters.tri_idx)] = np.arange(
+        len(np.asarray(emitters.tri_idx)), dtype=np.int32
+    )
+    tris = tris.replace(emitter_id=jnp.asarray(row_of_tri))
+
+    cam = st.make_camera(
+        transform.look_at([278, 273, -800], [278, 273, 0], [0, 1, 0]),
+        fov_x_deg=39.3077,
+        aspect=width / height,
+    )
+    return st.Scene(
+        tris=tris,
+        spheres=st.empty_spheres(),
+        materials=st.make_material_table(mats),
+        emitters=emitters,
+        camera=cam,
+    )
+
+
+def furnace_sphere(albedo=0.8, env=1.0) -> st.Scene:
+    """A diffuse sphere in a constant environment — the analytic 'furnace'
+    oracle: every pixel converges to env (white furnace) when albedo
+    summation is handled correctly."""
+    tris = st.build_triangles(
+        np.zeros((3, 3), np.float32) + np.array([[0, 0, 0], [1e-5, 0, 0], [0, 1e-5, 0]]),
+        np.array([[0, 1, 2]], np.int32),
+        np.zeros(1, np.int32),
+        np.full(1, -1, np.int32),
+    )
+    import jax.numpy as jnp
+
+    tris = tris.replace(valid=jnp.zeros(1, dtype=bool))
+    spheres = st.SphereSoA(
+        center=jnp.asarray([[0.0, 0.0, 3.0]], jnp.float32),
+        radius=jnp.asarray([1.0], jnp.float32),
+        mat_id=jnp.asarray([0], jnp.int32),
+        emitter_id=jnp.asarray([-1], jnp.int32),
+        valid=jnp.ones(1, dtype=bool),
+    )
+    emitters = st.build_emitters(tris, np.zeros((1, 3), np.float32),
+                                 env_radiance=(env, env, env))
+    mats = st.make_material_table(
+        [dict(kind=st.BSDF_DIFFUSE, albedo=(albedo, albedo, albedo))]
+    )
+    cam = st.make_camera(
+        transform.look_at([0, 0, 0], [0, 0, 1], [0, 1, 0]), 60.0, 1.0
+    )
+    return st.Scene(tris=tris, spheres=spheres, materials=mats,
+                    emitters=emitters, camera=cam)

@@ -1,0 +1,171 @@
+"""MCMC tests: transition kernels, bootstrap, PSSMLT/DRMLT consistency.
+
+The load-bearing oracle: MCMC renders (PSSMLT, all three DRMLT types) must
+converge to the same image as plain Monte-Carlo path tracing — different
+estimators, same integral (the reference's cross-check between `path` and
+`pssmlt`/`drmlt` renders at matched b).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from drmlt_mitsuba_tpu.integrators import kernels
+from drmlt_mitsuba_tpu.integrators.drmlt import DRMLTConfig, render_drmlt
+from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+from drmlt_mitsuba_tpu.integrators.mcmc import bootstrap
+from drmlt_mitsuba_tpu.integrators.path import render_pt, trace_paths
+from drmlt_mitsuba_tpu.integrators.pssmlt import PSSMLTConfig, render_pssmlt
+from drmlt_mitsuba_tpu.render import film as filmlib
+from drmlt_mitsuba_tpu.scene.builders import cornell_box
+
+
+class TestKernels:
+    def _check_pdf_normalized(self, kern, lo, hi, n=200_001):
+        x = np.linspace(lo, hi, n)
+        p = np.asarray(kern.pdf(jnp.asarray(x)))
+        integral = np.trapezoid(p, x)
+        np.testing.assert_allclose(integral, 1.0, atol=2e-2)
+
+    def test_gaussian_pdf(self):
+        k = kernels.Gaussian(1.0 / 64.0)
+        self._check_pdf_normalized(k, -0.5, 0.5)
+        u = jax.random.uniform(jax.random.PRNGKey(0), (100_000, 2))
+        s = np.asarray(k.sample(u))
+        np.testing.assert_allclose(s.std(), 1 / 64, rtol=0.02)
+        np.testing.assert_allclose(s.mean(), 0.0, atol=1e-3)
+        # log_pdf consistent with pdf
+        x = jnp.linspace(-0.1, 0.1, 11)
+        np.testing.assert_allclose(
+            np.asarray(k.log_pdf(x)), np.log(np.asarray(k.pdf(x))), atol=1e-4
+        )
+
+    def test_kelemen_pdf(self):
+        k = kernels.Kelemen()
+        self._check_pdf_normalized(k, -1 / 64, 1 / 64)
+        u = jax.random.uniform(jax.random.PRNGKey(1), (100_000, 2))
+        s = np.asarray(k.sample(u))
+        assert np.abs(s).min() >= kernels.S1_DEFAULT * 0.999
+        assert np.abs(s).max() <= kernels.S2_DEFAULT * 1.001
+        # symmetric
+        np.testing.assert_allclose((s > 0).mean(), 0.5, atol=5e-3)
+
+    def test_wrapped_cauchy_pdf(self):
+        k = kernels.WrappedCauchy()
+        x = np.linspace(-np.pi, np.pi, 100_001)
+        p = np.asarray(k.pdf(jnp.asarray(x)))
+        np.testing.assert_allclose(np.trapezoid(p, x), 1.0, atol=1e-3)
+        u = jax.random.uniform(jax.random.PRNGKey(2), (100_000, 2))
+        s = np.asarray(k.sample(u))
+        assert np.abs(s).max() <= np.pi + 1e-5
+        np.testing.assert_allclose(s.mean(), 0.0, atol=0.02)
+
+    def test_identity(self):
+        k = kernels.Identity()
+        u = jax.random.uniform(jax.random.PRNGKey(3), (64, 2))
+        assert float(jnp.sum(jnp.abs(k.sample(u)))) == 0.0
+
+
+class TestBootstrap:
+    def test_b_and_seed_replay(self):
+        """b matches the direct MC mean; resampled seeds reproduce their
+        luminance exactly (the seed-replay oracle, drmlt_proc.cpp:506)."""
+        scene = cornell_box(32, 32)
+        cfg = PathConfig(max_depth=3, rr_depth=100)
+        trace = lambda u: trace_paths(scene, cfg, u)
+        state, b = bootstrap(
+            trace, jax.random.PRNGKey(0), cfg.n_dims, 16384, 128, batch=4096
+        )
+        # direct estimate of mean luminance
+        u = jax.random.uniform(jax.random.PRNGKey(9), (16384, cfg.n_dims))
+        ref = float(jnp.mean(trace(u).lum))
+        np.testing.assert_allclose(float(b), ref, rtol=0.1)
+        # replay equality: state.lum was produced by re-tracing state.u
+        lum2 = trace(state.u).lum
+        np.testing.assert_allclose(
+            np.asarray(lum2), np.asarray(state.lum), rtol=1e-5
+        )
+        assert float(jnp.min(state.lum)) > 0
+
+
+@pytest.fixture(scope="module")
+def cornell_small():
+    scene = cornell_box(32, 32)
+    cfg = PathConfig(max_depth=3, rr_depth=100)
+    fc = filmlib.make_film_config(32, 32, "box")
+    # ground-truth MC render
+    film = render_pt(scene, cfg, jax.random.PRNGKey(42), 32 * 32 * 64, fc,
+                     mode="accum")
+    ref = np.asarray(filmlib.develop(fc, film, mode="accum"))
+    return scene, cfg, fc, ref
+
+
+def _mean_rel_err(img, ref):
+    m = ref.mean()
+    return np.abs(img.mean(axis=(0, 1)) - ref.mean(axis=(0, 1))).mean() / m
+
+
+class TestPSSMLT:
+    def test_matches_pt(self, cornell_small):
+        scene, cfg, fc, ref = cornell_small
+        trace = lambda u: trace_paths(scene, cfg, u)
+        mcfg = PSSMLTConfig(n_chains=512, n_bootstrap=8192,
+                            kelemen_style_weights=False)
+        img, aux = render_pssmlt(trace, mcfg, fc, jax.random.PRNGKey(1),
+                                 cfg.n_dims, n_steps=400)
+        img = np.asarray(img)
+        assert np.all(np.isfinite(img))
+        assert _mean_rel_err(img, ref) < 0.15
+        # acceptance in a sane MLT range
+        acc = float(np.asarray(aux["stats"]["accept"]).mean())
+        assert 0.1 < acc < 0.9
+
+    def test_kelemen_weights(self, cornell_small):
+        scene, cfg, fc, ref = cornell_small
+        trace = lambda u: trace_paths(scene, cfg, u)
+        mcfg = PSSMLTConfig(n_chains=512, n_bootstrap=8192,
+                            kelemen_style_weights=True)
+        img, _ = render_pssmlt(trace, mcfg, fc, jax.random.PRNGKey(2),
+                               cfg.n_dims, n_steps=400)
+        assert _mean_rel_err(np.asarray(img), ref) < 0.15
+
+
+class TestDRMLT:
+    @pytest.mark.parametrize("dr_type", ["green", "mira", "orbital"])
+    def test_matches_pt(self, cornell_small, dr_type):
+        scene, cfg, fc, ref = cornell_small
+        trace = lambda u: trace_paths(scene, cfg, u)
+        dcfg = DRMLTConfig(type=dr_type, n_chains=1024, n_bootstrap=16384)
+        n_dims = cfg.n_dims + (cfg.n_dims % 2)  # orbital needs even
+        img, aux = render_drmlt(trace, dcfg, fc, jax.random.PRNGKey(3),
+                                n_dims, n_steps=600)
+        img = np.asarray(img)
+        assert np.all(np.isfinite(img))
+        assert _mean_rel_err(img, ref) < 0.15, dr_type
+        # second stage fires and accepts sometimes (orbital is designed to
+        # have much higher timid acceptance; green/mira are conservative)
+        acc2 = float(np.asarray(aux["stats"]["accept2"]).mean())
+        floor = 0.02 if dr_type == "orbital" else 1e-4
+        assert acc2 > floor, f"{dr_type}: second stage never accepts"
+
+    def test_mixture_baseline(self, cornell_small):
+        scene, cfg, fc, ref = cornell_small
+        trace = lambda u: trace_paths(scene, cfg, u)
+        dcfg = DRMLTConfig(type="green", n_chains=1024, n_bootstrap=16384,
+                           use_mixture=True)
+        img, _ = render_drmlt(trace, dcfg, fc, jax.random.PRNGKey(4),
+                              cfg.n_dims + cfg.n_dims % 2, n_steps=600)
+        assert _mean_rel_err(np.asarray(img), ref) < 0.15
+
+    def test_acceptance_map(self, cornell_small):
+        scene, cfg, fc, _ = cornell_small
+        trace = lambda u: trace_paths(scene, cfg, u)
+        dcfg = DRMLTConfig(type="orbital", n_chains=256, n_bootstrap=4096,
+                           acceptance_map=True)
+        _, aux = render_drmlt(trace, dcfg, fc, jax.random.PRNGKey(5),
+                              cfg.n_dims + cfg.n_dims % 2, n_steps=100)
+        am = np.asarray(aux["accmap"])
+        assert am is not None and np.all(np.isfinite(am))
+        # R channel (stage-1 accepts) and G channel (stage-2) both populated
+        assert am[..., 0].sum() > 0
+        assert am[..., 1].sum() > 0

@@ -1,0 +1,134 @@
+"""Path tracer end-to-end tests with analytic oracles."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+from drmlt_mitsuba_tpu.integrators.path import render_pt, trace_paths
+from drmlt_mitsuba_tpu.render import film as filmlib
+from drmlt_mitsuba_tpu.scene.builders import cornell_box, furnace_sphere
+
+
+def test_furnace_white():
+    """White-furnace oracle: albedo-1 sphere in a unit constant environment
+    must return exactly env for every path that terminates (energy
+    conservation through BSDF sampling + throughput bookkeeping)."""
+    scene = furnace_sphere(albedo=1.0, env=1.0)
+    cfg = PathConfig(max_depth=32, rr_depth=100, use_nee=True)
+    u = jax.random.uniform(jax.random.PRNGKey(0), (2048, cfg.n_dims))
+    sp = trace_paths(scene, cfg, u)
+    vals = np.asarray(sp.value[:, 0, :])
+    assert np.all(np.isfinite(vals))
+    np.testing.assert_allclose(vals.mean(), 1.0, atol=5e-3)
+
+
+def test_furnace_albedo():
+    """Gray furnace: with albedo rho, radiance is env·rho^n for paths with n
+    bounces; the expectation over bounce counts is strictly between
+    rho*env and env."""
+    rho = 0.5
+    scene = furnace_sphere(albedo=rho, env=1.0)
+    cfg = PathConfig(max_depth=32, rr_depth=100, use_nee=True)
+    u = jax.random.uniform(jax.random.PRNGKey(1), (4096, cfg.n_dims))
+    sp = trace_paths(scene, cfg, u)
+    m = float(jnp.mean(sp.value[:, 0, 0]))
+    # rays that miss the sphere give exactly env=1; rays that hit give <= rho
+    frac_hit = float(jnp.mean((sp.value[:, 0, 0] < 0.99).astype(jnp.float32)))
+    assert 0.2 < frac_hit < 0.9
+    assert 0.3 < m < 1.0
+
+
+def test_direct_lighting_analytic():
+    """NEE against a small distant area light matches the point-source
+    approximation L = rho/pi * Le * (A cos_l / d^2) * cos_s."""
+    import drmlt_mitsuba_tpu.scene.types as st
+    from drmlt_mitsuba_tpu.core import transform
+
+    # floor quad at y=0, small light patch at height h facing down
+    h = 10.0
+    a = 0.2  # light half-size
+    verts = [
+        [-50, 0, -50], [50, 0, -50], [50, 0, 50], [-50, 0, 50],      # floor
+        [-a, h, -a], [a, h, -a], [a, h, a], [-a, h, a],               # light
+    ]
+    faces = [[0, 2, 1], [0, 3, 2],          # floor, normal +y
+             [4, 5, 6], [4, 6, 7]]          # light, normal -y
+    mat = [0, 0, 1, 1]
+    emit = [-1, -1, 0, 0]
+    tris = st.build_triangles(np.asarray(verts, np.float32),
+                              np.asarray(faces, np.int32),
+                              np.asarray(mat, np.int32),
+                              np.asarray(emit, np.int32))
+    le = 100.0
+    emitters = st.build_emitters(tris, np.asarray([[le, le, le]], np.float32))
+    row = np.full(4, -1, np.int32)
+    row[np.asarray(emitters.tri_idx)] = np.arange(2)
+    tris = tris.replace(emitter_id=jnp.asarray(row))
+    rho = 0.6
+    mats = st.make_material_table([
+        dict(kind=st.BSDF_DIFFUSE, albedo=(rho, rho, rho)),
+        dict(kind=st.BSDF_DIFFUSE, albedo=(0, 0, 0)),
+    ])
+    cam = st.make_camera(
+        transform.look_at([0, 5, -20], [0, 0, 0], [0, 1, 0]), 30.0, 1.0
+    )
+    scene = st.Scene(tris=tris, spheres=st.empty_spheres(), materials=mats,
+                     emitters=emitters, camera=cam)
+
+    # single-bounce only: direct lighting at the floor point under the light
+    cfg = PathConfig(max_depth=2, rr_depth=100)
+    u = jax.random.uniform(jax.random.PRNGKey(2), (20000, cfg.n_dims))
+    sp = trace_paths(scene, cfg, u)
+    # average over the image: compare the max pixel (directly under light)
+    # via a small film
+    fc = filmlib.make_film_config(33, 33, "box")
+    film = filmlib.new_film(fc)
+    pos = sp.pos[:, 0, :] * jnp.asarray([fc.width, fc.height], jnp.float32)
+    film = filmlib.splat(fc, film, pos, sp.value[:, 0, :], mode="accum")
+    img = np.asarray(filmlib.develop(fc, film, mode="accum"))
+
+    # analytic value at the point directly below the light (0,0,0):
+    area = (2 * a) ** 2
+    expected = rho / np.pi * le * area / (h * h)  # cos terms = 1
+    center = img[img.shape[0] // 2 + 3, img.shape[1] // 2, 0]
+    # (camera looks slightly down; find the brightest floor pixel instead)
+    bright = np.max(img[..., 0])
+    np.testing.assert_allclose(bright, expected, rtol=0.15)
+
+
+def test_cornell_sanity():
+    """Cornell box renders: finite, colored bleeding on correct sides."""
+    scene = cornell_box(64, 64)
+    cfg = PathConfig(max_depth=4, rr_depth=100)
+    fc = filmlib.make_film_config(64, 64, "box")
+    film = render_pt(scene, cfg, jax.random.PRNGKey(3), 64 * 64 * 8, fc,
+                     mode="accum")
+    img = np.asarray(filmlib.develop(fc, film, mode="accum"))
+    assert np.all(np.isfinite(img))
+    assert img.mean() > 0.01
+    # left third is reddish (red wall), right third greenish
+    left = img[:, :20, :].mean(axis=(0, 1))
+    right = img[:, -20:, :].mean(axis=(0, 1))
+    assert left[0] > left[1], f"left wall should be red-tinted: {left}"
+    assert right[1] > right[0], f"right wall should be green-tinted: {right}"
+
+
+def test_trace_jit_and_grad():
+    """trace_paths is jittable and differentiable w.r.t. scene params."""
+    scene = cornell_box(32, 32)
+    cfg = PathConfig(max_depth=3, rr_depth=100)
+    u = jax.random.uniform(jax.random.PRNGKey(4), (64, cfg.n_dims))
+
+    @jax.jit
+    def mean_lum(albedo):
+        s = scene.replace(
+            materials=scene.materials.replace(
+                albedo=scene.materials.albedo.at[0].set(albedo)
+            )
+        )
+        return jnp.mean(trace_paths(s, cfg, u).lum)
+
+    g = jax.grad(mean_lum)(jnp.asarray([0.7, 0.7, 0.7]))
+    assert np.all(np.isfinite(np.asarray(g)))
+    # brighter walls -> more light: gradient positive
+    assert float(jnp.sum(g)) > 0
