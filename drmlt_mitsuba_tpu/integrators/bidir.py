@@ -1,0 +1,681 @@
+"""Bidirectional path layer: subpath walks, (s,t) connections, MIS.
+
+Capability match for src/libbidir/ (PathVertex::sampleNext vertex.cpp:37,
+Path::randomWalk path.cpp:500, Path::miWeight path.cpp:763,
+PathSampler::EBidirectional pathsampler.cpp:321-527 and EMMLT :84-320).
+
+TPU form: subpaths are fixed-size vertex SoAs (R, V, ...) built by lax.scan
+random walks; the (s,t) connection loop is a static Python double loop (s, t
+small), each iteration evaluating the whole chain batch with masking; MIS
+weights use the balance heuristic via per-vertex forward/reverse AREA pdfs
+and the standard ratio recursion.
+
+Conventions (joined path x_0 .. x_{n-1}, x_0 on the light, x_{n-1} = camera):
+  * strategy s: light walk makes x_0..x_{s-1}, eye walk makes x_{n-1}..x_s;
+    t = n - s >= 1 (t=1 = light tracing, s=0 = pure eye path).
+  * pL[i] = area pdf of x_i when generated from the light-side chain,
+    pE[i] = area pdf of x_i when generated from the eye-side chain.
+    p_strategy(s) = prod_{i<s} pL[i] * prod_{i>=s} pE[i]; balance-heuristic
+    weight computed with the ratio recursion, skipping junctions adjacent to
+    Dirac vertices.
+  * beta: cumulative throughput arriving at a vertex (importance transport
+    on the eye side with the shading-normal correction factor).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import flax.struct as struct
+import jax
+import jax.numpy as jnp
+
+from drmlt_mitsuba_tpu.core import frame
+from drmlt_mitsuba_tpu.core.math import RAY_EPS, normalize, safe_div
+from drmlt_mitsuba_tpu.core.spectrum import luminance
+from drmlt_mitsuba_tpu.core.warp import (
+    square_to_cosine_hemisphere, square_to_cosine_hemisphere_pdf,
+    square_to_uniform_triangle,
+)
+from drmlt_mitsuba_tpu.integrators.path import Splats
+from drmlt_mitsuba_tpu.ops.intersect import intersect, occluded
+from drmlt_mitsuba_tpu.render.bsdf import eval_bsdf, is_delta_kind, sample_bsdf
+from drmlt_mitsuba_tpu.render.sensor import sample_ray
+from drmlt_mitsuba_tpu.scene.types import Scene
+
+# ---------------------------------------------------------------------------
+# PSS layout
+# ---------------------------------------------------------------------------
+
+EYE_BOUNCE_DIMS = 3    # bsdf component + 2D
+LIGHT_START_DIMS = 5   # emitter pick + surface 2D + direction 2D
+LIGHT_BOUNCE_DIMS = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class BDPTConfig:
+    """max_depth = max number of segments in a full path (matches the
+    reference bdpt maxDepth).  A full path of n vertices has n-1 segments."""
+    max_depth: int = 5
+    light_image: bool = True   # include t=1 (light tracing) strategies
+
+    @property
+    def n_eye(self):    # camera vertex + surface vertices
+        return self.max_depth + 1
+
+    @property
+    def n_light(self):  # light-surface vertex + bounce vertices
+        return self.max_depth
+
+    @property
+    def eye_dims(self):
+        return 2 + EYE_BOUNCE_DIMS * (self.n_eye - 2)
+
+    @property
+    def light_dims(self):
+        # the start ray makes bounce vertex 1; BSDF sampling happens at
+        # bounce vertices 1..n_light-2 (the last vertex samples nothing)
+        return LIGHT_START_DIMS + LIGHT_BOUNCE_DIMS * max(0, self.n_light - 2)
+
+    @property
+    def n_dims(self):
+        return self.eye_dims + self.light_dims
+
+    @property
+    def n_splats(self):
+        """1 pixel splat + one light-image splat per light-tracing strategy
+        (s = 1..n_light)."""
+        return 1 + (self.n_light if self.light_image else 0)
+
+
+@struct.dataclass
+class SubpathSoA:
+    """One side's vertices including its endpoint at index 0.
+
+    Eye side: index 0 = camera vertex (positional Dirac).
+    Light side: index 0 = emitter-surface vertex.
+    """
+    valid: jnp.ndarray    # (R, V)
+    p: jnp.ndarray        # (R, V, 3)
+    ns: jnp.ndarray       # (R, V, 3)
+    ng: jnp.ndarray       # (R, V, 3)
+    wi: jnp.ndarray       # (R, V, 3) unit dir toward previous vertex
+    beta: jnp.ndarray     # (R, V, 3)
+    pdf_fwd: jnp.ndarray  # (R, V) area pdf from own chain
+    pdf_rev: jnp.ndarray  # (R, V) area pdf of vertex i from vertex i+1 of
+    #                        the same side (reverse-chain pdf), walk-filled
+    delta: jnp.ndarray    # (R, V)
+    mat_id: jnp.ndarray   # (R, V)
+    emitter_id: jnp.ndarray  # (R, V)
+
+
+def _sa_to_area(pdf_sa, p_from, p_to, n_to):
+    d = p_to - p_from
+    dist2 = jnp.sum(d * d, axis=-1)
+    w = d / jnp.sqrt(jnp.maximum(dist2, 1e-20))[..., None]
+    cos_to = jnp.abs(jnp.sum(w * n_to, axis=-1))
+    return pdf_sa * safe_div(cos_to, dist2)
+
+
+def _bsdf_eval_pdf(scene, mat_id, wi_world, wo_world, ns):
+    """Raw BSDF f (no cosine) and solid-angle pdf for world directions."""
+    wi = frame.to_local(ns, wi_world)
+    wo = frame.to_local(ns, wo_world)
+    albedo = scene.materials.albedo[mat_id]
+    val_cos, pdf = eval_bsdf(scene.materials, mat_id, albedo, wi, wo)
+    f = val_cos / jnp.maximum(jnp.abs(wo[..., 2]), 1e-9)[..., None]
+    return f, pdf
+
+
+def _bsdf_pdf_sa(scene, mat_id, wi_world, wo_world, ns):
+    _, pdf = _bsdf_eval_pdf(scene, mat_id, wi_world, wo_world, ns)
+    return pdf
+
+
+# ---------------------------------------------------------------------------
+# Random walks
+# ---------------------------------------------------------------------------
+
+def _walk(scene: Scene, o0, d0, beta0, pdf0_sa, src_p, src_ns, n_surface,
+          u_bounce, importance_mode: bool):
+    """Scan out up to n_surface surface vertices from a start ray.
+
+    Returns dict of stacked per-vertex fields, each (R, n_surface, ...), and
+    src_rev: (R,) area pdf of the SOURCE vertex as seen from vertex 1
+    (reverse-chain pdf of the endpoint).
+    """
+    R = o0.shape[0]
+
+    def body(carry, ub):
+        hit = intersect(scene, carry["o"], carry["d"])
+        active = carry["active"] & hit.valid
+        pdf_area = _sa_to_area(
+            carry["pdf_sa"], carry["prev_p"], hit.p, hit.ng
+        )
+        wi_world = -carry["d"]
+        delta = is_delta_kind(scene.materials, hit.mat_id)
+
+        v = dict(
+            valid=active, p=hit.p, ns=hit.ns, ng=hit.ng, wi=wi_world,
+            beta=jnp.where(active[:, None], carry["beta"], 0.0),
+            pdf_fwd=jnp.where(active, pdf_area, 0.0),
+            delta=delta, mat_id=hit.mat_id, emitter_id=hit.emitter_id,
+        )
+
+        wi = frame.to_local(hit.ns, wi_world)
+        albedo = scene.materials.albedo[hit.mat_id]
+        bs = sample_bsdf(scene.materials, hit.mat_id, albedo, wi, ub)
+        wo_world = frame.to_world(hit.ns, bs.wo)
+        # reverse pdf of the previous vertex: sample wi from wo at this vertex
+        _, pdf_rev_sa = eval_bsdf(
+            scene.materials, hit.mat_id, albedo, bs.wo, wi
+        )
+        prev_rev = _sa_to_area(pdf_rev_sa, hit.p, carry["prev_p"],
+                               carry["prev_ns"])
+        prev_rev = jnp.where(active, prev_rev, 0.0)
+
+        beta_next = carry["beta"] * bs.weight
+        if importance_mode:
+            # shading-normal correction for importance transport (Veach 5.17)
+            num = jnp.abs(jnp.sum(wi_world * hit.ns, -1)) * jnp.abs(
+                jnp.sum(wo_world * hit.ng, -1)
+            )
+            den = jnp.abs(jnp.sum(wi_world * hit.ng, -1)) * jnp.abs(
+                jnp.sum(wo_world * hit.ns, -1)
+            )
+            beta_next = beta_next * safe_div(num, den, 1.0)[..., None]
+
+        cont = active & (luminance(beta_next) > 0) & ((bs.pdf > 0) | bs.delta)
+        o_next = hit.p + wo_world * RAY_EPS * jnp.maximum(1.0, hit.t)[:, None]
+        carry_out = dict(
+            o=jnp.where(active[:, None], o_next, carry["o"]),
+            d=jnp.where(active[:, None], wo_world, carry["d"]),
+            beta=jnp.where(cont[:, None], beta_next, 0.0),
+            pdf_sa=jnp.where(bs.delta, 1.0, bs.pdf),
+            active=cont,
+            prev_p=jnp.where(active[:, None], hit.p, carry["prev_p"]),
+            prev_ns=jnp.where(active[:, None], hit.ns, carry["prev_ns"]),
+        )
+        return carry_out, (v, prev_rev)
+
+    carry0 = dict(
+        o=o0, d=d0, beta=beta0, pdf_sa=pdf0_sa,
+        active=jnp.ones((R,), bool), prev_p=src_p, prev_ns=src_ns,
+    )
+    u = jnp.moveaxis(u_bounce, 1, 0)  # (n_surface, R, 3)
+    _, (vs, prev_revs) = jax.lax.scan(body, carry0, u)
+    out = {k: jnp.moveaxis(vs[k], 0, 1) for k in vs}
+    prev_revs = jnp.moveaxis(prev_revs, 0, 1)  # (R, n_surface)
+    # reverse-chain pdf: vertex i's rev pdf was computed at scan step i+1
+    out["pdf_rev"] = jnp.concatenate(
+        [prev_revs[:, 1:], jnp.zeros((R, 1))], axis=1
+    )
+    src_rev = prev_revs[:, 0]
+    return out, src_rev
+
+
+def eye_subpath(scene: Scene, cfg: BDPTConfig, u_eye):
+    """Camera vertex + up to max_depth surface vertices.  u_eye:
+    (R, eye_dims)."""
+    R = u_eye.shape[0]
+    uv = u_eye[:, 0:2]
+    o, d = sample_ray(scene.camera, uv)
+    pdf_dir = sensor_pdf_dir(scene.camera, d)
+    n_surf = cfg.n_eye - 1
+    u_b = u_eye[:, 2:2 + EYE_BOUNCE_DIMS * (n_surf - 1)]
+    u_b = jnp.concatenate(
+        [u_b.reshape(R, n_surf - 1, EYE_BOUNCE_DIMS),
+         jnp.zeros((R, 1, EYE_BOUNCE_DIMS))], axis=1,
+    )
+    walk, _ = _walk(
+        scene, o, d, jnp.ones((R, 3)), pdf_dir, o,
+        jnp.broadcast_to(scene.camera.to_world[:3, 2], (R, 3)),
+        n_surf, u_b, importance_mode=True,
+    )
+    cam_dir = jnp.broadcast_to(scene.camera.to_world[:3, 2], (R, 3))
+    cat = lambda a, b: jnp.concatenate([a[:, None], b], axis=1)
+    soa = SubpathSoA(
+        valid=cat(jnp.ones((R,), bool), walk["valid"]),
+        p=cat(o, walk["p"]),
+        ns=cat(cam_dir, walk["ns"]),
+        ng=cat(cam_dir, walk["ng"]),
+        wi=cat(-cam_dir, walk["wi"]),
+        beta=cat(jnp.ones((R, 3)), walk["beta"]),
+        pdf_fwd=cat(jnp.ones((R,)), walk["pdf_fwd"]),
+        pdf_rev=cat(jnp.zeros((R,)), walk["pdf_rev"]),
+        delta=cat(jnp.ones((R,), bool), walk["delta"]),
+        mat_id=cat(jnp.zeros((R,), jnp.int32), walk["mat_id"]),
+        emitter_id=cat(jnp.full((R,), -1, jnp.int32), walk["emitter_id"]),
+    )
+    return soa, uv
+
+
+def light_subpath(scene: Scene, cfg: BDPTConfig, u_light):
+    """Emitter-surface vertex + up to max_depth-1 bounce vertices."""
+    R = u_light.shape[0]
+    em = scene.emitters
+    tris = scene.tris
+    row = jnp.searchsorted(em.cdf, u_light[:, 0], side="right")
+    row = jnp.clip(row, 0, em.cdf.shape[0] - 1).astype(jnp.int32)
+    ti = em.tri_idx[row]
+    b = square_to_uniform_triangle(u_light[:, 1:3])
+    p0 = tris.v0[ti] + b[:, 0:1] * tris.e1[ti] + b[:, 1:2] * tris.e2[ti]
+    n0 = normalize(jnp.cross(tris.e1[ti], tris.e2[ti]))
+    pdf_pos = em.pmf[row] / jnp.maximum(em.area[row], 1e-20)
+    le = em.radiance[row]
+    valid0 = em.pmf[row] > 0
+
+    d_local = square_to_cosine_hemisphere(u_light[:, 3:5])
+    d0 = frame.to_world(n0, d_local)
+    pdf_dir = jnp.maximum(square_to_cosine_hemisphere_pdf(d_local), 1e-12)
+    cos0 = jnp.maximum(d_local[..., 2], 0.0)
+    beta1 = le * safe_div(cos0, pdf_pos * pdf_dir)[:, None]
+
+    n_surf = cfg.n_light - 1
+    u_b = u_light[:, LIGHT_START_DIMS:]
+    u_b = jnp.concatenate(
+        [u_b.reshape(R, max(0, n_surf - 1), LIGHT_BOUNCE_DIMS),
+         jnp.zeros((R, 1, LIGHT_BOUNCE_DIMS))], axis=1,
+    ) if n_surf >= 1 else jnp.zeros((R, 0, LIGHT_BOUNCE_DIMS))
+    o0 = p0 + d0 * (RAY_EPS * 10.0)
+    walk, src_rev = _walk(
+        scene, o0, d0, beta1, pdf_dir, p0, n0, n_surf, u_b,
+        importance_mode=False,
+    )
+    cat = lambda a, b: jnp.concatenate([a[:, None], b], axis=1)
+    soa = SubpathSoA(
+        valid=cat(valid0, walk["valid"]),
+        p=cat(p0, walk["p"]),
+        ns=cat(n0, walk["ns"]),
+        ng=cat(n0, walk["ng"]),
+        wi=cat(n0, walk["wi"]),   # unused for the endpoint
+        beta=cat(
+            jnp.where(valid0[:, None],
+                      le / jnp.maximum(pdf_pos, 1e-20)[:, None], 0.0),
+            walk["beta"],
+        ),
+        pdf_fwd=cat(pdf_pos, walk["pdf_fwd"]),
+        # the emitter endpoint's reverse-chain pdf (from bounce vertex 1)
+        # comes back as src_rev; bounce vertex i's sits at walk slot i
+        pdf_rev=jnp.concatenate(
+            [src_rev[:, None], walk["pdf_rev"][:, : n_surf]], axis=1
+        ),
+        delta=cat(jnp.zeros((R,), bool), walk["delta"]),
+        mat_id=cat(jnp.zeros((R,), jnp.int32), walk["mat_id"]),
+        emitter_id=cat(row, walk["emitter_id"]),
+    )
+    return soa
+
+
+# ---------------------------------------------------------------------------
+# Sensor importance (pinhole perspective)
+# ---------------------------------------------------------------------------
+
+def _film_area(camera):
+    return 4.0 * camera.tan_half_fov_x * camera.tan_half_fov_y
+
+
+def sensor_pdf_dir(camera, d_world):
+    """Solid-angle pdf of a camera ray through a uniform film point:
+    p(w) = 1/(A cos^3)."""
+    fwd = camera.to_world[:3, 2]
+    cos = jnp.sum(d_world * fwd, axis=-1)
+    a = _film_area(camera)
+    return jnp.where(cos > 1e-6, 1.0 / (a * jnp.maximum(cos, 1e-6) ** 3), 0.0)
+
+
+def sensor_importance(camera, d_world):
+    """(We, film_uv, inside) for a world direction from the camera."""
+    fwd = camera.to_world[:3, 2]
+    left = camera.to_world[:3, 0]
+    up = camera.to_world[:3, 1]
+    cos = jnp.sum(d_world * fwd, axis=-1)
+    inv_cos = 1.0 / jnp.maximum(cos, 1e-6)
+    x_cam = jnp.sum(d_world * left, axis=-1) * inv_cos
+    y_cam = jnp.sum(d_world * up, axis=-1) * inv_cos
+    u = (x_cam / camera.tan_half_fov_x + 1.0) * 0.5
+    v = (1.0 - y_cam / camera.tan_half_fov_y) * 0.5
+    inside = (cos > 1e-6) & (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
+    a = _film_area(camera)
+    we = jnp.where(inside, 1.0 / (a * jnp.maximum(cos, 1e-6) ** 4), 0.0)
+    return we, jnp.stack([u, v], axis=-1), inside
+
+
+# ---------------------------------------------------------------------------
+# MIS weight (balance heuristic over all (s', t') of the same joined path)
+# ---------------------------------------------------------------------------
+
+def _mis_weight(cfg, scene, L: SubpathSoA, E: SubpathSoA, s: int, t: int,
+                pL_jn, pE_jn):
+    """Balance-heuristic weight for strategy (s, t) on the joined path.
+
+    pL_jn: dict of junction-region light-chain pdfs supplied by the caller:
+      keys 's' (pdf of x_s from x_{s-1}, light chain crossing the junction)
+      and 's+1' (pdf of x_{s+1} from x_s given light-side incoming), both
+      area measure, shape (R,).  pE_jn symmetric: keys 't' (pdf of x_{s-1}
+      from x_s as eye chain) and 't+1' (pdf of x_{s-2} from x_{s-1}).
+    """
+    R = L.p.shape[0]
+    one = jnp.ones((R,))
+    zero = jnp.zeros((R,))
+
+    def ratio(p_num, p_den):
+        return safe_div(
+            jnp.where(p_num > 0, p_num, 1.0),
+            jnp.where(p_den > 0, p_den, 1.0),
+        )
+
+    sum_ri = zero
+
+    # --- walk the junction toward the LIGHT (strategies s' < s) ----------
+    # moving junction from s to s-1 multiplies by pE[s-1]/pL[s-1]
+    ri = one
+    for i in range(s - 1, -1, -1):
+        # pE[i]: pdf of x_i from eye side
+        if i == s - 1:
+            pE_i = pE_jn["t"]
+        elif i == s - 2:
+            pE_i = pE_jn["t+1"]
+        else:
+            pE_i = L.pdf_rev[:, i]
+        # pL[i]: pdf of x_i from its own light chain
+        pL_i = L.pdf_fwd[:, i]
+        ri = ri * ratio(pE_i, pL_i)
+        # strategy with junction between i-1 and i is valid unless a Dirac
+        # vertex flanks the junction
+        d_lo = L.delta[:, i - 1] if i >= 1 else jnp.zeros((R,), bool)
+        d_hi = L.delta[:, i]
+        ok = ~(d_lo | d_hi)
+        sum_ri = sum_ri + jnp.where(ok, ri, 0.0)
+
+    # --- walk the junction toward the CAMERA (strategies s' > s) ---------
+    ri = one
+    for j in range(t - 1, 0, -1):   # eye vertex indices t-1 .. 1 (vertex 0 =
+        #                              camera can't be generated by light)
+        if j == t - 1:
+            pL_j = pL_jn["s"]
+        elif j == t - 2:
+            pL_j = pL_jn["s+1"]
+        else:
+            pL_j = E.pdf_rev[:, j]
+        pE_j = E.pdf_fwd[:, j]
+        ri = ri * ratio(pL_j, pE_j)
+        d_lo = E.delta[:, j]
+        d_hi = E.delta[:, j - 1] if j - 1 >= 1 else jnp.zeros((R,), bool)
+        # the t'=1 (light tracing) strategy is valid for a pinhole camera
+        # (the camera vertex is the endpoint, not a junction crossing)
+        if j - 1 == 0:
+            d_hi = jnp.zeros((R,), bool)
+        ok = ~(d_lo | d_hi)
+        if j == 1 and not cfg.light_image:
+            ok = jnp.zeros((R,), bool)
+        sum_ri = sum_ri + jnp.where(ok, ri, 0.0)
+
+    return 1.0 / (1.0 + sum_ri)
+
+
+# ---------------------------------------------------------------------------
+# Connections
+# ---------------------------------------------------------------------------
+
+def _emission_dir_pdf_area(scene, row, p_l, n_l, p_to, n_to):
+    """Area pdf at p_to of the emitter's cosine-lobe direction sampling."""
+    d = p_to - p_l
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1), 1e-20))
+    w = d / dist[..., None]
+    cos_l = jnp.maximum(jnp.sum(w * n_l, -1), 0.0)
+    pdf_sa = cos_l / jnp.pi
+    return _sa_to_area(pdf_sa, p_l, p_to, n_to)
+
+
+def _emitter_pos_pdf(scene, emitter_row):
+    em = scene.emitters
+    row = jnp.clip(emitter_row, 0, em.pmf.shape[0] - 1)
+    pdf = em.pmf[row] / jnp.maximum(em.area[row], 1e-20)
+    return jnp.where(emitter_row >= 0, pdf, 0.0)
+
+
+def _strategies(scene: Scene, cfg: BDPTConfig, L: SubpathSoA, E: SubpathSoA,
+                uv, mis: bool = True, only=None):
+    """Evaluate every (s, t) connection strategy for the whole batch.
+
+    Yields (s, t, pos (R,2) film uv, val (R,3) MIS-weighted contribution).
+    Each strategy alone (mis=False) is an unbiased estimator of its
+    path-length transport — the basis of both the BDPT sum and the MMLT
+    single-strategy selection.
+    """
+    R = uv.shape[0]
+
+    # ---------------- s = 0: eye path hits an emitter ---------------------
+    for t in range(2, cfg.n_eye + 1):
+        if only is not None and only != (0, t):
+            continue
+        ev = t - 1
+        hit_row = E.emitter_id[:, ev]
+        ok = E.valid[:, ev] & (hit_row >= 0)
+        cos_e = jnp.sum(E.wi[:, ev] * E.ng[:, ev], -1)
+        ok = ok & (cos_e > 0)
+        row = jnp.clip(hit_row, 0, scene.emitters.radiance.shape[0] - 1)
+        le = scene.emitters.radiance[row]
+        contrib = E.beta[:, ev] * le
+        if not mis:
+            w = jnp.ones((R,))
+        else:
+            pL_jn = dict()
+            pL_jn["s"] = _emitter_pos_pdf(scene, hit_row)
+            pL_jn["s+1"] = _emission_dir_pdf_area(
+                scene, row, E.p[:, ev], E.ng[:, ev],
+                E.p[:, ev - 1], E.ng[:, ev - 1],
+            ) if t >= 3 else jnp.zeros((R,))
+            w = _mis_weight(cfg, scene, L, E, 0, t, pL_jn, dict())
+        val = jnp.where(ok[:, None], contrib * w[:, None], 0.0)
+        yield 0, t, uv, val
+
+    # ---------------- s >= 1, t >= 2: connections -------------------------
+    for s in range(1, cfg.n_light + 1):
+        for t in range(2, cfg.n_eye + 1):
+            if (s + t - 1) > cfg.max_depth:
+                continue
+            if only is not None and only != (s, t):
+                continue
+            lv, ev = s - 1, t - 1
+            pl, pe = L.p[:, lv], E.p[:, ev]
+            nl, ne = L.ns[:, lv], E.ns[:, ev]
+            ngl, nge = L.ng[:, lv], E.ng[:, ev]
+            dvec = pe - pl
+            dist2 = jnp.sum(dvec * dvec, -1)
+            dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+            w_le = dvec / dist[..., None]
+
+            ok = L.valid[:, lv] & E.valid[:, ev]
+            ok = ok & ~L.delta[:, lv] & ~E.delta[:, ev] & (dist2 > 1e-12)
+
+            cos_l = jnp.abs(jnp.sum(w_le * ngl, -1))
+            cos_e = jnp.abs(jnp.sum(w_le * nge, -1))
+            g = safe_div(cos_l * cos_e, dist2)
+
+            if s == 1:
+                front = jnp.sum(w_le * ngl, -1) > 0
+                f_l = jnp.where(front[:, None], jnp.ones((R, 3)), 0.0)
+            else:
+                f_l, _ = _bsdf_eval_pdf(
+                    scene, L.mat_id[:, lv], L.wi[:, lv], w_le, nl
+                )
+            f_e, _ = _bsdf_eval_pdf(
+                scene, E.mat_id[:, ev], E.wi[:, ev], -w_le, ne
+            )
+            contrib = (
+                L.beta[:, lv] * f_l * f_e * E.beta[:, ev] * g[:, None]
+            )
+            ok = ok & (luminance(contrib) > 0)
+            sh_o = pl + w_le * (RAY_EPS * jnp.maximum(1.0, dist))[:, None]
+            blocked = occluded(scene, sh_o, w_le, dist * (1.0 - 1e-3))
+            ok = ok & ~blocked
+
+            if mis:
+                pL_jn = dict()
+                if s == 1:
+                    pL_jn["s"] = _emission_dir_pdf_area(
+                        scene, L.emitter_id[:, 0], pl, ngl, pe, nge
+                    )
+                else:
+                    pdf_sa = _bsdf_pdf_sa(
+                        scene, L.mat_id[:, lv], L.wi[:, lv], w_le, nl
+                    )
+                    pL_jn["s"] = _sa_to_area(pdf_sa, pl, pe, nge)
+                if t >= 3:
+                    pdf_sa = _bsdf_pdf_sa(
+                        scene, E.mat_id[:, ev], -w_le, E.wi[:, ev], ne
+                    )
+                    pL_jn["s+1"] = _sa_to_area(
+                        pdf_sa, pe, E.p[:, ev - 1], E.ng[:, ev - 1]
+                    )
+                else:
+                    pL_jn["s+1"] = jnp.zeros((R,))
+
+                pE_jn = dict()
+                pdf_sa = _bsdf_pdf_sa(
+                    scene, E.mat_id[:, ev], E.wi[:, ev], -w_le, ne
+                )
+                pE_jn["t"] = _sa_to_area(pdf_sa, pe, pl, ngl)
+                if s >= 2:
+                    pdf_sa = _bsdf_pdf_sa(
+                        scene, L.mat_id[:, lv], w_le, L.wi[:, lv], nl
+                    )
+                    pE_jn["t+1"] = _sa_to_area(
+                        pdf_sa, pl, L.p[:, lv - 1], L.ng[:, lv - 1]
+                    )
+                else:
+                    pE_jn["t+1"] = jnp.zeros((R,))
+                w = _mis_weight(cfg, scene, L, E, s, t, pL_jn, pE_jn)
+            else:
+                w = jnp.ones((R,))
+            val = jnp.where(ok[:, None], contrib * w[:, None], 0.0)
+            yield s, t, uv, val
+
+    # ---------------- t = 1: light tracing --------------------------------
+    if cfg.light_image:
+        cam_p = E.p[:, 0]
+        for s in range(1, cfg.n_light + 1):
+            if s > cfg.max_depth:
+                continue
+            if only is not None and only != (s, 1):
+                continue
+            lv = s - 1
+            pl = L.p[:, lv]
+            dvec = cam_p - pl
+            dist2 = jnp.sum(dvec * dvec, -1)
+            dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+            w_lc = dvec / dist[..., None]
+
+            we, film_uv, inside = sensor_importance(scene.camera, -w_lc)
+            ok = L.valid[:, lv] & ~L.delta[:, lv] & inside & (dist2 > 1e-12)
+
+            cos_l = jnp.abs(jnp.sum(w_lc * L.ng[:, lv], -1))
+            cam_fwd = scene.camera.to_world[:3, 2]
+            cos_c = jnp.abs(jnp.sum(w_lc * cam_fwd, -1))
+            g = safe_div(cos_l * cos_c, dist2)
+
+            if s == 1:
+                front = jnp.sum(w_lc * L.ng[:, 0], -1) > 0
+                f_l = jnp.where(front[:, None], jnp.ones((R, 3)), 0.0)
+            else:
+                f_l, _ = _bsdf_eval_pdf(
+                    scene, L.mat_id[:, lv], L.wi[:, lv], w_lc, L.ns[:, lv]
+                )
+            contrib = L.beta[:, lv] * f_l * (g * we)[:, None]
+            ok = ok & (luminance(contrib) > 0)
+            sh_o = pl + w_lc * (RAY_EPS * jnp.maximum(1.0, dist))[:, None]
+            blocked = occluded(scene, sh_o, w_lc, dist * (1.0 - 1e-3))
+            ok = ok & ~blocked
+
+            if mis:
+                pE_jn = dict()
+                pdf_sa = sensor_pdf_dir(scene.camera, -w_lc)
+                pE_jn["t"] = _sa_to_area(pdf_sa, cam_p, pl, L.ng[:, lv])
+                if s >= 2:
+                    pdf_sa2 = _bsdf_pdf_sa(
+                        scene, L.mat_id[:, lv], w_lc, L.wi[:, lv],
+                        L.ns[:, lv]
+                    )
+                    pE_jn["t+1"] = _sa_to_area(
+                        pdf_sa2, pl, L.p[:, lv - 1], L.ng[:, lv - 1]
+                    )
+                else:
+                    pE_jn["t+1"] = jnp.zeros((R,))
+                w = _mis_weight(cfg, scene, L, E, s, 1, dict(), pE_jn)
+            else:
+                w = jnp.ones((R,))
+            val = jnp.where(ok[:, None], contrib * w[:, None], 0.0)
+            yield s, 1, film_uv, val
+
+
+def trace_bdpt(scene: Scene, cfg: BDPTConfig, u, mis: bool = True,
+               only=None) -> Splats:
+    """Full BDPT estimator for a batch of primary samples u (R, n_dims).
+
+    Splat 0 is the pixel splat (all s>=0, t>=2 strategies at the sample's
+    own pixel); splats 1..n_light are the light-image splats (t=1) for
+    s = 1..n_light (ref: BDPTWorkResult tile + lightImage, bdpt_wr.h).
+
+    mis=False / only=(s,t) are debug hooks (each strategy alone is unbiased
+    for its path length).
+    """
+    R = u.shape[0]
+    E, uv = eye_subpath(scene, cfg, u[:, : cfg.eye_dims])
+    L = light_subpath(scene, cfg, u[:, cfg.eye_dims:])
+
+    pix_val = jnp.zeros((R, 3))
+    light_splats = {s: (jnp.zeros((R, 2)), jnp.zeros((R, 3)))
+                    for s in range(1, cfg.n_light + 1)} if cfg.light_image else {}
+    for s, t, pos, val in _strategies(scene, cfg, L, E, uv, mis, only):
+        if t == 1:
+            p0, v0 = light_splats[s]
+            light_splats[s] = (pos, v0 + val)
+        else:
+            pix_val = pix_val + val
+
+    pos = [uv[:, None, :]]
+    vals = [pix_val[:, None, :]]
+    for s in sorted(light_splats):
+        p, v = light_splats[s]
+        pos.append(p[:, None, :])
+        vals.append(v[:, None, :])
+    pos = jnp.concatenate(pos, axis=1)
+    vals = jnp.concatenate(vals, axis=1)
+    lum = luminance(jnp.sum(vals, axis=1))
+    return Splats(pos=pos, value=vals, lum=lum)
+
+
+def trace_mmlt(scene: Scene, cfg: BDPTConfig, u, depth) -> Splats:
+    """Multiplexed MLT technique (PathSampler::EMMLT,
+    pathsampler.cpp:84-320): each lane evaluates the SINGLE (s, t) strategy
+    selected by its strategy dimension for its fixed path depth, scaled by
+    nStrats = depth+1 (uniform strategy pmf).
+
+    u layout: [strategy dim, eye dims..., light dims...] (n_dims + 1).
+    depth: (R,) int32 per-lane path length (segments), 1 <= depth <=
+    cfg.max_depth.  All strategies are evaluated batch-wide (no divergence
+    on TPU) and masked to the lane's selection.
+    """
+    R = u.shape[0]
+    E, uv = eye_subpath(scene, cfg, u[:, 1 : 1 + cfg.eye_dims])
+    L = light_subpath(scene, cfg, u[:, 1 + cfg.eye_dims:])
+
+    n_strats = (depth + 1).astype(jnp.float32)  # s in [0, depth]
+    s_pick = jnp.minimum(
+        (u[:, 0] * n_strats).astype(jnp.int32), depth
+    )
+
+    pos_out = uv
+    val_out = jnp.zeros((R, 3))
+    for s, t, pos, val in _strategies(scene, cfg, L, E, uv):
+        sel = (s_pick == s) & (depth == (s + t - 1))
+        val_out = val_out + jnp.where(sel[:, None], val * n_strats[:, None], 0.0)
+        if t == 1:
+            pos_out = jnp.where(sel[:, None], pos, pos_out)
+
+    return Splats(
+        pos=pos_out[:, None, :],
+        value=val_out[:, None, :],
+        lum=luminance(val_out),
+    )

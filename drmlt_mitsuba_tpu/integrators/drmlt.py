@@ -75,8 +75,15 @@ class DRMLTConfig:
         return kernels.Gaussian(self.scale_second * self.sigma)
 
 
-def propose_stage1(cfg: DRMLTConfig, key, u, frozen_mask):
-    """Bold proposal y (unwrapped) + large-step mask."""
+def propose_stage1(cfg: DRMLTConfig, key, u, frozen_mask, pinned_mask=None):
+    """Bold proposal y (unwrapped) + large-step mask.
+
+    frozen_mask: dims driven by identity kernels — unchanged on small steps
+    but resampled on large steps (MMLT strategy dims; fillSpace large-step
+    branch is uniform even for identity kernels).
+    pinned_mask: dims that NEVER move (MMLT per-chain depth) — invariant
+    under both small and large steps.
+    """
     C, D = u.shape
     k_coin, k_large, k_kern = jax.random.split(key, 3)
     large = jax.random.uniform(k_coin, (C,)) < cfg.p_large
@@ -96,10 +103,13 @@ def propose_stage1(cfg: DRMLTConfig, key, u, frozen_mask):
     du = jnp.where(frozen_mask[None, :], 0.0, du)
     y = u + du
     y = jnp.where(large[:, None], u_large, y)
+    if pinned_mask is not None:
+        y = jnp.where(pinned_mask[None, :], u, y)
     return y, large
 
 
-def propose_stage2(cfg: DRMLTConfig, key, x, y, frozen_mask):
+def propose_stage2(cfg: DRMLTConfig, key, x, y, frozen_mask,
+                   pinned_mask=None):
     """Timid proposal z (unwrapped) given current x and stage-1 proposal y.
 
     Green/Mira: z = x + small-Gaussian — fillSpace always perturbs
@@ -123,20 +133,26 @@ def propose_stage2(cfg: DRMLTConfig, key, x, y, frozen_mask):
         u2 = jax.random.uniform(key, (C, D, 2))
         z = x + kern.sample(u2)
     z = jnp.where(frozen_mask[None, :], x, z)
+    if pinned_mask is not None:
+        z = jnp.where(pinned_mask[None, :], x, z)
     return z
 
 
-def mira_transition_ratio(cfg: DRMLTConfig, x, y, z, frozen_mask):
+def mira_transition_ratio(cfg: DRMLTConfig, x, y, z, frozen_mask,
+                          pinned_mask=None):
     """Q1(z|y) / Q1(x|y) in log space (drmlt_sampler.cpp:400-414)."""
     kern = cfg.stage1_kernel()
     lp_num = kern.log_pdf(z - y)
     lp_den = kern.log_pdf(x - y)
-    lp = jnp.where(frozen_mask[None, :], 0.0, lp_num - lp_den)
+    skip = frozen_mask
+    if pinned_mask is not None:
+        skip = skip | pinned_mask
+    lp = jnp.where(skip[None, :], 0.0, lp_num - lp_den)
     return jnp.exp(jnp.sum(lp, axis=-1))
 
 
 def drmlt_step(trace_fn, cfg: DRMLTConfig, film_cfg, frozen_mask,
-               carry, key, accmap_cfg=None):
+               carry, key, accmap_cfg=None, pinned_mask=None):
     """One DRMLT mutation for all chains.
 
     carry = (state, film, accmap) where accmap accumulates stage-1/stage-2
@@ -147,7 +163,7 @@ def drmlt_step(trace_fn, cfg: DRMLTConfig, film_cfg, frozen_mask,
     k1, k2, kacc1, kacc2 = jax.random.split(key, 4)
 
     x = state.u
-    y_raw, large = propose_stage1(cfg, k1, x, frozen_mask)
+    y_raw, large = propose_stage1(cfg, k1, x, frozen_mask, pinned_mask)
     y = pss_wrap(y_raw)
     sp_y = trace_fn(y)
     prop1 = state_from_splats(y, sp_y)
@@ -160,7 +176,7 @@ def drmlt_step(trace_fn, cfg: DRMLTConfig, film_cfg, frozen_mask,
     if not cfg.timid_after_large:
         do_second = do_second & ~large
 
-    z_raw = propose_stage2(cfg, k2, x, y_raw, frozen_mask)
+    z_raw = propose_stage2(cfg, k2, x, y_raw, frozen_mask, pinned_mask)
     z = pss_wrap(z_raw)
     sp_z = trace_fn(z)
     prop2 = state_from_splats(z, sp_z)
@@ -178,7 +194,8 @@ def drmlt_step(trace_fn, cfg: DRMLTConfig, film_cfg, frozen_mask,
         a2 = jnp.where(a_rev >= 1.0, 0.0, a2)
     elif cfg.type == TYPE_MIRA:
         a_rev = metropolis_clamp(prop1.lum / jnp.maximum(prop2.lum, 1e-30))
-        q_ratio = mira_transition_ratio(cfg, x, y_raw, z_raw, frozen_mask)
+        q_ratio = mira_transition_ratio(cfg, x, y_raw, z_raw, frozen_mask,
+                                        pinned_mask)
         q_ratio = jnp.where(large, 1.0, q_ratio)
         a2 = metropolis_clamp(
             lum_ratio * q_ratio * (1.0 - a_rev) / jnp.maximum(1.0 - a1, 1e-12)
@@ -256,7 +273,8 @@ def drmlt_mixture_step(trace_fn, cfg: DRMLTConfig, film_cfg, frozen_mask,
 
 
 def render_drmlt(trace_fn, cfg: DRMLTConfig, film_cfg, root_key, n_dims: int,
-                 n_steps: int, frozen_mask=None, average_luminance=None):
+                 n_steps: int, frozen_mask=None, average_luminance=None,
+                 pinned_mask=None):
     """Full DRMLT render.  Returns (image, aux) with aux carrying b, final
     chain state, per-step stats, and the acceptance map (if enabled)."""
     from drmlt_mitsuba_tpu.render import film as filmlib
@@ -279,6 +297,9 @@ def render_drmlt(trace_fn, cfg: DRMLTConfig, film_cfg, root_key, n_dims: int,
     def run(state, film, accmap):
         def body(carry, i):
             key = jax.random.fold_in(k_run, i)
+            if step is drmlt_step:
+                return step(trace_fn, cfg, film_cfg, frozen_mask, carry,
+                            key, pinned_mask=pinned_mask)
             return step(trace_fn, cfg, film_cfg, frozen_mask, carry, key)
 
         (state, film, accmap), stats = jax.lax.scan(

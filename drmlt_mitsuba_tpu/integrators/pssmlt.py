@@ -51,8 +51,10 @@ def _small_step_kernel(cfg: PSSMLTConfig):
     return kernels.Gaussian(cfg.sigma)
 
 
-def propose(cfg: PSSMLTConfig, key, u):
-    """Full-state proposal for all chains: (u', large_step_mask)."""
+def propose(cfg: PSSMLTConfig, key, u, pinned_mask=None):
+    """Full-state proposal for all chains: (u', large_step_mask).
+
+    pinned_mask: dims never mutated (MMLT per-chain depth)."""
     C, D = u.shape
     k_coin, k_large, k_kern = jax.random.split(key, 3)
     large = jax.random.uniform(k_coin, (C,)) < cfg.p_large
@@ -60,14 +62,18 @@ def propose(cfg: PSSMLTConfig, key, u):
     u2 = jax.random.uniform(k_kern, (C, D, 2))
     du = _small_step_kernel(cfg).sample(u2)
     u_small = pss_wrap(u + du)
-    return jnp.where(large[:, None], u_large, u_small), large
+    out = jnp.where(large[:, None], u_large, u_small)
+    if pinned_mask is not None:
+        out = jnp.where(pinned_mask[None, :], u, out)
+    return out, large
 
 
-def pssmlt_step(trace_fn, cfg: PSSMLTConfig, b, film_cfg, carry, key):
+def pssmlt_step(trace_fn, cfg: PSSMLTConfig, b, film_cfg, carry, key,
+                pinned_mask=None):
     """One mutation for every chain; carry = (state, film)."""
     state, film = carry
     k_prop, k_acc = jax.random.split(key)
-    u_prop, large = propose(cfg, k_prop, state.u)
+    u_prop, large = propose(cfg, k_prop, state.u, pinned_mask)
     sp = trace_fn(u_prop)
     proposed = state_from_splats(u_prop, sp)
 
@@ -100,7 +106,8 @@ def pssmlt_step(trace_fn, cfg: PSSMLTConfig, b, film_cfg, carry, key):
 
 
 def render_pssmlt(trace_fn, cfg: PSSMLTConfig, film_cfg, root_key,
-                  n_dims: int, n_steps: int, average_luminance=None):
+                  n_dims: int, n_steps: int, average_luminance=None,
+                  pinned_mask=None):
     """Full PSSMLT render: bootstrap -> n_steps mutations -> developed image.
 
     Returns (image (H,W,3), aux dict).  `average_luminance` overrides the
@@ -119,7 +126,8 @@ def render_pssmlt(trace_fn, cfg: PSSMLTConfig, film_cfg, root_key,
     def run(state, film):
         def body(carry, i):
             key = jax.random.fold_in(k_run, i)
-            return pssmlt_step(trace_fn, cfg, b, film_cfg, carry, key)
+            return pssmlt_step(trace_fn, cfg, b, film_cfg, carry, key,
+                               pinned_mask)
 
         (state, film), stats = jax.lax.scan(
             body, (state, film), jnp.arange(n_steps)

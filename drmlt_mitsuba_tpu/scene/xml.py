@@ -1,0 +1,513 @@
+"""Mitsuba 0.6 scene-XML loader (subset).
+
+Capability match for SceneHandler (src/librender/scenehandler.cpp:197-223):
+parses the reference's XML dialect — named plugins + typed properties +
+`$key` substitution (the CLI `-D key=value` mechanism, mitsuba.cpp:169-175)
+— into the flat SoA Scene plus a RenderSettings record carrying the
+integrator/sampler/film configuration.
+
+Supported subset (SURVEY.md §2.6 minimum rebuild set):
+  shapes   : obj, ply, serialized, rectangle, cube, sphere, disk
+  bsdfs    : diffuse, roughdiffuse, conductor, roughconductor, dielectric,
+             thindielectric, roughdielectric (as rough approx), plastic,
+             roughplastic, phong/ward (mapped to roughconductor-equivalent
+             gloss), mask/bumpmap/normalmap/twosided/mixturebsdf (unwrap to
+             nested), null
+  emitters : area, constant, point, spot (as point), sky/sun/sunsky/envmap
+             (as constant average with a warning)
+  sensors  : perspective, thinlens
+  films    : hdrfilm, ldrfilm, mfilm; rfilters box/tent/gaussian/mitchell/
+             catmullrom/lanczos
+  samplers : independent/stratified/ldsampler/halton/hammersley/sobol (spp
+             only; MLT requires independent, enforced like drmlt.cpp:380)
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+import warnings
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from drmlt_mitsuba_tpu.scene import types as st
+from drmlt_mitsuba_tpu.scene.mesh_io import load_mesh
+
+# conductor IOR presets (eta, k) as RGB (from the reference's
+# data/ior/*.spd tables, collapsed to sRGB primaries)
+CONDUCTORS = {
+    "cu": ((0.200, 0.924, 1.102), (3.912, 2.448, 2.138)),
+    "au": ((0.143, 0.375, 1.442), (3.983, 2.386, 1.603)),
+    "ag": ((0.155, 0.116, 0.138), (4.818, 3.122, 2.146)),
+    "al": ((1.345, 0.965, 0.617), (7.475, 6.400, 5.303)),
+    "cr": ((4.361, 2.910, 1.651), (5.196, 4.222, 3.746)),
+    "ni": ((2.361, 1.663, 1.468), (4.498, 3.051, 2.344)),
+    "none": ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)),
+}
+
+# dielectric IOR presets (ref: src/bsdfs/ior.h)
+IORS = {
+    "vacuum": 1.0, "air": 1.000277, "water": 1.3330, "ethanol": 1.361,
+    "diamond": 2.419, "glass": 1.5046, "bk7": 1.5046, "pyrex": 1.470,
+    "acrylic glass": 1.49, "polypropylene": 1.49, "pet": 1.575,
+    "water ice": 1.31, "fused quartz": 1.458, "sodium chloride": 1.544,
+    "amber": 1.55, "sapphire": 1.77, "bromine": 1.661,
+}
+
+
+@dataclasses.dataclass
+class RenderSettings:
+    integrator: dict
+    width: int = 256
+    height: int = 256
+    filter_name: str = "gaussian"
+    spp: int = 32
+    sampler: str = "independent"
+
+
+def _subst(text, defaults):
+    if text is None:
+        return text
+    for k, v in defaults.items():
+        text = text.replace(f"${k}", str(v))
+    return text
+
+
+def _props(node, defaults):
+    """Collect typed child properties into a dict."""
+    out = {}
+    for c in node:
+        name = _subst(c.get("name"), defaults)
+        val = _subst(c.get("value"), defaults)
+        if c.tag == "integer":
+            out[name] = int(float(val))
+        elif c.tag == "float":
+            out[name] = float(val)
+        elif c.tag == "boolean":
+            out[name] = val.lower() == "true"
+        elif c.tag == "string":
+            out[name] = val
+        elif c.tag in ("rgb", "srgb", "spectrum"):
+            out[name] = _parse_color(val)
+        elif c.tag == "point" or c.tag == "vector":
+            out[name] = np.array(
+                [float(_subst(c.get(a), defaults) or 0) for a in "xyz"],
+                np.float32,
+            )
+    return out
+
+
+def _parse_color(val):
+    val = val.replace(",", " ")
+    parts = [float(x) for x in val.split()]
+    if len(parts) == 1:
+        return np.full(3, parts[0], np.float32)
+    return np.asarray(parts[:3], np.float32)
+
+
+def _parse_transform(node, defaults):
+    m = np.eye(4, dtype=np.float64)
+    for c in node:
+        t = np.eye(4, dtype=np.float64)
+        g = lambda a, d="0": float(_subst(c.get(a), defaults) or d)
+        if c.tag == "translate":
+            t[:3, 3] = [g("x"), g("y"), g("z")]
+        elif c.tag == "scale":
+            if c.get("value") is not None:
+                s = float(_subst(c.get("value"), defaults))
+                t[0, 0] = t[1, 1] = t[2, 2] = s
+            else:
+                t[0, 0], t[1, 1], t[2, 2] = g("x", "1"), g("y", "1"), g("z", "1")
+        elif c.tag == "rotate":
+            axis = np.array([g("x"), g("y"), g("z")])
+            n = np.linalg.norm(axis)
+            axis = axis / (n if n > 0 else 1.0)
+            a = np.deg2rad(float(_subst(c.get("angle"), defaults)))
+            cth, sth = np.cos(a), np.sin(a)
+            x, y, z = axis
+            t[:3, :3] = [
+                [cth + x * x * (1 - cth), x * y * (1 - cth) - z * sth,
+                 x * z * (1 - cth) + y * sth],
+                [y * x * (1 - cth) + z * sth, cth + y * y * (1 - cth),
+                 y * z * (1 - cth) - x * sth],
+                [z * x * (1 - cth) - y * sth, z * y * (1 - cth) + x * sth,
+                 cth + z * z * (1 - cth)],
+            ]
+        elif c.tag == "matrix":
+            vals = [float(x) for x in _subst(c.get("value"), defaults).split()]
+            t = np.asarray(vals, np.float64).reshape(4, 4)
+        elif c.tag == "lookat":
+            origin = _parse_color(_subst(c.get("origin"), defaults))
+            target = _parse_color(_subst(c.get("target"), defaults))
+            up = _parse_color(_subst(c.get("up", "0, 1, 0"), defaults))
+            d = target - origin
+            d = d / np.linalg.norm(d)
+            left = np.cross(up / np.linalg.norm(up), d)
+            left /= np.linalg.norm(left)
+            newup = np.cross(d, left)
+            t = np.eye(4)
+            t[:3, 0], t[:3, 1], t[:3, 2], t[:3, 3] = left, newup, d, origin
+        m = t @ m
+    return m.astype(np.float32)
+
+
+def _resolve_ior(val):
+    if isinstance(val, str):
+        return IORS.get(val.lower(), 1.5046)
+    return float(val)
+
+
+def _parse_bsdf(node, defaults, ctx):
+    """Parse a bsdf element into a material dict; returns material index."""
+    btype = _subst(node.get("type"), defaults)
+    props = _props(node, defaults)
+    two_sided = False
+    # unwrap modifier bsdfs
+    while btype in ("twosided", "mask", "bumpmap", "normalmap", "coating",
+                    "roughcoating", "mixturebsdf", "blendbsdf"):
+        if btype == "twosided":
+            two_sided = True
+        inner = node.find("bsdf")
+        if inner is None:
+            break
+        node = inner
+        btype = node.get("type")
+        props.update(_props(node, defaults))
+
+    kind_map = {
+        "diffuse": st.BSDF_DIFFUSE,
+        "roughdiffuse": st.BSDF_ROUGH_DIFFUSE,
+        "conductor": st.BSDF_CONDUCTOR,
+        "roughconductor": st.BSDF_ROUGH_CONDUCTOR,
+        "dielectric": st.BSDF_DIELECTRIC,
+        "thindielectric": st.BSDF_THIN_DIELECTRIC,
+        "roughdielectric": st.BSDF_ROUGH_DIELECTRIC,
+        "plastic": st.BSDF_PLASTIC,
+        "roughplastic": st.BSDF_ROUGH_PLASTIC,
+        "phong": st.BSDF_PHONG,
+        "ward": st.BSDF_WARD,
+        "null": st.BSDF_NULL,
+        "mirror": st.BSDF_MIRROR,
+    }
+    kind = kind_map.get(btype)
+    if kind is None:
+        warnings.warn(f"unsupported bsdf '{btype}', using diffuse")
+        kind = st.BSDF_DIFFUSE
+
+    mat = dict(kind=kind, two_sided=True)
+    refl = props.get("reflectance", props.get("diffuseReflectance"))
+    if refl is not None:
+        mat["albedo"] = refl
+    if "specularReflectance" in props:
+        mat["spec_refl"] = props["specularReflectance"]
+    if "specularTransmittance" in props:
+        mat["spec_trans"] = props["specularTransmittance"]
+    if kind in (st.BSDF_CONDUCTOR, st.BSDF_ROUGH_CONDUCTOR):
+        m = props.get("material", "cu")
+        eta, k = CONDUCTORS.get(str(m).lower(), CONDUCTORS["cu"])
+        mat["eta"] = props.get("eta", np.asarray(eta, np.float32))
+        mat["k"] = props.get("k", np.asarray(k, np.float32))
+    if kind in (st.BSDF_DIELECTRIC, st.BSDF_THIN_DIELECTRIC,
+                st.BSDF_ROUGH_DIELECTRIC, st.BSDF_PLASTIC,
+                st.BSDF_ROUGH_PLASTIC):
+        int_ior = _resolve_ior(props.get("intIOR", 1.5046))
+        ext_ior = _resolve_ior(props.get("extIOR", 1.000277))
+        mat["eta"] = np.full(3, int_ior / ext_ior, np.float32)
+    if "alpha" in props:
+        mat["roughness"] = float(np.mean(props["alpha"]))
+    elif "exponent" in props:   # phong exponent -> GGX-ish alpha
+        mat["roughness"] = float(np.sqrt(2.0 / (2.0 + np.mean(props["exponent"]))))
+
+    ctx["materials"].append(mat)
+    return len(ctx["materials"]) - 1
+
+
+def _unit_rect():
+    v = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    return v, f, None, uv
+
+
+def _unit_cube():
+    corners = np.array(
+        [[x, y, z] for z in (-1, 1) for y in (-1, 1) for x in (-1, 1)],
+        np.float32,
+    )
+    quads = [
+        (0, 2, 3, 1), (4, 5, 7, 6),   # z-, z+
+        (0, 1, 5, 4), (2, 6, 7, 3),   # y-, y+
+        (0, 4, 6, 2), (1, 3, 7, 5),   # x-, x+
+    ]
+    faces = []
+    for q in quads:
+        faces.append([q[0], q[1], q[2]])
+        faces.append([q[0], q[2], q[3]])
+    return corners, np.asarray(faces, np.int32), None, None
+
+
+def _apply_transform(m, v, n):
+    v2 = v @ m[:3, :3].T + m[:3, 3]
+    n2 = None
+    if n is not None:
+        inv = np.linalg.inv(m[:3, :3])
+        n2 = n @ inv
+        ln = np.linalg.norm(n2, axis=-1, keepdims=True)
+        n2 = n2 / np.maximum(ln, 1e-20)
+    return v2.astype(np.float32), n2
+
+
+def load_scene_xml(path: str, defaults: dict | None = None):
+    """Load a Mitsuba scene XML -> (Scene, RenderSettings)."""
+    defaults = dict(defaults or {})
+    base = os.path.dirname(os.path.abspath(path))
+    tree = ET.parse(path)
+    root = tree.getroot()
+
+    for d in root.findall("default"):
+        defaults.setdefault(d.get("name"), d.get("value"))
+
+    ctx = dict(materials=[], mat_by_id={})
+    meshes = []     # (v, f, n, uv, mat_idx, emitter_radiance|None)
+    spheres = []    # (center, radius, mat_idx, radiance|None)
+    env_radiance = np.zeros(3, np.float32)
+    points = []     # (pos, intensity)
+    settings = RenderSettings(integrator=dict(type="path"))
+    camera = None
+
+    # top-level named bsdfs
+    for b in root.findall("bsdf"):
+        idx = _parse_bsdf(b, defaults, ctx)
+        if b.get("id"):
+            ctx["mat_by_id"][b.get("id")] = idx
+
+    def shape_material(sh):
+        ref = sh.find("ref")
+        if ref is not None and ref.get("id") in ctx["mat_by_id"]:
+            return ctx["mat_by_id"][ref.get("id")]
+        b = sh.find("bsdf")
+        if b is not None:
+            return _parse_bsdf(b, defaults, ctx)
+        ctx["materials"].append(dict(kind=st.BSDF_DIFFUSE))
+        return len(ctx["materials"]) - 1
+
+    for sh in root.findall("shape"):
+        stype = _subst(sh.get("type"), defaults)
+        props = _props(sh, defaults)
+        tnode = sh.find("transform")
+        m = _parse_transform(tnode, defaults) if tnode is not None else np.eye(
+            4, dtype=np.float32
+        )
+        mat_idx = shape_material(sh)
+        em = sh.find("emitter")
+        radiance = None
+        if em is not None and em.get("type") == "area":
+            radiance = _props(em, defaults).get("radiance", np.ones(3, np.float32))
+
+        if stype in ("obj", "ply", "serialized"):
+            fname = props.get("filename")
+            fpath = fname if os.path.isabs(fname) else os.path.join(base, fname)
+            v, f, n, uv = load_mesh(fpath, props.get("shapeIndex", 0))
+            if props.get("faceNormals"):
+                n = None
+            v, n = _apply_transform(m, v, n)
+            meshes.append((v, f, n, uv, mat_idx, radiance))
+        elif stype == "rectangle":
+            v, f, n, uv = _unit_rect()
+            v, n = _apply_transform(m, v, n)
+            meshes.append((v, f, n, uv, mat_idx, radiance))
+        elif stype == "cube":
+            v, f, n, uv = _unit_cube()
+            v, n = _apply_transform(m, v, n)
+            meshes.append((v, f, n, uv, mat_idx, radiance))
+        elif stype == "disk":
+            nseg = 32
+            ang = np.linspace(0, 2 * np.pi, nseg, endpoint=False)
+            v = np.concatenate(
+                [np.zeros((1, 3), np.float32),
+                 np.stack([np.cos(ang), np.sin(ang), np.zeros(nseg)], 1)
+                 .astype(np.float32)]
+            )
+            f = np.asarray(
+                [[0, 1 + i, 1 + (i + 1) % nseg] for i in range(nseg)], np.int32
+            )
+            v, _ = _apply_transform(m, v, None)
+            meshes.append((v, f, None, None, mat_idx, radiance))
+        elif stype == "sphere":
+            center = props.get("center", np.zeros(3, np.float32))
+            radius = float(props.get("radius", 1.0))
+            center = (m[:3, :3] @ center + m[:3, 3]).astype(np.float32)
+            radius = radius * float(np.linalg.norm(m[:3, 0]))
+            spheres.append((center, radius, mat_idx, radiance))
+        else:
+            warnings.warn(f"unsupported shape '{stype}', skipped")
+
+    for em in root.findall("emitter"):
+        etype = em.get("type")
+        props = _props(em, defaults)
+        if etype == "constant":
+            env_radiance = props.get("radiance", np.ones(3, np.float32))
+        elif etype in ("point", "spot"):
+            tnode = em.find("transform")
+            pos = props.get("position", np.zeros(3, np.float32))
+            if tnode is not None:
+                m = _parse_transform(tnode, defaults)
+                pos = m[:3, :3] @ pos + m[:3, 3]
+            points.append((pos, props.get("intensity", np.ones(3, np.float32))))
+        elif etype in ("envmap", "sky", "sun", "sunsky"):
+            warnings.warn(f"emitter '{etype}' approximated as constant")
+            env_radiance = env_radiance + np.full(3, 1.0, np.float32)
+        else:
+            warnings.warn(f"unsupported emitter '{etype}', skipped")
+
+    sensor = root.find("sensor")
+    fov = 39.3077
+    aspect = None
+    to_world = np.eye(4, dtype=np.float32)
+    aperture = 0.0
+    focus = 1.0
+    if sensor is not None:
+        sprops = _props(sensor, defaults)
+        fov = float(sprops.get("fov", fov))
+        fov_axis = sprops.get("fovAxis", "x")
+        aperture = float(sprops.get("apertureRadius", 0.0))
+        focus = float(sprops.get("focusDistance", 1.0))
+        tnode = sensor.find("transform")
+        if tnode is not None:
+            to_world = _parse_transform(tnode, defaults)
+        film = sensor.find("film")
+        if film is not None:
+            fprops = _props(film, defaults)
+            settings.width = int(fprops.get("width", 256))
+            settings.height = int(fprops.get("height", 256))
+            rf = film.find("rfilter")
+            if rf is not None:
+                settings.filter_name = {
+                    "box": "box", "tent": "tent", "gaussian": "gaussian",
+                    "mitchell": "mitchell", "catmullrom": "catmullrom",
+                    "lanczos": "lanczos", "lanczossinc": "lanczos",
+                }.get(rf.get("type"), "gaussian")
+        samp = sensor.find("sampler")
+        if samp is not None:
+            settings.sampler = samp.get("type", "independent")
+            settings.spp = int(_props(samp, defaults).get("sampleCount", 32))
+        if fov_axis == "y":
+            aspect0 = settings.width / settings.height
+            fov = np.rad2deg(
+                2 * np.arctan(np.tan(np.deg2rad(fov) / 2) * aspect0)
+            )
+
+    integrator = root.find("integrator")
+    if integrator is not None:
+        icfg = dict(type=_subst(integrator.get("type", "path"), defaults))
+        icfg.update(_props(integrator, defaults))
+        settings.integrator = icfg
+
+    # ---- assemble SoA scene ----------------------------------------------
+    all_v, all_f, all_n, all_uv, all_mat, all_emid = [], [], [], [], [], []
+    voff = 0
+    emitter_rads = []
+    for v, f, n, uv, mat_idx, radiance in meshes:
+        all_v.append(v)
+        all_f.append(np.asarray(f) + voff)
+        all_n.append(n if n is not None else None)
+        all_uv.append(uv)
+        nf = len(f)
+        all_mat.append(np.full(nf, mat_idx, np.int32))
+        if radiance is not None:
+            emitter_rads.append(radiance)
+            all_emid.append(np.full(nf, len(emitter_rads) - 1, np.int32))
+        else:
+            all_emid.append(np.full(nf, -1, np.int32))
+        voff += len(v)
+
+    if not all_v:
+        all_v = [np.zeros((3, 3), np.float32)]
+        all_f = [np.asarray([[0, 1, 2]], np.int32)]
+        all_n = [None]
+        all_uv = [None]
+        all_mat = [np.zeros(1, np.int32)]
+        all_emid = [np.full(1, -1, np.int32)]
+        if not ctx["materials"]:
+            ctx["materials"].append(dict(kind=st.BSDF_DIFFUSE))
+
+    verts = np.concatenate(all_v)
+    faces = np.concatenate(all_f)
+    have_normals = all(n is not None for n in all_n if n is not None) and any(
+        n is not None for n in all_n
+    )
+    normals = None
+    if any(n is not None for n in all_n):
+        normals = np.concatenate([
+            n if n is not None else np.zeros_like(v)
+            for (v, n) in zip(all_v, all_n)
+        ])
+        # zero normals fall back to geometric in build_triangles consumers
+    uvs = None
+    if any(uv is not None for uv in all_uv):
+        uvs = np.concatenate([
+            uv if uv is not None else np.zeros((len(v), 2), np.float32)
+            for (v, uv) in zip(all_v, all_uv)
+        ])
+
+    tris = st.build_triangles(
+        verts, faces, np.concatenate(all_mat), np.concatenate(all_emid),
+        normals=None, uvs=uvs,
+    )
+    if normals is not None:
+        # replace zero shading normals by geometric ones per vertex triple
+        import jax.numpy as jnp
+
+        def pick(nv, default):
+            bad = np.abs(nv).sum(-1) < 1e-8
+            out = nv.copy()
+            out[bad] = default[bad]
+            return jnp.asarray(out)
+
+        gn = np.cross(np.asarray(tris.e1), np.asarray(tris.e2))
+        gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+        f0, f1, f2 = faces[:, 0], faces[:, 1], faces[:, 2]
+        tris = tris.replace(
+            n0=pick(normals[f0], gn), n1=pick(normals[f1], gn),
+            n2=pick(normals[f2], gn),
+        )
+
+    if emitter_rads:
+        rad_table = np.stack(emitter_rads)
+    else:
+        rad_table = np.zeros((1, 3), np.float32)
+    emitters = st.build_emitters(
+        tris, rad_table, env_radiance=env_radiance,
+        point_pos=np.stack([p for p, _ in points]) if points else None,
+        point_intensity=np.stack([i for _, i in points]) if points else None,
+    )
+    row_of_tri = np.full(len(faces), -1, np.int32)
+    row_of_tri[np.asarray(emitters.tri_idx)] = np.arange(
+        len(np.asarray(emitters.tri_idx)), dtype=np.int32
+    )
+    # only rows with actual emitters
+    import jax.numpy as jnp
+    emid = np.asarray(tris.emitter_id)
+    row_of_tri[emid < 0] = -1
+    tris = tris.replace(emitter_id=jnp.asarray(row_of_tri))
+
+    if spheres:
+        sph = st.SphereSoA(
+            center=jnp.asarray(np.stack([c for c, *_ in spheres])),
+            radius=jnp.asarray(np.asarray([r for _, r, *_ in spheres], np.float32)),
+            mat_id=jnp.asarray(np.asarray([m for _, _, m, _ in spheres], np.int32)),
+            emitter_id=jnp.full((len(spheres),), -1, jnp.int32),
+            valid=jnp.ones((len(spheres),), bool),
+        )
+    else:
+        sph = st.empty_spheres()
+
+    aspect = settings.width / settings.height
+    camera = st.make_camera(to_world, fov, aspect, aperture, focus)
+    scene = st.Scene(
+        tris=tris, spheres=sph,
+        materials=st.make_material_table(ctx["materials"]),
+        emitters=emitters, camera=camera,
+    )
+    return scene, settings
