@@ -38,6 +38,10 @@ class PathConfig:
     """Static configuration of the unidirectional tracer (ref: path.cpp
     MIPathTracer parameters maxDepth/rrDepth/strictNormals)."""
     max_depth: int = 8       # max number of path segments (edges)
+    min_depth: int = 1       # skip contributions below this many segments
+    #                          (separateDirect: min_depth=3 leaves direct
+    #                          illumination to the dedicated pass,
+    #                          ref BidirectionalUtils::renderDirectComponent)
     rr_depth: int = 5        # start RR after this many segments
     use_nee: bool = True     # next-event estimation + MIS
     thinlens: bool = False

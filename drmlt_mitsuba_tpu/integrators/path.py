@@ -118,13 +118,14 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
         w_bsdf = jnp.where(
             carry["prev_delta"], 1.0, mis_power(carry["prev_pdf"], nee_pdf)
         )
-        hit_emitter = active & hit.valid & (hit.emitter_id >= 0)
+        depth_ok = depth >= cfg.min_depth
+        hit_emitter = active & hit.valid & (hit.emitter_id >= 0) & depth_ok
         L = carry["L"] + jnp.where(
             hit_emitter[:, None], tp * le * w_bsdf[:, None], 0.0
         )
 
         # ---- environment on escape ---------------------------------------
-        escaped = active & ~hit.valid
+        escaped = active & ~hit.valid & depth_ok
         env = eval_env(scene, carry["d"])
         L = L + jnp.where(escaped[:, None], tp * env, 0.0)
 
@@ -146,6 +147,7 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
             nee_ok = (
                 active & ~delta_mat & (ds.pdf > 0)
                 & (luminance(f_val) > 0) & (depth + 1 <= cfg.max_depth)
+                & (depth + 1 >= cfg.min_depth)
             )
             shadow_o = hit.p + ds.d * RAY_EPS * jnp.maximum(1.0, hit.t)[:, None]
             shadow_blocked = occluded(

@@ -400,8 +400,13 @@ def load_scene_xml(path: str, defaults: dict | None = None):
 
     integrator = root.find("integrator")
     if integrator is not None:
+        props_i = _props(integrator, defaults)
+        # a property named "type" (the drmlt variant selector) must not
+        # shadow the plugin name
+        if "type" in props_i:
+            props_i["variant"] = props_i.pop("type")
         icfg = dict(type=_subst(integrator.get("type", "path"), defaults))
-        icfg.update(_props(integrator, defaults))
+        icfg.update(props_i)
         settings.integrator = icfg
 
     # ---- assemble SoA scene ----------------------------------------------

@@ -1,0 +1,362 @@
+"""Renderer CLI (ref: src/mitsuba/mitsuba.cpp:129-436).
+
+    python -m drmlt_mitsuba_tpu.utils.cli scene.xml -D integrator=drmlt \
+        -D technique=mmlt -D type=orbital -o out.exr
+
+Flag mapping from the reference CLI:
+  -D key=value   $key substitution in the scene XML (mitsuba.cpp:169-175)
+  -o output      output EXR
+  -q             quiet
+  -L level       log level (trace/debug/info/warn/error)
+  -r seconds     write partial images every N seconds + _time.csv
+                 (Scene::flush, scene.cpp:467-510)
+  -t seconds     render timeout (equal-time comparisons, drmlt.cpp:295)
+  -s seed        RNG seed
+  -x             skip if the output file already exists (mitsuba.cpp:391)
+  -z             suppress progress output
+Distribution flags (-c/-s hosts, -p cores) are subsumed by the SPMD design:
+chain parallelism covers every device JAX sees (SURVEY.md §5.8).
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_trace(scene, settings, icfg):
+    """Map an integrator config onto (trace_fn, n_dims, frozen, pinned,
+    technique)."""
+    import jax.numpy as jnp
+
+    from drmlt_mitsuba_tpu.integrators.bidir import BDPTConfig, trace_bdpt
+    from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+    from drmlt_mitsuba_tpu.integrators.mmlt import (
+        make_mmlt_trace, mmlt_masks,
+    )
+    from drmlt_mitsuba_tpu.integrators.path import trace_paths
+
+    technique = icfg.get("technique", "path")
+    max_depth = int(icfg.get("maxDepth", 8))
+    if max_depth <= 0:
+        max_depth = 12
+    if technique in ("path", "volpath", "volpath_simple"):
+        pcfg = PathConfig(max_depth=max_depth, rr_depth=100,
+                          min_depth=int(icfg.get("minDepth", 1)))
+        n = pcfg.n_dims + pcfg.n_dims % 2
+        trace = lambda u: trace_paths(scene, pcfg, u[:, : pcfg.n_dims])
+        return trace, n, jnp.zeros((n,), bool), jnp.zeros((n,), bool)
+    if technique == "bdpt":
+        bcfg = BDPTConfig(max_depth=max_depth,
+                          light_image=bool(icfg.get("lightImage", True)))
+        n = bcfg.n_dims + bcfg.n_dims % 2
+        trace = lambda u: trace_bdpt(scene, bcfg, u[:, : bcfg.n_dims])
+        return trace, n, jnp.zeros((n,), bool), jnp.zeros((n,), bool)
+    if technique == "mmlt":
+        bcfg = BDPTConfig(max_depth=max_depth,
+                          light_image=bool(icfg.get("lightImage", True)))
+        frozen, pinned, n = mmlt_masks(bcfg)
+        return make_mmlt_trace(scene, bcfg), n, frozen, pinned
+    raise SystemExit(f"unknown technique '{technique}'")
+
+
+def render(scene, settings, args, log):
+    import jax
+    import jax.numpy as jnp
+
+    from drmlt_mitsuba_tpu.core.logger import dump_config
+    from drmlt_mitsuba_tpu.core.stats import Statistics
+    from drmlt_mitsuba_tpu.integrators.bidir import BDPTConfig, trace_bdpt
+    from drmlt_mitsuba_tpu.integrators.drmlt import (
+        DRMLTConfig, drmlt_step,
+    )
+    from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+    from drmlt_mitsuba_tpu.integrators.mcmc import bootstrap
+    from drmlt_mitsuba_tpu.integrators.path import render_pt, trace_paths
+    from drmlt_mitsuba_tpu.integrators.pssmlt import (
+        PSSMLTConfig, pssmlt_step,
+    )
+    from drmlt_mitsuba_tpu.integrators.twostage import (
+        apply_importance_to_image, luminance_pass, with_importance_map,
+    )
+    from drmlt_mitsuba_tpu.render import film as filmlib
+    from drmlt_mitsuba_tpu.scene.builders import cornell_box  # noqa: F401
+
+    icfg = dict(settings.integrator)
+    itype = icfg.get("type", "path")
+    W, H = settings.width, settings.height
+    fc = filmlib.make_film_config(W, H, settings.filter_name)
+    key = jax.random.PRNGKey(args.seed)
+    stats = Statistics()
+    t_start = time.time()
+    dump_config(log, itype, icfg)
+
+    # ---- non-MCMC integrators --------------------------------------------
+    if itype in ("path", "volpath", "volpath_simple", "direct"):
+        depth = int(icfg.get("maxDepth", 8))
+        if itype == "direct":
+            depth = 2
+        pcfg = PathConfig(max_depth=max(1, depth), rr_depth=100)
+        film = render_pt(scene, pcfg, key, W * H * settings.spp, fc,
+                         mode="accum")
+        img = filmlib.develop(fc, film, mode="accum")
+        return np.asarray(img), stats, None
+
+    if itype == "bdpt":
+        bcfg = BDPTConfig(max_depth=int(icfg.get("maxDepth", 5)),
+                          light_image=bool(icfg.get("lightImage", True)))
+        n_total = W * H * settings.spp
+        chunk = 8192
+        n_chunks = max(1, n_total // chunk)
+
+        @jax.jit
+        def run():
+            def body(film, i):
+                u = jax.random.uniform(jax.random.fold_in(key, i),
+                                       (chunk, bcfg.n_dims))
+                sp = trace_bdpt(scene, bcfg, u)
+                pos = sp.pos.reshape(-1, 2) * jnp.asarray([W, H], jnp.float32)
+                film = filmlib.splat(fc, film, pos, sp.value.reshape(-1, 3),
+                                     mode="splat")
+                return film, None
+
+            f, _ = jax.lax.scan(body, filmlib.new_film(fc),
+                                jnp.arange(n_chunks))
+            return f
+
+        film = run()
+        img = filmlib.develop(fc, film, mode="splat",
+                              scale=W * H / (n_chunks * chunk))
+        return np.asarray(img), stats, None
+
+    if itype not in ("pssmlt", "drmlt"):
+        raise SystemExit(f"unknown integrator '{itype}'")
+
+    # ---- MCMC integrators -------------------------------------------------
+    trace, n_dims, frozen, pinned = build_trace(scene, settings, icfg)
+
+    # separate direct-illumination pass (renderDirectComponent)
+    direct_img = None
+    if bool(icfg.get("separateDirect", False)) and icfg.get(
+        "technique", "path"
+    ) == "path":
+        dcfg_pt = PathConfig(max_depth=2, rr_depth=100)
+        dfilm = render_pt(scene, dcfg_pt, jax.random.fold_in(key, 901),
+                          W * H * int(icfg.get("directSamples", 16)), fc,
+                          mode="accum")
+        direct_img = np.asarray(filmlib.develop(fc, dfilm, mode="accum"))
+        pcfg = PathConfig(max_depth=int(icfg.get("maxDepth", 8)),
+                          rr_depth=100, min_depth=3)
+        trace = lambda u: trace_paths(scene, pcfg, u[:, : pcfg.n_dims])
+
+    # two-stage importance map (mltLuminancePass)
+    imap = None
+    if bool(icfg.get("twoStage", False)):
+        def lowres(w, h):
+            fc2 = filmlib.make_film_config(w, h, "box")
+            pcfg2 = PathConfig(max_depth=int(icfg.get("maxDepth", 8)),
+                               rr_depth=100)
+            f2 = render_pt(scene, pcfg2, jax.random.fold_in(key, 902),
+                           w * h * 64, fc2, mode="accum")
+            return filmlib.develop(fc2, f2, mode="accum")
+
+        imap = luminance_pass(lowres, fc)
+        trace = with_importance_map(trace, imap)
+        log.info("two-stage importance map ready (mean %.4f)",
+                 float(jnp.mean(imap)))
+
+    n_chains = int(icfg.get("chains", args.chains))
+    n_boot = int(icfg.get("luminanceSamples", 100_000))
+    total_mut = W * H * settings.spp
+    n_steps = max(1, total_mut // n_chains)
+
+    k_boot, k_run = jax.random.split(jax.random.fold_in(key, 7))
+    log.info("bootstrap: %d samples, %d chains", n_boot, n_chains)
+    state, b = bootstrap(trace, k_boot, n_dims, n_boot, n_chains)
+    if icfg.get("averageLuminance", -1) and float(
+        icfg.get("averageLuminance", -1)
+    ) > 0:
+        b = jnp.float32(float(icfg["averageLuminance"]))
+    log.info("b = %.6f", float(b))
+
+    if itype == "pssmlt":
+        mcfg = PSSMLTConfig(
+            n_chains=n_chains,
+            p_large=float(icfg.get("pLarge", 0.3)),
+            kelemen_style_mutation=bool(icfg.get("kelemenStyleMutation", True)),
+            kelemen_style_weights=bool(icfg.get("kelemenStyleWeights", True))
+            and imap is None,
+            mutation_size_low=float(icfg.get("mutationSizeLow", 1 / 1024)),
+            mutation_size_high=float(icfg.get("mutationSizeHigh", 1 / 64)),
+            sigma=float(icfg.get("sigma", 1 / 64)),
+            n_bootstrap=n_boot,
+        )
+
+        def step(carry, k):
+            (st, fl), s = pssmlt_step(trace, mcfg, b, fc, (carry[0], carry[1]),
+                                      k, pinned)
+            return (st, fl, carry[2]), s
+        kelemen_w = mcfg.kelemen_style_weights
+    else:
+        variant = icfg.get("variant", "green")
+        if variant not in ("green", "mira", "orbital"):
+            log.warning("unknown drmlt type '%s', using green", variant)
+            variant = "green"
+        dcfg = DRMLTConfig(
+            type=variant,
+            n_chains=n_chains,
+            p_large=float(icfg.get("pLarge", 0.3)),
+            sigma=float(icfg.get("sigma", 1 / 64)),
+            scale_second=float(icfg.get("scaleSecond", 0.1)),
+            timid_after_large=bool(icfg.get("timidAfterLarge", False)),
+            acceptance_map=bool(icfg.get("acceptanceMap", False)),
+            use_mixture=bool(icfg.get("useMixture", False)),
+            n_bootstrap=n_boot,
+        )
+        kelemen_w = False
+
+        def step(carry, k):
+            return drmlt_step(trace, dcfg, fc, frozen, carry, k,
+                              pinned_mask=pinned)
+
+    film = filmlib.new_film(fc)
+    accmap = filmlib.new_film(fc) if icfg.get("acceptanceMap") else None
+
+    block = max(1, min(256, n_steps))
+
+    @jax.jit
+    def run_block(carry, i0):
+        def body(c, i):
+            return step(c, jax.random.fold_in(k_run, i))
+
+        carry, s = jax.lax.scan(body, carry, i0 + jnp.arange(block))
+        return carry, s
+
+    carry = (state, film, accmap)
+    all_stats = []
+    done = 0
+    part = 0
+    last_dump = time.time()
+    times_csv = []
+    while done < n_steps:
+        carry, s = run_block(carry, jnp.int32(done))
+        done += block
+        all_stats.append(jax.tree.map(np.asarray, s))
+        if args.timeout and time.time() - t_start > args.timeout:
+            log.info("timeout reached after %d/%d steps", done, n_steps)
+            break
+        if args.refresh and time.time() - last_dump > args.refresh:
+            img = _develop_mcmc(fc, carry[1], b, n_chains, done, kelemen_w,
+                                imap, direct_img)
+            _write_partial(args, img, part, time.time() - t_start, times_csv)
+            part += 1
+            last_dump = time.time()
+
+    stats_cat = {
+        k: np.concatenate([st[k] for st in all_stats])
+        for k in all_stats[0]
+    }
+    stats.record_mcmc(stats_cat, n_chains)
+    img = _develop_mcmc(fc, carry[1], b, n_chains, done, kelemen_w, imap,
+                        direct_img)
+    acc = np.asarray(carry[2]) if carry[2] is not None else None
+    return img, stats, acc
+
+
+def _develop_mcmc(fc, film, b, n_chains, n_steps, kelemen_w, imap,
+                  direct_img):
+    from drmlt_mitsuba_tpu.integrators.twostage import (
+        apply_importance_to_image,
+    )
+    from drmlt_mitsuba_tpu.render import film as filmlib
+    import numpy as np
+
+    n_pp = max(1, n_chains * n_steps) / fc.npixels
+    scale = (1.0 / n_pp) if kelemen_w else float(b) / n_pp
+    img = filmlib.develop(fc, film, mode="splat", scale=scale)
+    if imap is not None:
+        img = apply_importance_to_image(img, imap)
+    img = np.asarray(img)
+    if direct_img is not None:
+        img = img + direct_img
+    return img
+
+
+def _write_partial(args, img, part, elapsed, times_csv):
+    from drmlt_mitsuba_tpu.utils.exr import write_exr
+
+    base, _ = os.path.splitext(args.output)
+    write_exr(f"{base}_{part}.exr", img)
+    times_csv.append((part, elapsed))
+    with open(f"{base}_time.csv", "w", newline="") as f:
+        wr = csv.writer(f)
+        for row in times_csv:
+            wr.writerow(row)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="drmlt-tpu",
+        description="TPU-native DRMLT renderer (mitsuba CLI equivalent)",
+    )
+    ap.add_argument("scene", help="Mitsuba scene XML")
+    ap.add_argument("-D", action="append", default=[], metavar="key=value",
+                    help="parameter substitution ($key in the XML)")
+    ap.add_argument("-o", "--output", default=None)
+    ap.add_argument("-q", "--quiet", action="store_true")
+    ap.add_argument("-L", "--log-level", default="info")
+    ap.add_argument("-r", "--refresh", type=float, default=0,
+                    help="partial image dump interval (seconds)")
+    ap.add_argument("-t", "--timeout", type=float, default=0)
+    ap.add_argument("-s", "--seed", type=int, default=0)
+    ap.add_argument("-x", "--skip-existing", action="store_true")
+    ap.add_argument("-z", "--no-progress", action="store_true")
+    ap.add_argument("--chains", type=int, default=16384,
+                    help="MCMC chain batch size per device")
+    ap.add_argument("--spp", type=int, default=None,
+                    help="override sampler sampleCount")
+    args = ap.parse_args(argv)
+
+    from drmlt_mitsuba_tpu.core.logger import setup_logging
+    from drmlt_mitsuba_tpu.scene.xml import load_scene_xml
+    from drmlt_mitsuba_tpu.utils.exr import write_exr
+
+    if args.output is None:
+        args.output = os.path.splitext(args.scene)[0] + ".exr"
+    if args.skip_existing and os.path.exists(args.output):
+        print(f"{args.output} exists, skipping (-x)")
+        return 0
+
+    log = setup_logging(args.log_level, quiet=args.quiet)
+    defaults = dict(kv.split("=", 1) for kv in args.D)
+    scene, settings = load_scene_xml(args.scene, defaults)
+    if args.spp:
+        settings.spp = args.spp
+    log.info("scene: %d triangles, %d spheres, %dx%d film",
+             scene.tris.v0.shape[0], scene.spheres.center.shape[0],
+             settings.width, settings.height)
+
+    t0 = time.time()
+    img, stats, accmap = render(scene, settings, args, log)
+    dt = time.time() - t0
+    log.info("render finished in %.1fs", dt)
+
+    write_exr(args.output, img)
+    log.info("wrote %s", args.output)
+    if accmap is not None:
+        base, _ = os.path.splitext(args.output)
+        write_exr(f"{base}_acceptance.exr", accmap[..., :3])
+        log.info("wrote %s_acceptance.exr", base)
+    base, _ = os.path.splitext(args.output)
+    with open(f"{base}_stats.txt", "w") as f:
+        f.write(stats.report() + "\n")
+    print(stats.report())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
