@@ -27,13 +27,14 @@ def main():
     from drmlt_mitsuba_tpu.integrators.path import trace_paths
     from drmlt_mitsuba_tpu.render import film as filmlib
     from drmlt_mitsuba_tpu.scene.builders import cornell_box
+    from drmlt_mitsuba_tpu.scene.types import prepare_scene
 
     width = height = 256
-    scene = cornell_box(width, height)
+    scene = prepare_scene(cornell_box(width, height))
     pcfg = PathConfig(max_depth=6, rr_depth=5)
     n_dims = pcfg.n_dims + pcfg.n_dims % 2
-    n_chains = 16384
-    steps_per_call = 32
+    n_chains = 65536
+    steps_per_call = 16
     dcfg = DRMLTConfig(type="orbital", n_chains=n_chains)
     fc = filmlib.make_film_config(width, height, "box")
 

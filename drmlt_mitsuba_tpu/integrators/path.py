@@ -27,7 +27,9 @@ from drmlt_mitsuba_tpu.integrators.layout import (
     BOUNCE_DIMS, OFF_BSDF_CMP, OFF_LIGHT_PICK, OFF_RR, SENSOR_DIMS,
     PathConfig,
 )
-from drmlt_mitsuba_tpu.ops.intersect import intersect, occluded
+from drmlt_mitsuba_tpu.ops.intersect import (
+    intersect, intersect_and_occluded, occluded,
+)
 from drmlt_mitsuba_tpu.render.bsdf import (
     eval_bsdf, is_delta_kind, sample_bsdf,
 )
@@ -99,11 +101,20 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
         prev_pdf=jnp.zeros((R,)),      # bsdf pdf of the segment we're on
         prev_delta=jnp.ones((R,), bool),  # camera vertex counts as delta
         eta_scale=jnp.ones((R,)),
+        # pipelined NEE: the shadow ray of bounce b resolves together with
+        # the closest-hit of bounce b+1 in ONE fused sweep
+        sh_o=o,
+        sh_d=d,
+        sh_tmax=jnp.zeros((R,)),
+        sh_contrib=jnp.zeros((R, 3)),
     )
 
     def bounce(carry, xs):
         ub_b, depth = xs   # depth = 1-based segment count of the current ray
-        hit = intersect(scene, carry["o"], carry["d"])
+        hit, sh_blocked = intersect_and_occluded(
+            scene, carry["o"], carry["d"],
+            carry["sh_o"], carry["sh_d"], carry["sh_tmax"],
+        )
         active = carry["active"]
         tp = carry["throughput"]
 
@@ -118,9 +129,14 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
         w_bsdf = jnp.where(
             carry["prev_delta"], 1.0, mis_power(carry["prev_pdf"], nee_pdf)
         )
+        # resolve the previous bounce's pending NEE contribution
+        L = carry["L"] + jnp.where(
+            sh_blocked[:, None], 0.0, carry["sh_contrib"]
+        )
+
         depth_ok = depth >= cfg.min_depth
         hit_emitter = active & hit.valid & (hit.emitter_id >= 0) & depth_ok
-        L = carry["L"] + jnp.where(
+        L = L + jnp.where(
             hit_emitter[:, None], tp * le * w_bsdf[:, None], 0.0
         )
 
@@ -138,7 +154,7 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
         wi = frame.to_local(ns, wi_world)
         albedo = _albedo(scene, hit)
 
-        # ---- next-event estimation ---------------------------------------
+        # ---- next-event estimation (visibility resolved next bounce) ------
         if cfg.use_nee:
             delta_mat = is_delta_kind(scene.materials, hit.mat_id)
             ds = sample_emitter_direct(scene, hit.p, ub_b[:, OFF_LIGHT_PICK:OFF_LIGHT_PICK + 3])
@@ -150,14 +166,17 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
                 & (depth + 1 >= cfg.min_depth)
             )
             shadow_o = hit.p + ds.d * RAY_EPS * jnp.maximum(1.0, hit.t)[:, None]
-            shadow_blocked = occluded(
-                scene, shadow_o, ds.d,
-                ds.dist * (1.0 - 1e-3) - RAY_EPS,
-            )
-            nee_ok = nee_ok & ~shadow_blocked
             w_nee = mis_power(ds.pdf, f_pdf)
             contrib = tp * f_val * ds.radiance * (w_nee / jnp.maximum(ds.pdf, 1e-20))[:, None]
-            L = L + jnp.where(nee_ok[:, None], contrib, 0.0)
+            sh_contrib = jnp.where(nee_ok[:, None], contrib, 0.0)
+            sh_o = shadow_o
+            sh_d = ds.d
+            sh_tmax = jnp.where(nee_ok, ds.dist * (1.0 - 1e-3) - RAY_EPS, 0.0)
+        else:
+            sh_contrib = jnp.zeros((R, 3))
+            sh_o = hit.p
+            sh_d = carry["d"]
+            sh_tmax = jnp.zeros((R,))
 
         # ---- BSDF sampling ------------------------------------------------
         bs = sample_bsdf(
@@ -189,13 +208,23 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
             prev_pdf=bs.pdf,
             prev_delta=bs.delta,
             eta_scale=eta_scale,
+            sh_o=sh_o,
+            sh_d=sh_d,
+            sh_tmax=sh_tmax,
+            sh_contrib=sh_contrib,
         )
         return carry_out, None
 
     depths = jnp.arange(1, cfg.max_depth + 1)
     carry, _ = jax.lax.scan(bounce, carry, (ub, depths))
 
-    value = carry["L"]
+    # resolve the final bounce's pending NEE
+    last_blocked = occluded(
+        scene, carry["sh_o"], carry["sh_d"], carry["sh_tmax"]
+    )
+    value = carry["L"] + jnp.where(
+        last_blocked[:, None], 0.0, carry["sh_contrib"]
+    )
     return Splats(
         pos=uv[:, None, :],
         value=value[:, None, :],

@@ -140,12 +140,56 @@ def _sphere_hits(spheres, o, d, t_max):
     return t[rows, j], j.astype(jnp.int32)
 
 
+def _use_pallas(scene: Scene, o) -> bool:
+    """Static decision: the Pallas sweep runs on real TPU backends only
+    (tests on the CPU mesh take the XLA path)."""
+    if scene.tris_packed is None or o.shape[0] % 8 != 0:
+        return False
+    try:
+        import jax
+
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _tri_best_pallas(scene: Scene, o, d, t_max):
+    """Closest triangle via the Pallas sweep + one-triangle barycentric
+    recomputation for the winner."""
+    from drmlt_mitsuba_tpu.ops.pallas.intersect_kernel import sweep_closest_v2
+
+    rays6 = jnp.concatenate([o.T, d.T], axis=0)
+    t, idx = sweep_closest_v2(rays6, scene.tris_packed)
+    ok = (idx >= 0) & (t < t_max)
+    t = jnp.where(ok, t, INF)
+    idx = jnp.where(ok, idx, -1)
+    ti = jnp.clip(idx, 0, scene.tris.v0.shape[0] - 1)
+    # barycentrics of the winning triangle (Cramer on the gathered data)
+    tris = scene.tris
+    pvec = jnp.cross(d, tris.e2[ti])
+    det = jnp.sum(tris.e1[ti] * pvec, axis=-1)
+    inv = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+    tvec = o - tris.v0[ti]
+    b1 = jnp.sum(tvec * pvec, axis=-1) * inv
+    b2 = jnp.sum(d * jnp.cross(tvec, tris.e1[ti]), axis=-1) * inv
+    return t, idx, jnp.clip(b1, 0.0, 1.0), jnp.clip(b2, 0.0, 1.0)
+
+
 def intersect(scene: Scene, o, d, t_max=None) -> Hit:
     """Closest-hit query for a batch of rays (R, 3)."""
     R = o.shape[0]
     if t_max is None:
         t_max = jnp.full((R,), INF)
-    tri_t, tri_idx, b1, b2 = _tri_sweep(scene.tris, o, d, t_max, find_best=True)
+    if _use_pallas(scene, o):
+        tri_t, tri_idx, b1, b2 = _tri_best_pallas(scene, o, d, t_max)
+    else:
+        tri_t, tri_idx, b1, b2 = _tri_sweep(
+            scene.tris, o, d, t_max, find_best=True
+        )
+    return _assemble_hit(scene, o, d, t_max, tri_t, tri_idx, b1, b2)
+
+
+def _assemble_hit(scene: Scene, o, d, t_max, tri_t, tri_idx, b1, b2) -> Hit:
     sph_t, sph_idx = _sphere_hits(scene.spheres, o, d, t_max)
 
     use_sph = sph_t < tri_t
@@ -203,8 +247,60 @@ def intersect(scene: Scene, o, d, t_max=None) -> Hit:
     )
 
 
+def intersect_and_occluded(scene: Scene, o, d, so, sd, s_tmax):
+    """Fused closest-hit (o, d) + shadow any-hit (so, sd, s_tmax) query.
+
+    On the Pallas path both ray sets go through ONE 2R-ray sweep (halves the
+    kernel invocations per bounce and doubles the batch the kernel sees —
+    the wavefront's two ray casts per vertex, SURVEY §2.8.6).
+    Returns (Hit, blocked_mask).
+    """
+    R = o.shape[0]
+    t_max = jnp.full((R,), INF)
+    if _use_pallas(scene, o):
+        from drmlt_mitsuba_tpu.ops.pallas.intersect_kernel import (
+            sweep_closest_v2,
+        )
+
+        rays6 = jnp.concatenate(
+            [jnp.concatenate([o.T, d.T], axis=0),
+             jnp.concatenate([so.T, sd.T], axis=0)], axis=1
+        )
+        t2, i2 = sweep_closest_v2(rays6, scene.tris_packed)
+        t, idx = t2[:R], i2[:R]
+        ok = idx >= 0
+        t = jnp.where(ok, t, INF)
+        idx = jnp.where(ok, idx, -1)
+        ti = jnp.clip(idx, 0, scene.tris.v0.shape[0] - 1)
+        tris = scene.tris
+        pvec = jnp.cross(d, tris.e2[ti])
+        det = jnp.sum(tris.e1[ti] * pvec, axis=-1)
+        inv = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+        tvec = o - tris.v0[ti]
+        b1 = jnp.clip(jnp.sum(tvec * pvec, axis=-1) * inv, 0.0, 1.0)
+        b2 = jnp.clip(
+            jnp.sum(d * jnp.cross(tvec, tris.e1[ti]), axis=-1) * inv,
+            0.0, 1.0,
+        )
+        hit = _assemble_hit(scene, o, d, t_max, t, idx, b1, b2)
+        blocked_tri = (i2[R:] >= 0) & (t2[R:] < s_tmax)
+        sph_t, _ = _sphere_hits(scene.spheres, so, sd, s_tmax)
+        return hit, blocked_tri | (sph_t < INF)
+    hit = intersect(scene, o, d)
+    return hit, occluded(scene, so, sd, s_tmax)
+
+
 def occluded(scene: Scene, o, d, t_max) -> jnp.ndarray:
     """Any-hit (shadow ray) query; t_max should already be shortened by eps."""
-    tri_any = _tri_sweep(scene.tris, o, d, t_max, find_best=False)
+    if _use_pallas(scene, o):
+        from drmlt_mitsuba_tpu.ops.pallas.intersect_kernel import (
+            sweep_closest_v2,
+        )
+
+        rays6 = jnp.concatenate([o.T, d.T], axis=0)
+        t, idx = sweep_closest_v2(rays6, scene.tris_packed)
+        tri_any = (idx >= 0) & (t < t_max)
+    else:
+        tri_any = _tri_sweep(scene.tris, o, d, t_max, find_best=False)
     sph_t, _ = _sphere_hits(scene.spheres, o, d, t_max)
     return tri_any | (sph_t < INF)

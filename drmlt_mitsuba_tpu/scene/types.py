@@ -74,6 +74,9 @@ class MaterialTable:
     spec_trans: jnp.ndarray  # (M, 3) specular transmittance scale
     tex_id: jnp.ndarray      # (M,) int32, -1 = constant albedo
     two_sided: jnp.ndarray   # (M,) bool
+    # static set of kinds present — lets the BSDF kernels skip absent lobes
+    # at compile time (the SPMD answer to per-plugin virtual dispatch)
+    kinds_present: tuple = struct.field(pytree_node=False, default=())
 
 
 @struct.dataclass
@@ -139,6 +142,22 @@ class Scene:
     camera: Camera
     bvh: BVH | None = None
     textures: TextureAtlas | None = None
+    # (T, 16) scalar table for the Pallas sweep kernel (ops/pallas);
+    # built by prepare_scene(), None = use the XLA sweep
+    tris_packed: jnp.ndarray | None = None
+
+
+def prepare_scene(scene: "Scene") -> "Scene":
+    """Attach accelerator-specific tables (Pallas triangle pack)."""
+    from drmlt_mitsuba_tpu.ops.pallas.intersect_kernel import (
+        pack_triangles_v2,
+    )
+
+    packed = pack_triangles_v2(
+        np.asarray(scene.tris.v0), np.asarray(scene.tris.e1),
+        np.asarray(scene.tris.e2), np.asarray(scene.tris.valid),
+    )
+    return scene.replace(tris_packed=packed)
 
 
 def make_material_table(mats: list[dict]) -> MaterialTable:
@@ -157,6 +176,7 @@ def make_material_table(mats: list[dict]) -> MaterialTable:
     two_sided = np.array([bool(d.get("two_sided", True)) for d in mats])
     return MaterialTable(
         kind=jnp.asarray(kind),
+        kinds_present=tuple(sorted(set(int(k) for k in kind))),
         albedo=jnp.asarray(field("albedo", 0.5, (3,))),
         eta=jnp.asarray(field("eta", 1.5, (3,))),
         k=jnp.asarray(field("k", 0.0, (3,))),
