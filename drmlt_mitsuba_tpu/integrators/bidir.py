@@ -262,7 +262,10 @@ def light_subpath(scene: Scene, cfg: BDPTConfig, u_light):
     n0 = normalize(jnp.cross(tris.e1[ti], tris.e2[ti]))
     pdf_pos = em.pmf[row] / jnp.maximum(em.area[row], 1e-20)
     le = em.radiance[row]
-    valid0 = em.pmf[row] > 0
+    # the bidirectional light walk supports area emitters (delta lights
+    # would need dedicated s=1 strategies; the unidirectional technique
+    # covers them via NEE)
+    valid0 = (em.pmf[row] > 0) & (em.kind[row] == 0)
 
     d_local = square_to_cosine_hemisphere(u_light[:, 3:5])
     d0 = frame.to_world(n0, d_local)

@@ -23,7 +23,7 @@ from __future__ import annotations
 import dataclasses
 
 SENSOR_DIMS = 4
-BOUNCE_DIMS = 7
+BOUNCE_DIMS = 9
 
 # offsets within a bounce block
 OFF_LIGHT_PICK = 0
@@ -31,6 +31,10 @@ OFF_LIGHT_U = 1
 OFF_BSDF_CMP = 3
 OFF_BSDF_U = 4
 OFF_RR = 6
+OFF_MED_CHANNEL = 7   # volpath: extinction channel pick
+OFF_MED_DIST = 8      # volpath: distance sample
+# (media dims exist in every layout so path and volpath stay replay-
+# compatible — the findMaxDimensions media offset, pssmlt_utils.h:62-68)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -24,8 +24,8 @@ from drmlt_mitsuba_tpu.core.math import RAY_EPS, mis_power
 from drmlt_mitsuba_tpu.core.spectrum import luminance
 from drmlt_mitsuba_tpu.core import frame
 from drmlt_mitsuba_tpu.integrators.layout import (
-    BOUNCE_DIMS, OFF_BSDF_CMP, OFF_LIGHT_PICK, OFF_RR, SENSOR_DIMS,
-    PathConfig,
+    BOUNCE_DIMS, OFF_BSDF_CMP, OFF_BSDF_U, OFF_LIGHT_PICK, OFF_MED_CHANNEL,
+    OFF_MED_DIST, OFF_RR, SENSOR_DIMS, PathConfig,
 )
 from drmlt_mitsuba_tpu.ops.intersect import (
     intersect, intersect_and_occluded, occluded,
@@ -109,6 +109,8 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
         sh_contrib=jnp.zeros((R, 3)),
     )
 
+    medium = scene.medium
+
     def bounce(carry, xs):
         ub_b, depth = xs   # depth = 1-based segment count of the current ray
         hit, sh_blocked = intersect_and_occluded(
@@ -117,6 +119,25 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
         )
         active = carry["active"]
         tp = carry["throughput"]
+
+        # ---- participating medium: distance sampling (volpath) -----------
+        if medium is not None:
+            from drmlt_mitsuba_tpu.render.medium import sample_distance
+
+            t_surf = jnp.where(hit.valid, hit.t, 1.0e7)
+            md = sample_distance(
+                medium, ub_b[:, OFF_MED_CHANNEL], ub_b[:, OFF_MED_DIST],
+                t_surf,
+            )
+            scattered = md["scattered"] & active
+            tp = tp * md["weight"]
+            p_med = carry["o"] + md["t"][:, None] * carry["d"]
+            # epsilon scale must stay finite for scattered lanes whose
+            # surface hit is at infinity
+            eps_t = jnp.where(scattered, md["t"], jnp.minimum(hit.t, 1e7))
+        else:
+            scattered = jnp.zeros((R,), bool)
+            eps_t = hit.t
 
         # ---- emitted radiance at the hit (BSDF-sampling strategy) --------
         wi_world = -carry["d"]
@@ -135,17 +156,19 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
         )
 
         depth_ok = depth >= cfg.min_depth
-        hit_emitter = active & hit.valid & (hit.emitter_id >= 0) & depth_ok
+        hit_emitter = (
+            active & hit.valid & (hit.emitter_id >= 0) & depth_ok & ~scattered
+        )
         L = L + jnp.where(
             hit_emitter[:, None], tp * le * w_bsdf[:, None], 0.0
         )
 
         # ---- environment on escape ---------------------------------------
-        escaped = active & ~hit.valid & depth_ok
+        escaped = active & ~hit.valid & depth_ok & ~scattered
         env = eval_env(scene, carry["d"])
         L = L + jnp.where(escaped[:, None], tp * env, 0.0)
 
-        active = active & hit.valid
+        active = (active & hit.valid) | scattered
 
         # ---- local frame -------------------------------------------------
         # flip shading normal to the side of the incident ray (two-sided
@@ -157,17 +180,36 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
         # ---- next-event estimation (visibility resolved next bounce) ------
         if cfg.use_nee:
             delta_mat = is_delta_kind(scene.materials, hit.mat_id)
-            ds = sample_emitter_direct(scene, hit.p, ub_b[:, OFF_LIGHT_PICK:OFF_LIGHT_PICK + 3])
+            p_nee = hit.p if medium is None else jnp.where(
+                scattered[:, None], p_med, hit.p
+            )
+            ds = sample_emitter_direct(scene, p_nee, ub_b[:, OFF_LIGHT_PICK:OFF_LIGHT_PICK + 3])
             wo_l = frame.to_local(ns, ds.d)
             f_val, f_pdf = eval_bsdf(scene.materials, hit.mat_id, albedo, wi, wo_l)
+            if medium is not None:
+                from drmlt_mitsuba_tpu.render.medium import (
+                    hg_phase, transmittance,
+                )
+
+                cos_ph = jnp.sum(carry["d"] * ds.d, axis=-1)
+                ph = hg_phase(medium.g, cos_ph)
+                # phase "BSDF": value = pdf = HG (albedo already applied by
+                # the distance-sampling weight)
+                f_val = jnp.where(scattered[:, None], ph[:, None], f_val)
+                f_pdf = jnp.where(scattered, ph, f_pdf)
+                delta_mat = delta_mat & ~scattered
             nee_ok = (
                 active & ~delta_mat & (ds.pdf > 0)
                 & (luminance(f_val) > 0) & (depth + 1 <= cfg.max_depth)
                 & (depth + 1 >= cfg.min_depth)
             )
-            shadow_o = hit.p + ds.d * RAY_EPS * jnp.maximum(1.0, hit.t)[:, None]
-            w_nee = mis_power(ds.pdf, f_pdf)
+            shadow_o = p_nee + ds.d * RAY_EPS * jnp.maximum(1.0, eps_t)[:, None]
+            # delta emitters (point/spot/directional) have no BSDF-sampling
+            # competitor: MIS weight 1
+            w_nee = jnp.where(ds.delta, 1.0, mis_power(ds.pdf, f_pdf))
             contrib = tp * f_val * ds.radiance * (w_nee / jnp.maximum(ds.pdf, 1e-20))[:, None]
+            if medium is not None:
+                contrib = contrib * transmittance(medium, ds.dist)
             sh_contrib = jnp.where(nee_ok[:, None], contrib, 0.0)
             sh_o = shadow_o
             sh_d = ds.d
@@ -184,7 +226,21 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
             ub_b[:, OFF_BSDF_CMP:OFF_BSDF_CMP + 3],
         )
         wo_world = frame.to_world(ns, bs.wo)
-        tp = tp * bs.weight
+        bs_weight = bs.weight
+        bs_pdf = bs.pdf
+        bs_delta = bs.delta
+        if medium is not None:
+            from drmlt_mitsuba_tpu.render.medium import sample_hg
+
+            wo_hg, pdf_hg = sample_hg(
+                medium.g, -carry["d"], ub_b[:, OFF_BSDF_U:OFF_BSDF_U + 2]
+            )
+            wo_world = jnp.where(scattered[:, None], wo_hg, wo_world)
+            # HG importance sampling: weight 1
+            bs_weight = jnp.where(scattered[:, None], 1.0, bs_weight)
+            bs_pdf = jnp.where(scattered, pdf_hg, bs_pdf)
+            bs_delta = jnp.where(scattered, False, bs_delta)
+        tp = tp * bs_weight
         eta_scale = carry["eta_scale"] * bs.eta
         alive = active & (luminance(tp) > 0) & (depth + 1 <= cfg.max_depth)
 
@@ -198,15 +254,18 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
         )
         alive = alive & survive
 
-        new_o = hit.p + wo_world * RAY_EPS * jnp.maximum(1.0, hit.t)[:, None]
+        origin = hit.p if medium is None else jnp.where(
+            scattered[:, None], p_med, hit.p
+        )
+        new_o = origin + wo_world * RAY_EPS * jnp.maximum(1.0, eps_t)[:, None]
         carry_out = dict(
             o=jnp.where(active[:, None], new_o, carry["o"]),
             d=jnp.where(active[:, None], wo_world, carry["d"]),
             throughput=jnp.where(alive[:, None], tp, 0.0),
             L=L,
             active=alive,
-            prev_pdf=bs.pdf,
-            prev_delta=bs.delta,
+            prev_pdf=bs_pdf,
+            prev_delta=bs_delta,
             eta_scale=eta_scale,
             sh_o=sh_o,
             sh_d=sh_d,

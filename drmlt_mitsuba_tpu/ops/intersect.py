@@ -140,11 +140,7 @@ def _sphere_hits(spheres, o, d, t_max):
     return t[rows, j], j.astype(jnp.int32)
 
 
-def _use_pallas(scene: Scene, o) -> bool:
-    """Static decision: the Pallas sweep runs on real TPU backends only
-    (tests on the CPU mesh take the XLA path)."""
-    if scene.tris_packed is None or o.shape[0] % 8 != 0:
-        return False
+def _on_tpu() -> bool:
     try:
         import jax
 
@@ -153,13 +149,41 @@ def _use_pallas(scene: Scene, o) -> bool:
         return False
 
 
+def _use_pallas(scene: Scene, o) -> bool:
+    """Static decision: the brute Pallas sweep (small scenes) on TPU."""
+    if scene.tris_packed is None or o.shape[0] % 8 != 0:
+        return False
+    return _on_tpu()
+
+
+def _use_clusters(scene: Scene, o) -> bool:
+    """Static decision: the clustered Pallas sweep (large scenes) on TPU."""
+    if scene.cluster_aabbs is None or o.shape[0] % 8 != 0:
+        return False
+    return _on_tpu()
+
+
+def _sweep_any(scene: Scene, rays6):
+    """Dispatch to the right Pallas sweep; returns (t, original_tri_idx)."""
+    if scene.cluster_aabbs is not None:
+        from drmlt_mitsuba_tpu.ops.pallas.bvh_kernel import sweep_clusters
+
+        t, pi = sweep_clusters(rays6, scene.cluster_aabbs,
+                               scene.cluster_blocks)
+        idx = jnp.where(
+            pi >= 0, scene.cluster_gidx[jnp.clip(pi, 0, None)], -1
+        )
+        return t, idx
+    from drmlt_mitsuba_tpu.ops.pallas.intersect_kernel import sweep_closest_v2
+
+    return sweep_closest_v2(rays6, scene.tris_packed)
+
+
 def _tri_best_pallas(scene: Scene, o, d, t_max):
     """Closest triangle via the Pallas sweep + one-triangle barycentric
     recomputation for the winner."""
-    from drmlt_mitsuba_tpu.ops.pallas.intersect_kernel import sweep_closest_v2
-
     rays6 = jnp.concatenate([o.T, d.T], axis=0)
-    t, idx = sweep_closest_v2(rays6, scene.tris_packed)
+    t, idx = _sweep_any(scene, rays6)
     ok = (idx >= 0) & (t < t_max)
     t = jnp.where(ok, t, INF)
     idx = jnp.where(ok, idx, -1)
@@ -180,7 +204,7 @@ def intersect(scene: Scene, o, d, t_max=None) -> Hit:
     R = o.shape[0]
     if t_max is None:
         t_max = jnp.full((R,), INF)
-    if _use_pallas(scene, o):
+    if _use_pallas(scene, o) or _use_clusters(scene, o):
         tri_t, tri_idx, b1, b2 = _tri_best_pallas(scene, o, d, t_max)
     else:
         tri_t, tri_idx, b1, b2 = _tri_sweep(
@@ -257,16 +281,12 @@ def intersect_and_occluded(scene: Scene, o, d, so, sd, s_tmax):
     """
     R = o.shape[0]
     t_max = jnp.full((R,), INF)
-    if _use_pallas(scene, o):
-        from drmlt_mitsuba_tpu.ops.pallas.intersect_kernel import (
-            sweep_closest_v2,
-        )
-
+    if _use_pallas(scene, o) or _use_clusters(scene, o):
         rays6 = jnp.concatenate(
             [jnp.concatenate([o.T, d.T], axis=0),
              jnp.concatenate([so.T, sd.T], axis=0)], axis=1
         )
-        t2, i2 = sweep_closest_v2(rays6, scene.tris_packed)
+        t2, i2 = _sweep_any(scene, rays6)
         t, idx = t2[:R], i2[:R]
         ok = idx >= 0
         t = jnp.where(ok, t, INF)
@@ -292,13 +312,9 @@ def intersect_and_occluded(scene: Scene, o, d, so, sd, s_tmax):
 
 def occluded(scene: Scene, o, d, t_max) -> jnp.ndarray:
     """Any-hit (shadow ray) query; t_max should already be shortened by eps."""
-    if _use_pallas(scene, o):
-        from drmlt_mitsuba_tpu.ops.pallas.intersect_kernel import (
-            sweep_closest_v2,
-        )
-
+    if _use_pallas(scene, o) or _use_clusters(scene, o):
         rays6 = jnp.concatenate([o.T, d.T], axis=0)
-        t, idx = sweep_closest_v2(rays6, scene.tris_packed)
+        t, idx = _sweep_any(scene, rays6)
         tri_any = (idx >= 0) & (t < t_max)
     else:
         tri_any = _tri_sweep(scene.tris, o, d, t_max, find_best=False)

@@ -128,9 +128,10 @@ def cornell_box(
     # rewrite per-triangle emitter ids to emitter-table rows
     import jax.numpy as jnp
 
+    area_rows = np.nonzero(np.asarray(emitters.kind) == 0)[0]
     row_of_tri = np.full(len(faces), -1, np.int32)
-    row_of_tri[np.asarray(emitters.tri_idx)] = np.arange(
-        len(np.asarray(emitters.tri_idx)), dtype=np.int32
+    row_of_tri[np.asarray(emitters.tri_idx)[area_rows]] = area_rows.astype(
+        np.int32
     )
     tris = tris.replace(emitter_id=jnp.asarray(row_of_tri))
 

@@ -89,19 +89,29 @@ class TextureAtlas:
     data: jnp.ndarray        # (N, H, W, 3) float32
 
 
+# emitter row kinds
+EMITTER_AREA = 0
+EMITTER_POINT = 1        # position delta, intensity I (W/sr)
+EMITTER_DIRECTIONAL = 2  # direction delta, irradiance E
+EMITTER_SPOT = 3         # point + cone falloff
+
+
 @struct.dataclass
 class EmitterTable:
-    """Area emitters referencing triangles, plus point lights and a constant
-    environment.  The sampling pmf is proportional to power (radiance
-    luminance x area), matching Scene::sampleEmitterDirect behavior."""
-    tri_idx: jnp.ndarray    # (E,) int32 triangle carrying this emitter
-    radiance: jnp.ndarray   # (E, 3)
-    area: jnp.ndarray       # (E,)
+    """Unified emitter rows: area triangles, point/spot lights, directional
+    sources, plus a constant environment.  The sampling pmf is proportional
+    to power, matching Scene::sampleEmitterDirect behavior
+    (src/librender/scene.cpp).  Delta rows (point/spot/directional) have
+    discrete pick pdfs and never receive BSDF-sampling MIS competition."""
+    kind: jnp.ndarray       # (E,) int32 row kind
+    tri_idx: jnp.ndarray    # (E,) int32 triangle (area rows)
+    radiance: jnp.ndarray   # (E, 3) radiance / intensity / irradiance
+    area: jnp.ndarray       # (E,) triangle area (area rows)
+    pos: jnp.ndarray        # (E, 3) position (point/spot) or direction
+    #                          TOWARD the scene (directional)
+    aux: jnp.ndarray        # (E, 4) spot: axis xyz + cos(cutoff)
     pmf: jnp.ndarray        # (E,) selection pmf
     cdf: jnp.ndarray        # (E,) inclusive cdf for categorical sampling
-    # point lights
-    point_pos: jnp.ndarray       # (P, 3)
-    point_intensity: jnp.ndarray  # (P, 3)
     # constant environment emitter (zeros = none)
     env_radiance: jnp.ndarray    # (3,)
 
@@ -145,19 +155,50 @@ class Scene:
     # (T, 16) scalar table for the Pallas sweep kernel (ops/pallas);
     # built by prepare_scene(), None = use the XLA sweep
     tris_packed: jnp.ndarray | None = None
+    # clustered-sweep tables for large scenes (ops/pallas/bvh_kernel):
+    # (C,8) AABBs, (C,tpc/8,8,16) triangle blocks, (C*tpc,) id map
+    cluster_aabbs: jnp.ndarray | None = None
+    cluster_blocks: jnp.ndarray | None = None
+    cluster_gidx: jnp.ndarray | None = None
+    # global homogeneous participating medium (render/medium.py);
+    # None = vacuum. Presence is static: trace functions specialize.
+    medium: object | None = None
 
 
-def prepare_scene(scene: "Scene") -> "Scene":
-    """Attach accelerator-specific tables (Pallas triangle pack)."""
-    from drmlt_mitsuba_tpu.ops.pallas.intersect_kernel import (
-        pack_triangles_v2,
-    )
+def prepare_scene(scene: "Scene", cluster_threshold: int = 8192) -> "Scene":
+    """Attach accelerator tables.
 
-    packed = pack_triangles_v2(
+    Small scenes get the brute Pallas sweep table (SMEM-resident, caps at
+    ~16k triangles); larger scenes get the native-BVH clustered-sweep tables
+    (streamed through VMEM, unbounded size).
+    """
+    T = scene.tris.v0.shape[0]
+    if T <= cluster_threshold:
+        from drmlt_mitsuba_tpu.ops.pallas.intersect_kernel import (
+            pack_triangles_v2,
+        )
+
+        packed = pack_triangles_v2(
+            np.asarray(scene.tris.v0), np.asarray(scene.tris.e1),
+            np.asarray(scene.tris.e2), np.asarray(scene.tris.valid),
+        )
+        return scene.replace(tris_packed=packed)
+
+    from drmlt_mitsuba_tpu.ops.pallas.bvh_kernel import pack_clusters
+    from drmlt_mitsuba_tpu.scene.bvh import build_bvh
+
+    bvh, order = build_bvh(
         np.asarray(scene.tris.v0), np.asarray(scene.tris.e1),
-        np.asarray(scene.tris.e2), np.asarray(scene.tris.valid),
+        np.asarray(scene.tris.e2), max_leaf=256,
     )
-    return scene.replace(tris_packed=packed)
+    aabbs, blocks, gidx = pack_clusters(
+        bvh, order, np.asarray(scene.tris.v0), np.asarray(scene.tris.e1),
+        np.asarray(scene.tris.e2), np.asarray(scene.tris.valid), tpc=256,
+    )
+    return scene.replace(
+        cluster_aabbs=aabbs, cluster_blocks=blocks,
+        cluster_gidx=gidx.reshape(-1),
+    )
 
 
 def make_material_table(mats: list[dict]) -> MaterialTable:
@@ -237,47 +278,107 @@ def empty_spheres() -> SphereSoA:
     )
 
 
+_LUM_W = np.array([0.212671, 0.715160, 0.072169], np.float32)
+
+
 def build_emitters(
     tris: TriangleSoA,
     radiance_by_emitter: np.ndarray,
     env_radiance=(0.0, 0.0, 0.0),
     point_pos: np.ndarray | None = None,
     point_intensity: np.ndarray | None = None,
+    directional: list | None = None,
+    spots: list | None = None,
+    scene_radius: float = 1000.0,
 ) -> EmitterTable:
-    """Collect emissive triangles into a power-weighted sampling table.
+    """Collect all emitters into one power-weighted sampling table.
 
-    radiance_by_emitter: (n_emitters, 3) radiance for each emitter id that
-    appears in tris.emitter_id.  Each emissive *triangle* becomes one row so
-    area sampling is exact (pick triangle ∝ power, then uniform barycentric).
+    Each emissive *triangle* becomes one area row (pick ∝ power, then
+    uniform barycentric).  directional: list of (dir_toward_scene (3,),
+    irradiance (3,)); spots: list of (pos, intensity, axis, cutoff_deg).
     """
+    rows_kind, rows_tri, rows_rad, rows_area, rows_pos, rows_aux = (
+        [], [], [], [], [], []
+    )
+    power = []
+
     eid = np.asarray(tris.emitter_id)
     emissive = np.nonzero(eid >= 0)[0]
-    if len(emissive) == 0:
-        emissive = np.array([0], dtype=np.int64)
-        rad = np.zeros((1, 3), np.float32)
-        area = np.zeros((1,), np.float32)
-        pmf = np.ones((1,), np.float32)
-    else:
-        e1 = np.asarray(tris.e1)[emissive]
-        e2 = np.asarray(tris.e2)[emissive]
-        area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1).astype(np.float32)
-        rad = np.asarray(radiance_by_emitter, np.float32)[eid[emissive]]
-        lum = rad @ np.array([0.212671, 0.715160, 0.072169], np.float32)
-        power = np.maximum(lum * area, 1e-12)
-        pmf = (power / power.sum()).astype(np.float32)
+    for i in emissive:
+        e1 = np.asarray(tris.e1)[i]
+        e2 = np.asarray(tris.e2)[i]
+        area = 0.5 * float(np.linalg.norm(np.cross(e1, e2)))
+        rad = np.asarray(radiance_by_emitter, np.float32)[eid[i]]
+        rows_kind.append(EMITTER_AREA)
+        rows_tri.append(int(i))
+        rows_rad.append(rad)
+        rows_area.append(area)
+        rows_pos.append(np.zeros(3, np.float32))
+        rows_aux.append(np.zeros(4, np.float32))
+        power.append(max(float(rad @ _LUM_W) * area * np.pi, 1e-12))
+
+    if point_pos is not None:
+        for p, inten in zip(np.asarray(point_pos, np.float32),
+                            np.asarray(point_intensity, np.float32)):
+            rows_kind.append(EMITTER_POINT)
+            rows_tri.append(0)
+            rows_rad.append(inten)
+            rows_area.append(0.0)
+            rows_pos.append(p)
+            rows_aux.append(np.zeros(4, np.float32))
+            power.append(max(float(inten @ _LUM_W) * 4.0 * np.pi, 1e-12))
+
+    for d, irr in (directional or []):
+        d = np.asarray(d, np.float32)
+        d = d / np.linalg.norm(d)
+        irr = np.asarray(irr, np.float32)
+        rows_kind.append(EMITTER_DIRECTIONAL)
+        rows_tri.append(0)
+        rows_rad.append(irr)
+        rows_area.append(0.0)
+        rows_pos.append(d)
+        rows_aux.append(np.zeros(4, np.float32))
+        power.append(
+            max(float(irr @ _LUM_W) * np.pi * scene_radius**2, 1e-12)
+        )
+
+    for p, inten, axis, cutoff_deg in (spots or []):
+        axis = np.asarray(axis, np.float32)
+        axis = axis / np.linalg.norm(axis)
+        rows_kind.append(EMITTER_SPOT)
+        rows_tri.append(0)
+        rows_rad.append(np.asarray(inten, np.float32))
+        rows_area.append(0.0)
+        rows_pos.append(np.asarray(p, np.float32))
+        cosc = float(np.cos(np.deg2rad(cutoff_deg)))
+        rows_aux.append(np.asarray([*axis, cosc], np.float32))
+        power.append(
+            max(float(np.asarray(inten, np.float32) @ _LUM_W)
+                * 2.0 * np.pi * (1 - cosc), 1e-12)
+        )
+
+    if not rows_kind:   # keep shapes static: one dummy zero-power area row
+        rows_kind = [EMITTER_AREA]
+        rows_tri = [0]
+        rows_rad = [np.zeros(3, np.float32)]
+        rows_area = [0.0]
+        rows_pos = [np.zeros(3, np.float32)]
+        rows_aux = [np.zeros(4, np.float32)]
+        power = [1.0]
+
+    power = np.asarray(power, np.float32)
+    pmf = power / power.sum()
     cdf = np.cumsum(pmf).astype(np.float32)
     cdf[-1] = 1.0
-    if point_pos is None:
-        point_pos = np.zeros((0, 3), np.float32)
-        point_intensity = np.zeros((0, 3), np.float32)
     return EmitterTable(
-        tri_idx=jnp.asarray(emissive.astype(np.int32)),
-        radiance=jnp.asarray(rad),
-        area=jnp.asarray(area),
+        kind=jnp.asarray(np.asarray(rows_kind, np.int32)),
+        tri_idx=jnp.asarray(np.asarray(rows_tri, np.int32)),
+        radiance=jnp.asarray(np.stack(rows_rad)),
+        area=jnp.asarray(np.asarray(rows_area, np.float32)),
+        pos=jnp.asarray(np.stack(rows_pos)),
+        aux=jnp.asarray(np.stack(rows_aux)),
         pmf=jnp.asarray(pmf),
         cdf=jnp.asarray(cdf),
-        point_pos=jnp.asarray(np.asarray(point_pos, np.float32)),
-        point_intensity=jnp.asarray(np.asarray(point_intensity, np.float32)),
         env_radiance=jnp.asarray(np.asarray(env_radiance, np.float32)),
     )
 

@@ -272,7 +272,9 @@ def load_scene_xml(path: str, defaults: dict | None = None):
     meshes = []     # (v, f, n, uv, mat_idx, emitter_radiance|None)
     spheres = []    # (center, radius, mat_idx, radiance|None)
     env_radiance = np.zeros(3, np.float32)
-    points = []     # (pos, intensity)
+    points = []       # (pos, intensity)
+    spots = []        # (pos, intensity, axis, cutoff_deg)
+    directionals = []  # (direction, irradiance)
     settings = RenderSettings(integrator=dict(type="path"))
     camera = None
 
@@ -351,10 +353,27 @@ def load_scene_xml(path: str, defaults: dict | None = None):
         elif etype in ("point", "spot"):
             tnode = em.find("transform")
             pos = props.get("position", np.zeros(3, np.float32))
+            axis = np.asarray([0, 0, 1], np.float32)
             if tnode is not None:
                 m = _parse_transform(tnode, defaults)
                 pos = m[:3, :3] @ pos + m[:3, 3]
-            points.append((pos, props.get("intensity", np.ones(3, np.float32))))
+                axis = m[:3, :3] @ axis
+            inten = props.get("intensity", np.ones(3, np.float32))
+            if etype == "spot":
+                spots.append(
+                    (pos, inten, axis, float(props.get("cutoffAngle", 20.0)))
+                )
+            else:
+                points.append((pos, inten))
+        elif etype == "directional":
+            tnode = em.find("transform")
+            d = props.get("direction", np.asarray([0, 0, 1], np.float32))
+            if tnode is not None:
+                m = _parse_transform(tnode, defaults)
+                d = m[:3, :3] @ np.asarray([0, 0, 1], np.float32)
+            directionals.append(
+                (d, props.get("irradiance", np.ones(3, np.float32)))
+            )
         elif etype in ("envmap", "sky", "sun", "sunsky"):
             warnings.warn(f"emitter '{etype}' approximated as constant")
             env_radiance = env_radiance + np.full(3, 1.0, np.float32)
@@ -486,10 +505,13 @@ def load_scene_xml(path: str, defaults: dict | None = None):
         tris, rad_table, env_radiance=env_radiance,
         point_pos=np.stack([p for p, _ in points]) if points else None,
         point_intensity=np.stack([i for _, i in points]) if points else None,
+        directional=directionals or None,
+        spots=spots or None,
     )
+    area_rows = np.nonzero(np.asarray(emitters.kind) == 0)[0]
     row_of_tri = np.full(len(faces), -1, np.int32)
-    row_of_tri[np.asarray(emitters.tri_idx)] = np.arange(
-        len(np.asarray(emitters.tri_idx)), dtype=np.int32
+    row_of_tri[np.asarray(emitters.tri_idx)[area_rows]] = area_rows.astype(
+        np.int32
     )
     # only rows with actual emitters
     import jax.numpy as jnp

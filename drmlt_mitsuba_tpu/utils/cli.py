@@ -242,6 +242,16 @@ def render(scene, settings, args, log):
     part = 0
     last_dump = time.time()
     times_csv = []
+    if args.resume and args.checkpoint and os.path.exists(
+        args.checkpoint if args.checkpoint.endswith(".npz")
+        else args.checkpoint + ".npz"
+    ):
+        from drmlt_mitsuba_tpu.parallel.checkpoint import load_checkpoint
+
+        st0, film0, b0, done, k0, acc0 = load_checkpoint(args.checkpoint)
+        carry = (st0, film0, acc0 if accmap is not None else None)
+        b = jnp.float32(b0)
+        log.info("resumed from %s at step %d", args.checkpoint, done)
     while done < n_steps:
         carry, s = run_block(carry, jnp.int32(done))
         done += block
@@ -255,6 +265,11 @@ def render(scene, settings, args, log):
             _write_partial(args, img, part, time.time() - t_start, times_csv)
             part += 1
             last_dump = time.time()
+        if args.checkpoint:
+            from drmlt_mitsuba_tpu.parallel.checkpoint import save_checkpoint
+
+            save_checkpoint(args.checkpoint, carry[0], carry[1], float(b),
+                            done, k_run, carry[2])
 
     stats_cat = {
         k: np.concatenate([st[k] for st in all_stats])
@@ -319,6 +334,10 @@ def main(argv=None):
                     help="MCMC chain batch size per device")
     ap.add_argument("--spp", type=int, default=None,
                     help="override sampler sampleCount")
+    ap.add_argument("--checkpoint", default=None,
+                    help="chain-state checkpoint file (written per block)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from --checkpoint if present")
     args = ap.parse_args(argv)
 
     from drmlt_mitsuba_tpu.core.logger import setup_logging
