@@ -61,6 +61,9 @@ class DRMLTConfig:
     timid_after_large: bool = False
     acceptance_map: bool = False
     use_mixture: bool = False
+    fix_emitter_path: bool = False   # MMLT: freeze emitter dims in stage 2
+    #                                  unless the chain is light-tracing
+    #                                  (drmlt_proc.cpp:133-141)
     n_bootstrap: int = 100_000
 
     def stage1_kernel(self):
@@ -109,7 +112,7 @@ def propose_stage1(cfg: DRMLTConfig, key, u, frozen_mask, pinned_mask=None):
 
 
 def propose_stage2(cfg: DRMLTConfig, key, x, y, frozen_mask,
-                   pinned_mask=None):
+                   pinned_mask=None, freeze2=None):
     """Timid proposal z (unwrapped) given current x and stage-1 proposal y.
 
     Green/Mira: z = x + small-Gaussian — fillSpace always perturbs
@@ -135,6 +138,9 @@ def propose_stage2(cfg: DRMLTConfig, key, x, y, frozen_mask,
     z = jnp.where(frozen_mask[None, :], x, z)
     if pinned_mask is not None:
         z = jnp.where(pinned_mask[None, :], x, z)
+    if freeze2 is not None:
+        # per-chain stage-2 identity dims (fixEmitterPath)
+        z = jnp.where(freeze2, x, z)
     return z
 
 
@@ -152,7 +158,8 @@ def mira_transition_ratio(cfg: DRMLTConfig, x, y, z, frozen_mask,
 
 
 def drmlt_step(trace_fn, cfg: DRMLTConfig, film_cfg, frozen_mask,
-               carry, key, accmap_cfg=None, pinned_mask=None):
+               carry, key, accmap_cfg=None, pinned_mask=None,
+               emitter_mask=None, lt_mask_fn=None):
     """One DRMLT mutation for all chains.
 
     carry = (state, film, accmap) where accmap accumulates stage-1/stage-2
@@ -176,7 +183,13 @@ def drmlt_step(trace_fn, cfg: DRMLTConfig, film_cfg, frozen_mask,
     if not cfg.timid_after_large:
         do_second = do_second & ~large
 
-    z_raw = propose_stage2(cfg, k2, x, y_raw, frozen_mask, pinned_mask)
+    freeze2 = None
+    if cfg.fix_emitter_path and emitter_mask is not None \
+            and lt_mask_fn is not None:
+        lt = lt_mask_fn(x)    # (C,) is the CURRENT chain light-tracing?
+        freeze2 = emitter_mask[None, :] & ~lt[:, None]
+    z_raw = propose_stage2(cfg, k2, x, y_raw, frozen_mask, pinned_mask,
+                           freeze2)
     z = pss_wrap(z_raw)
     sp_z = trace_fn(z)
     prop2 = state_from_splats(z, sp_z)
@@ -274,7 +287,7 @@ def drmlt_mixture_step(trace_fn, cfg: DRMLTConfig, film_cfg, frozen_mask,
 
 def render_drmlt(trace_fn, cfg: DRMLTConfig, film_cfg, root_key, n_dims: int,
                  n_steps: int, frozen_mask=None, average_luminance=None,
-                 pinned_mask=None):
+                 pinned_mask=None, emitter_mask=None, lt_mask_fn=None):
     """Full DRMLT render.  Returns (image, aux) with aux carrying b, final
     chain state, per-step stats, and the acceptance map (if enabled)."""
     from drmlt_mitsuba_tpu.render import film as filmlib
@@ -299,7 +312,9 @@ def render_drmlt(trace_fn, cfg: DRMLTConfig, film_cfg, root_key, n_dims: int,
             key = jax.random.fold_in(k_run, i)
             if step is drmlt_step:
                 return step(trace_fn, cfg, film_cfg, frozen_mask, carry,
-                            key, pinned_mask=pinned_mask)
+                            key, pinned_mask=pinned_mask,
+                            emitter_mask=emitter_mask,
+                            lt_mask_fn=lt_mask_fn)
             return step(trace_fn, cfg, film_cfg, frozen_mask, carry, key)
 
         (state, film, accmap), stats = jax.lax.scan(

@@ -40,6 +40,31 @@ def mmlt_masks(cfg: BDPTConfig, even: bool = True):
     return frozen, pinned, n
 
 
+def mmlt_emitter_mask(cfg: BDPTConfig, n_dims: int):
+    """Mask of the light-subpath PSS dims (for fixEmitterPath)."""
+    mask = jnp.zeros((n_dims,), bool)
+    start = TECH_DIMS + cfg.eye_dims
+    return mask.at[start:start + cfg.light_dims].set(True)
+
+
+def mmlt_lt_mask_fn(cfg: BDPTConfig):
+    """Returns lt(u) -> (C,) bool: is the chain's current strategy light
+    tracing (t == 1)?"""
+    D = cfg.max_depth
+
+    def lt(u):
+        depth = 1 + jnp.minimum((u[:, 0] * D).astype(jnp.int32), D - 1)
+        n_strats = depth + 1
+        s_pick = jnp.minimum(
+            (u[:, 1] * n_strats.astype(jnp.float32)).astype(jnp.int32),
+            depth,
+        )
+        t = depth + 1 - s_pick
+        return t == 1
+
+    return lt
+
+
 def make_mmlt_trace(scene: Scene, cfg: BDPTConfig):
     """trace(u) for MCMC: u = [depth, strategy, eye..., light...(, pad)]."""
     D = cfg.max_depth

@@ -48,9 +48,8 @@ DELTA_KINDS = (BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_MIRROR, BSDF_NULL,
                BSDF_THIN_DIELECTRIC)
 
 # kinds grouped by which shared lobe machinery they need
-_DIFFUSE_LIKE = (BSDF_DIFFUSE, BSDF_ROUGH_DIFFUSE)
-_GGX_LIKE = (BSDF_ROUGH_CONDUCTOR, BSDF_ROUGH_DIELECTRIC, BSDF_PHONG,
-             BSDF_WARD)
+_DIFFUSE_LIKE = (BSDF_DIFFUSE,)
+_GGX_LIKE = (BSDF_ROUGH_CONDUCTOR,)
 _PLASTIC_LIKE = (BSDF_PLASTIC, BSDF_ROUGH_PLASTIC)
 _DIELECTRIC_LIKE = (BSDF_DIELECTRIC, BSDF_THIN_DIELECTRIC)
 
@@ -88,7 +87,7 @@ def _plastic_specular_prob(f_i):
 
 def eval_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, wo):
     """(f * |cos wo|, pdf) for non-delta lobes; (0, 0) for Dirac kinds."""
-    kind, _, eta, k, alpha, spec_refl, _ = _mat(table, mat_id)
+    kind, _, eta, k, alpha, spec_refl, spec_trans = _mat(table, mat_id)
     cos_i = wi[..., 2]
     cos_o = wo[..., 2]
     same_side = (cos_i * cos_o) > 0
@@ -146,6 +145,154 @@ def eval_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, wo):
             value = jnp.where(m[..., None], pl_val, value)
             pdf = jnp.where(m, pl_pdf, pdf)
 
+    if _present(table, BSDF_ROUGH_DIFFUSE):
+        # Oren-Nayar qualitative model (ref: roughdiffuse.cpp "fast" mode)
+        sigma = alpha  # roughness doubles as sigma (radians)
+        s2 = sigma * sigma
+        A = 1.0 - 0.5 * s2 / (s2 + 0.33)
+        B = 0.45 * s2 / (s2 + 0.09)
+        ci = jnp.abs(cos_i)
+        co = abs_cos_o
+        sin_i = jnp.sqrt(jnp.maximum(1 - ci * ci, 0.0))
+        sin_o = jnp.sqrt(jnp.maximum(1 - co * co, 0.0))
+        # cos(phi_i - phi_o) from the tangent-plane projections
+        denom = jnp.maximum(sin_i * sin_o, 1e-7)
+        cos_dphi = jnp.clip(
+            (wi[..., 0] * wo[..., 0] + wi[..., 1] * wo[..., 1]) / denom,
+            -1.0, 1.0,
+        )
+        sin_alpha = jnp.maximum(sin_i, sin_o)
+        tan_beta = jnp.minimum(sin_i / jnp.maximum(ci, 1e-7),
+                               sin_o / jnp.maximum(co, 1e-7))
+        on = A + B * jnp.maximum(cos_dphi, 0.0) * sin_alpha * tan_beta
+        on_val = albedo_tex * (INV_PI * abs_cos_o * on)[..., None]
+        m = (kind == BSDF_ROUGH_DIFFUSE) & same_side
+        value = jnp.where(m[..., None], on_val, value)
+        pdf = jnp.where(m, diff_pdf if diff_pdf is not None else
+                        square_to_cosine_hemisphere_pdf(
+                            jnp.stack([wo[..., 0], wo[..., 1], abs_cos_o],
+                                      -1)), pdf)
+
+    if _present(table, BSDF_PHONG):
+        # modified Phong (ref: phong.cpp): diffuse + (n+2)/2pi cos^n lobe
+        n_exp = _phong_exponent(alpha)
+        refl = jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], -1)
+        cos_r = jnp.clip(jnp.sum(refl * wo, axis=-1), 0.0, 1.0)
+        spec = spec_refl * ((n_exp + 2) / (2 * jnp.pi)
+                            * cos_r ** n_exp)[..., None]
+        ph_val = (albedo_tex * INV_PI + spec) * abs_cos_o[..., None]
+        w_s = _phong_spec_weight(albedo_tex, spec_refl)
+        ph_pdf = (
+            (1 - w_s) * (diff_pdf if diff_pdf is not None else abs_cos_o * INV_PI)
+            + w_s * (n_exp + 1) / (2 * jnp.pi) * cos_r ** n_exp
+        )
+        m = (kind == BSDF_PHONG) & same_side & upper
+        value = jnp.where(m[..., None], ph_val, value)
+        pdf = jnp.where(m, ph_pdf, pdf)
+
+    if _present(table, BSDF_WARD):
+        # isotropic Ward-Duer (ref: ward.cpp, EWardDuer variant)
+        h = wi + wo
+        hn = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True),
+                             1e-12)
+        a2 = alpha * alpha
+        ct_h2 = jnp.maximum(hn[..., 2] ** 2, 1e-7)
+        tt2 = (1.0 - ct_h2) / ct_h2
+        expf = jnp.exp(-tt2 / a2)
+        norm_w = expf / (4 * jnp.pi * a2 * jnp.maximum(
+            jnp.abs(cos_i) * abs_cos_o, 1e-7))
+        wd_val = (albedo_tex * INV_PI
+                  + spec_refl * norm_w[..., None]) * abs_cos_o[..., None]
+        # sampling pdf: half-vector ward lobe + diffuse mixture
+        h_pdf = expf / (jnp.pi * a2 * ct_h2 * jnp.maximum(
+            jnp.sqrt(ct_h2), 1e-7))
+        wo_dot_h = jnp.maximum(jnp.abs(jnp.sum(wo * hn, -1)), 1e-7)
+        w_s = _phong_spec_weight(albedo_tex, spec_refl)
+        wd_pdf = ((1 - w_s) * abs_cos_o * INV_PI
+                  + w_s * h_pdf / (4 * wo_dot_h))
+        m = (kind == BSDF_WARD) & same_side & upper
+        value = jnp.where(m[..., None], wd_val, value)
+        pdf = jnp.where(m, wd_pdf, pdf)
+
+    if _present(table, BSDF_ROUGH_DIELECTRIC):
+        value, pdf = _rough_dielectric_eval(
+            kind, eta, alpha, spec_refl, spec_trans, wi, wo, value, pdf
+        )
+
+    return value, pdf
+
+
+def _phong_exponent(alpha):
+    """roughness alpha <-> Phong exponent (inverse of the xml mapping)."""
+    return jnp.maximum(2.0 / jnp.maximum(alpha * alpha, 1e-6) - 2.0, 1.0)
+
+
+def _phong_spec_weight(albedo, spec_refl):
+    from drmlt_mitsuba_tpu.core.spectrum import luminance
+
+    ls = luminance(spec_refl)
+    ld = luminance(albedo)
+    return jnp.clip(safe_div(ls, ls + ld, 0.5), 0.05, 0.95)
+
+
+def _rough_dielectric_eval(kind, eta, alpha, spec_refl, spec_trans, wi, wo,
+                           value, pdf):
+    """Walter 2007 rough dielectric (GGX, VNDF pdf): reflection +
+    refraction lobes."""
+    cos_i = wi[..., 2]
+    cos_o = wo[..., 2]
+    eta_d = eta[..., 0]
+    sign_i = jnp.sign(jnp.where(cos_i == 0, 1.0, cos_i))
+    wi_u = wi * sign_i[..., None]
+    wo_u = wo * sign_i[..., None]
+    reflecting = (cos_i * cos_o) > 0
+    # relative IOR of the transmission side
+    eta_rel = jnp.where(cos_i > 0, eta_d, 1.0 / eta_d)
+
+    # reflection half-vector
+    h_r = wi_u + wo_u
+    h_r = h_r / jnp.maximum(
+        jnp.linalg.norm(h_r, axis=-1, keepdims=True), 1e-12)
+    # transmission half-vector (Walter eq. 16), in the upper frame
+    h_t = -(wi_u + wo_u * eta_rel[..., None])
+    h_t = h_t / jnp.maximum(
+        jnp.linalg.norm(h_t, axis=-1, keepdims=True), 1e-12)
+    h_t = h_t * jnp.sign(h_t[..., 2:3])
+    h = jnp.where(reflecting[..., None], h_r, h_t)
+
+    d = ggx_ndf(h, alpha)
+    g = ggx_g2(wi_u, wo_u, alpha)
+    i_dot_h = jnp.sum(wi_u * h, -1)
+    o_dot_h = jnp.sum(wo_u * h, -1)
+    f, _, _ = fresnel_dielectric(i_dot_h, eta_d)
+
+    refl_val = spec_refl * safe_div(d * g * f, 4.0 * jnp.abs(cos_i))[..., None]
+    # Walter eq. 21 (x |cos_o| folded in), with the radiance (1/eta)^2 scale
+    denom = i_dot_h + eta_rel * o_dot_h
+    jac = safe_div(eta_rel * eta_rel * jnp.abs(o_dot_h),
+                   jnp.maximum(denom * denom, 1e-12))
+    trans = safe_div(
+        jnp.abs(i_dot_h) * d * g * (1.0 - f), jnp.abs(cos_i)
+    ) * jac / jnp.maximum(jnp.abs(cos_o), 1e-7) / (eta_rel * eta_rel)
+    trans_val = spec_trans * (trans * jnp.abs(cos_o))[..., None]
+
+    m_pdf = ggx_vndf_pdf(wi_u, h, alpha)
+    pdf_refl = f * m_pdf / jnp.maximum(4.0 * jnp.abs(o_dot_h), 1e-12)
+    pdf_trans = (1.0 - f) * m_pdf * jac
+
+    mk = kind == BSDF_ROUGH_DIELECTRIC
+    vv = jnp.where(reflecting[..., None], refl_val, trans_val)
+    pp = jnp.where(reflecting, pdf_refl, pdf_trans)
+    # Walter sidedness checks: the half-vector must see the incident ray
+    # from above and the transmitted ray from below (eq. 7 constraints) —
+    # without them the pdf overcounts near-grazing transmission
+    side_ok = jnp.where(
+        reflecting, (i_dot_h > 0) & (o_dot_h > 0),
+        (i_dot_h > 0) & (o_dot_h < 0),
+    )
+    ok = (h[..., 2] > 0) & side_ok
+    value = jnp.where((mk & ok)[..., None], vv, value)
+    pdf = jnp.where(mk & ok, pp, pdf)
     return value, pdf
 
 
@@ -266,6 +413,99 @@ def sample_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, u3) -> BsdfSample:
         pdf_pl = jnp.where(pick_spec, 0.0, (1.0 - spec_prob) * pdf_diff)
         for kk in _PLASTIC_LIKE:
             setk(kk, wo_pl, w_pl, pdf_pl, pick_spec)
+
+    if _present(table, BSDF_ROUGH_DIFFUSE):
+        # Oren-Nayar: cosine-hemisphere sampled; weight = f*cos/pdf
+        wo_on = square_to_cosine_hemisphere(u2) * sign_i[..., None]
+        val_on, pdf_on = eval_bsdf(table, mat_id, albedo_tex, wi, wo_on)
+        w_on = val_on / jnp.maximum(pdf_on, 1e-12)[..., None]
+        setk(BSDF_ROUGH_DIFFUSE, wo_on, w_on, pdf_on, false_)
+
+    if _present(table, BSDF_PHONG) or _present(table, BSDF_WARD):
+        # mixture: diffuse cosine lobe vs specular lobe, picked by uc
+        w_s = _phong_spec_weight(albedo_tex, spec_refl)
+        pick_spec = uc < w_s
+        wo_diff2 = square_to_cosine_hemisphere(u2) * sign_i[..., None]
+        if _present(table, BSDF_PHONG):
+            n_exp = _phong_exponent(alpha)
+            # power-cosine around the mirror direction
+            cos_l = u2[..., 0] ** (1.0 / (n_exp + 1.0))
+            sin_l = jnp.sqrt(jnp.maximum(1 - cos_l * cos_l, 0.0))
+            phi_l = 2 * jnp.pi * u2[..., 1]
+            lobe = jnp.stack(
+                [sin_l * jnp.cos(phi_l), sin_l * jnp.sin(phi_l), cos_l], -1
+            )
+            from drmlt_mitsuba_tpu.core import frame as _frame
+
+            refl_u = jnp.stack(
+                [-wi_u[..., 0], -wi_u[..., 1], wi_u[..., 2]], -1
+            )
+            wo_ph_u = _frame.to_world(refl_u, lobe)
+            wo_ph = jnp.where(pick_spec[..., None],
+                              wo_ph_u * sign_i[..., None], wo_diff2)
+            val_ph, pdf_ph = eval_bsdf(table, mat_id, albedo_tex, wi, wo_ph)
+            w_ph = val_ph / jnp.maximum(pdf_ph, 1e-12)[..., None]
+            ok_ph = wo_ph[..., 2] * sign_i > 0
+            setk(BSDF_PHONG, wo_ph,
+                 jnp.where(ok_ph[..., None], w_ph, 0.0), pdf_ph, false_)
+        if _present(table, BSDF_WARD):
+            # sample the Ward half-vector: tan^2 = -a^2 ln u
+            a2 = alpha * alpha
+            t2 = -a2 * jnp.log(jnp.maximum(u2[..., 0], 1e-38))
+            ct = 1.0 / jnp.sqrt(1.0 + t2)
+            st = jnp.sqrt(jnp.maximum(1 - ct * ct, 0.0))
+            phi_h = 2 * jnp.pi * u2[..., 1]
+            hvec = jnp.stack(
+                [st * jnp.cos(phi_h), st * jnp.sin(phi_h), ct], -1
+            )
+            wo_wd_u = reflect(wi_u, hvec)
+            wo_wd = jnp.where(pick_spec[..., None],
+                              wo_wd_u * sign_i[..., None], wo_diff2)
+            val_wd, pdf_wd = eval_bsdf(table, mat_id, albedo_tex, wi, wo_wd)
+            w_wd = val_wd / jnp.maximum(pdf_wd, 1e-12)[..., None]
+            ok_wd = wo_wd[..., 2] * sign_i > 0
+            setk(BSDF_WARD, wo_wd,
+                 jnp.where(ok_wd[..., None], w_wd, 0.0), pdf_wd, false_)
+
+    if _present(table, BSDF_ROUGH_DIELECTRIC):
+        m = ggx_sample_vndf(wi_u, alpha, u2)
+        i_dot_m = jnp.sum(wi_u * m, -1)
+        eta_d = eta[..., 0]
+        f_rd, _, _ = fresnel_dielectric(i_dot_m * sign_i, eta_d)
+        pick_refl = uc < f_rd
+        wo_refl_u = reflect(wi_u, m)
+        # Snell refraction about m (Walter eq. 40), in the upper frame
+        eta_rel = jnp.where(cos_i > 0, eta_d, 1.0 / eta_d)
+        inv_eta = 1.0 / eta_rel
+        c = i_dot_m
+        under = 1.0 + inv_eta * inv_eta * (c * c - 1.0)
+        tir = under < 0
+        wo_refr_u = (
+            (inv_eta * c - jnp.sqrt(jnp.maximum(under, 0.0)))[..., None] * m
+            - inv_eta[..., None] * wi_u
+        )
+        wo_rd_u = jnp.where((pick_refl | tir)[..., None], wo_refl_u,
+                            wo_refr_u)
+        wo_rd = wo_rd_u * sign_i[..., None]
+        _, pdf_rd = eval_bsdf(table, mat_id, albedo_tex, wi, wo_rd)
+        # exact VNDF weight G2/G1 (independent of the single-branch pdf
+        # approximation near the refraction fold; F and the discrete pick
+        # cancel, transmission carries the radiance (1/eta)^2 scale)
+        g2_rd = ggx_g2(wi_u, wo_rd_u, alpha)
+        g1_rd = ggx_g1(wi_u, alpha)
+        base_w = safe_div(g2_rd, g1_rd)[..., None]
+        w_rd = jnp.where(
+            (pick_refl | tir)[..., None], spec_refl * base_w,
+            spec_trans * base_w / (eta_rel * eta_rel)[..., None],
+        )
+        ok_rd = jnp.abs(wo_rd_u[..., 2]) > 1e-6
+        eta_rd = jnp.where(
+            pick_refl | tir, 1.0,
+            jnp.where(cos_i > 0, eta_d, 1.0 / eta_d),
+        )
+        setk(BSDF_ROUGH_DIELECTRIC, wo_rd,
+             jnp.where(ok_rd[..., None], w_rd, 0.0), pdf_rd, false_,
+             eta_rd)
 
     if _present(table, BSDF_NULL):
         setk(BSDF_NULL, -wi, jnp.ones(R3), jnp.zeros_like(pdf), true_)

@@ -109,6 +109,16 @@ def cornell_box(
             kind=st.BSDF_ROUGH_CONDUCTOR, roughness=0.15,
             eta=(0.2, 0.92, 1.1), k=(3.9, 2.45, 2.14),
         ),
+        "roughglass": dict(kind=st.BSDF_ROUGH_DIELECTRIC,
+                           eta=(1.5, 1.5, 1.5), roughness=0.2),
+        "orennayar": dict(kind=st.BSDF_ROUGH_DIFFUSE,
+                          albedo=(0.725, 0.71, 0.68), roughness=0.4),
+        "phong": dict(kind=st.BSDF_PHONG, albedo=(0.4, 0.4, 0.4),
+                      spec_refl=(0.4, 0.4, 0.4), roughness=0.25),
+        "ward": dict(kind=st.BSDF_WARD, albedo=(0.3, 0.3, 0.3),
+                     spec_refl=(0.5, 0.5, 0.5), roughness=0.2),
+        "plastic": dict(kind=st.BSDF_PLASTIC, albedo=(0.6, 0.2, 0.2),
+                        eta=(1.49, 1.49, 1.49)),
     }
     mats = [
         dict(kind=st.BSDF_DIFFUSE, albedo=(0.725, 0.71, 0.68)),   # white

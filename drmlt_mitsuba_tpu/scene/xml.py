@@ -158,10 +158,52 @@ def _resolve_ior(val):
     return float(val)
 
 
-def _parse_bsdf(node, defaults, ctx):
+def _parse_texture(tex_node, defaults, ctx, base_dir):
+    """Bake a <texture> element into a 256x256 atlas page; returns tex_id."""
+    ttype = _subst(tex_node.get("type"), defaults)
+    props = _props(tex_node, defaults)
+    size = 256
+    if ttype == "checkerboard":
+        c0 = props.get("color0", np.full(3, 0.4, np.float32))
+        c1 = props.get("color1", np.full(3, 0.2, np.float32))
+        us = max(1, int(round(float(props.get("uscale", 1.0)))))
+        vs = max(1, int(round(float(props.get("vscale", 1.0)))))
+        yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+        cell = ((xx * 2 * us // size) + (yy * 2 * vs // size)) % 2
+        page = np.where(cell[..., None] == 0, c0, c1).astype(np.float32)
+    elif ttype == "bitmap":
+        from PIL import Image
+
+        fname = props.get("filename")
+        fpath = fname if os.path.isabs(fname) else os.path.join(base_dir,
+                                                                fname)
+        if fname.lower().endswith(".exr"):
+            from drmlt_mitsuba_tpu.utils.exr import read_exr
+
+            img = read_exr(fpath)[..., :3]
+        else:
+            img = np.asarray(
+                Image.open(fpath).convert("RGB"), np.float32
+            ) / 255.0
+            img = np.where(img <= 0.04045, img / 12.92,
+                           ((img + 0.055) / 1.055) ** 2.4)  # sRGB -> linear
+        im = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+        page = np.asarray(im.resize((size, size)), np.float32) / 255.0
+    else:
+        warnings.warn(f"unsupported texture '{ttype}', using constant 0.5")
+        page = np.full((size, size, 3), 0.5, np.float32)
+    ctx["textures"].append(page)
+    return len(ctx["textures"]) - 1
+
+
+def _parse_bsdf(node, defaults, ctx, base_dir=""):
     """Parse a bsdf element into a material dict; returns material index."""
     btype = _subst(node.get("type"), defaults)
     props = _props(node, defaults)
+    tex_id = -1
+    tex = node.find("texture")
+    if tex is not None:
+        tex_id = _parse_texture(tex, defaults, ctx, base_dir)
     two_sided = False
     # unwrap modifier bsdfs
     while btype in ("twosided", "mask", "bumpmap", "normalmap", "coating",
@@ -195,7 +237,7 @@ def _parse_bsdf(node, defaults, ctx):
         warnings.warn(f"unsupported bsdf '{btype}', using diffuse")
         kind = st.BSDF_DIFFUSE
 
-    mat = dict(kind=kind, two_sided=True)
+    mat = dict(kind=kind, two_sided=True, tex_id=tex_id)
     refl = props.get("reflectance", props.get("diffuseReflectance"))
     if refl is not None:
         mat["albedo"] = refl
@@ -268,7 +310,7 @@ def load_scene_xml(path: str, defaults: dict | None = None):
     for d in root.findall("default"):
         defaults.setdefault(d.get("name"), d.get("value"))
 
-    ctx = dict(materials=[], mat_by_id={})
+    ctx = dict(materials=[], mat_by_id={}, textures=[])
     meshes = []     # (v, f, n, uv, mat_idx, emitter_radiance|None)
     spheres = []    # (center, radius, mat_idx, radiance|None)
     env_radiance = np.zeros(3, np.float32)
@@ -280,7 +322,7 @@ def load_scene_xml(path: str, defaults: dict | None = None):
 
     # top-level named bsdfs
     for b in root.findall("bsdf"):
-        idx = _parse_bsdf(b, defaults, ctx)
+        idx = _parse_bsdf(b, defaults, ctx, base)
         if b.get("id"):
             ctx["mat_by_id"][b.get("id")] = idx
 
@@ -290,7 +332,7 @@ def load_scene_xml(path: str, defaults: dict | None = None):
             return ctx["mat_by_id"][ref.get("id")]
         b = sh.find("bsdf")
         if b is not None:
-            return _parse_bsdf(b, defaults, ctx)
+            return _parse_bsdf(b, defaults, ctx, base)
         ctx["materials"].append(dict(kind=st.BSDF_DIFFUSE))
         return len(ctx["materials"]) - 1
 
@@ -532,9 +574,14 @@ def load_scene_xml(path: str, defaults: dict | None = None):
 
     aspect = settings.width / settings.height
     camera = st.make_camera(to_world, fov, aspect, aperture, focus)
+    textures = None
+    if ctx["textures"]:
+        textures = st.TextureAtlas(
+            data=jnp.asarray(np.stack(ctx["textures"]))
+        )
     scene = st.Scene(
         tris=tris, spheres=sph,
         materials=st.make_material_table(ctx["materials"]),
-        emitters=emitters, camera=camera,
+        emitters=emitters, camera=camera, textures=textures,
     )
     return scene, settings

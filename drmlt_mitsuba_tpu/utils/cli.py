@@ -49,18 +49,25 @@ def build_trace(scene, settings, icfg):
                           min_depth=int(icfg.get("minDepth", 1)))
         n = pcfg.n_dims + pcfg.n_dims % 2
         trace = lambda u: trace_paths(scene, pcfg, u[:, : pcfg.n_dims])
-        return trace, n, jnp.zeros((n,), bool), jnp.zeros((n,), bool)
+        return trace, n, jnp.zeros((n,), bool), jnp.zeros((n,), bool), {}
     if technique == "bdpt":
         bcfg = BDPTConfig(max_depth=max_depth,
                           light_image=bool(icfg.get("lightImage", True)))
         n = bcfg.n_dims + bcfg.n_dims % 2
         trace = lambda u: trace_bdpt(scene, bcfg, u[:, : bcfg.n_dims])
-        return trace, n, jnp.zeros((n,), bool), jnp.zeros((n,), bool)
+        return trace, n, jnp.zeros((n,), bool), jnp.zeros((n,), bool), {}
     if technique == "mmlt":
+        from drmlt_mitsuba_tpu.integrators.mmlt import (
+            mmlt_emitter_mask, mmlt_lt_mask_fn,
+        )
+
         bcfg = BDPTConfig(max_depth=max_depth,
                           light_image=bool(icfg.get("lightImage", True)))
         frozen, pinned, n = mmlt_masks(bcfg)
-        return make_mmlt_trace(scene, bcfg), n, frozen, pinned
+        trace = make_mmlt_trace(scene, bcfg)
+        extras = dict(emitter_mask=mmlt_emitter_mask(bcfg, n),
+                      lt_mask_fn=mmlt_lt_mask_fn(bcfg))
+        return trace, n, frozen, pinned, extras
     raise SystemExit(f"unknown technique '{technique}'")
 
 
@@ -137,7 +144,7 @@ def render(scene, settings, args, log):
         raise SystemExit(f"unknown integrator '{itype}'")
 
     # ---- MCMC integrators -------------------------------------------------
-    trace, n_dims, frozen, pinned = build_trace(scene, settings, icfg)
+    trace, n_dims, frozen, pinned, extras = build_trace(scene, settings, icfg)
 
     # separate direct-illumination pass (renderDirectComponent)
     direct_img = None
@@ -215,13 +222,14 @@ def render(scene, settings, args, log):
             timid_after_large=bool(icfg.get("timidAfterLarge", False)),
             acceptance_map=bool(icfg.get("acceptanceMap", False)),
             use_mixture=bool(icfg.get("useMixture", False)),
+            fix_emitter_path=bool(icfg.get("fixEmitterPath", False)),
             n_bootstrap=n_boot,
         )
         kelemen_w = False
 
         def step(carry, k):
             return drmlt_step(trace, dcfg, fc, frozen, carry, k,
-                              pinned_mask=pinned)
+                              pinned_mask=pinned, **extras)
 
     film = filmlib.new_film(fc)
     accmap = filmlib.new_film(fc) if icfg.get("acceptanceMap") else None

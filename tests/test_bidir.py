@@ -133,3 +133,30 @@ class TestMMLT:
         assert err < 0.15, err
         # depth dim pinned: chains kept their bootstrap depth
         assert float(np.asarray(aux["stats"]["accept2"]).mean()) > 1e-4
+
+
+class TestFixEmitterPath:
+    def test_drmlt_mmlt_fix_emitter(self, refs):
+        """fixEmitterPath: stage 2 freezes the emitter dims except for
+        light-tracing chains; the render stays consistent with PT."""
+        scene, fc, _, _, pt3 = refs
+        from drmlt_mitsuba_tpu.integrators.mmlt import (
+            mmlt_emitter_mask, mmlt_lt_mask_fn,
+        )
+
+        bcfg = BDPTConfig(max_depth=3)
+        frozen, pinned, n_dims = mmlt_masks(bcfg)
+        trace = make_mmlt_trace(scene, bcfg)
+        img, aux = render_drmlt(
+            trace,
+            DRMLTConfig(type="green", n_chains=1024, n_bootstrap=16384,
+                        fix_emitter_path=True),
+            fc, jax.random.PRNGKey(9), n_dims, 500,
+            frozen_mask=frozen, pinned_mask=pinned,
+            emitter_mask=mmlt_emitter_mask(bcfg, n_dims),
+            lt_mask_fn=mmlt_lt_mask_fn(bcfg),
+        )
+        img = np.asarray(img)
+        assert np.all(np.isfinite(img))
+        err = np.abs(img.mean((0, 1)) - pt3).mean() / pt3.mean()
+        assert err < 0.2, err

@@ -1,0 +1,87 @@
+"""Differentiable rendering (the north-star gradient capability):
+pixel gradients w.r.t. scene parameters flow through the full wavefront
+tracer, and inverse rendering recovers material parameters."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+from drmlt_mitsuba_tpu.integrators.path import trace_paths
+from drmlt_mitsuba_tpu.scene.builders import cornell_box
+
+
+def _render_mean(scene, cfg, u):
+    """Differentiable low-variance functional: mean RGB over a fixed
+    primary-sample batch (correlated across parameter settings)."""
+    return jnp.mean(trace_paths(scene, cfg, u).value[:, 0, :], axis=0)
+
+
+def test_grad_wrt_albedo_finite_diff():
+    """jax.grad through the tracer matches finite differences."""
+    scene = cornell_box(32, 32)
+    cfg = PathConfig(max_depth=3, rr_depth=100)
+    u = jax.random.uniform(jax.random.PRNGKey(0), (2048, cfg.n_dims))
+
+    def loss(a):
+        s = scene.replace(materials=scene.materials.replace(
+            albedo=scene.materials.albedo.at[0, 0].set(a)))
+        return _render_mean(s, cfg, u)[0]
+
+    g = float(jax.grad(loss)(0.7))
+    eps = 1e-2
+    fd = (float(loss(0.7 + eps)) - float(loss(0.7 - eps))) / (2 * eps)
+    np.testing.assert_allclose(g, fd, rtol=0.05)
+    assert g > 0  # brighter wall -> more red light
+
+
+def test_grad_wrt_emitter():
+    """Gradient w.r.t. emitter radiance is exactly linear (analytic)."""
+    scene = cornell_box(32, 32)
+    cfg = PathConfig(max_depth=2, rr_depth=100)
+    u = jax.random.uniform(jax.random.PRNGKey(1), (2048, cfg.n_dims))
+
+    def mean_lum(scale):
+        s = scene.replace(emitters=scene.emitters.replace(
+            radiance=scene.emitters.radiance * scale))
+        return jnp.mean(trace_paths(s, cfg, u).lum)
+
+    g = float(jax.grad(mean_lum)(1.0))
+    v = float(mean_lum(1.0))
+    # radiance enters linearly: d/ds [s * L] at s=1 equals L
+    np.testing.assert_allclose(g, v, rtol=1e-4)
+
+
+def test_inverse_rendering_recovers_albedo():
+    """Adam on an image-matching loss recovers the red wall's albedo."""
+    scene = cornell_box(32, 32)
+    cfg = PathConfig(max_depth=3, rr_depth=100)
+    u = jax.random.uniform(jax.random.PRNGKey(2), (4096, cfg.n_dims))
+    target_albedo = jnp.asarray([0.63, 0.065, 0.05])
+    target = _render_mean(scene, cfg, u)
+
+    def loss_fn(param):
+        albedo = jax.nn.sigmoid(param)
+        s = scene.replace(materials=scene.materials.replace(
+            albedo=scene.materials.albedo.at[1].set(albedo)))
+        img = _render_mean(s, cfg, u)
+        return jnp.sum((img - target) ** 2)
+
+    param = jnp.zeros(3)  # sigmoid -> 0.5 initial albedo
+    opt = optax.adam(0.25)
+    state = opt.init(param)
+    step = jax.jit(lambda p, s: _update(p, s, loss_fn, opt))
+    losses = []
+    for _ in range(40):
+        param, state, l = step(param, state)
+        losses.append(float(l))
+    recovered = np.asarray(jax.nn.sigmoid(param))
+    assert losses[-1] < losses[0] * 0.01, losses[::8]
+    np.testing.assert_allclose(recovered, np.asarray(target_albedo),
+                               atol=0.08)
+
+
+def _update(param, state, loss_fn, opt):
+    l, g = jax.value_and_grad(loss_fn)(param)
+    updates, state = opt.update(g, state)
+    return optax.apply_updates(param, updates), state, l
