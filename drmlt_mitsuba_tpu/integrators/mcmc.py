@@ -72,11 +72,13 @@ def bootstrap(trace_fn, root_key, n_dims: int, n_bootstrap: int,
     lums = lums.reshape(n_total)
     b = total / n_total
 
-    # categorical resampling ∝ luminance (ref: seedCount resample loop)
+    # categorical resampling ∝ luminance (ref: seedCount resample loop);
+    # cdf inversion, NOT jax.random.categorical (which materializes a
+    # (n_chains, n_bootstrap) Gumbel matrix)
     pick_key = jax.random.fold_in(root_key, n_total + 1)
-    idx = jax.random.categorical(
-        pick_key, jnp.log(jnp.maximum(lums, 1e-30)), shape=(n_chains,)
-    )
+    cdf = jnp.cumsum(lums)
+    u_pick = jax.random.uniform(pick_key, (n_chains,)) * cdf[-1]
+    idx = jnp.clip(jnp.searchsorted(cdf, u_pick), 0, n_total - 1)
     # replay the chosen seeds: O(n_chains) regeneration, no stream rewind
     u0 = jax.vmap(sample_u)(idx)
     sp0 = trace_fn(u0)

@@ -166,6 +166,16 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
         # ---- environment on escape ---------------------------------------
         escaped = active & ~hit.valid & depth_ok & ~scattered
         env = eval_env(scene, carry["d"])
+        if scene.emitters.env_image is not None and cfg.use_nee:
+            # MIS vs env NEE at the previous vertex
+            from drmlt_mitsuba_tpu.render.emitter import env_pdf_dir
+
+            e_pdf = env_pdf_dir(scene, carry["d"])
+            w_env = jnp.where(
+                carry["prev_delta"], 1.0,
+                mis_power(carry["prev_pdf"], e_pdf),
+            )
+            env = env * w_env[:, None]
         L = L + jnp.where(escaped[:, None], tp * env, 0.0)
 
         active = (active & hit.valid) | scattered

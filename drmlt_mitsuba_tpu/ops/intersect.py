@@ -214,6 +214,11 @@ def intersect(scene: Scene, o, d, t_max=None) -> Hit:
 
 
 def _assemble_hit(scene: Scene, o, d, t_max, tri_t, tri_idx, b1, b2) -> Hit:
+    return _assemble_hit_packed(scene, o, d, t_max, tri_t, tri_idx, b1, b2)
+
+
+def _assemble_hit_legacy(scene: Scene, o, d, t_max, tri_t, tri_idx,
+                         b1, b2) -> Hit:
     sph_t, sph_idx = _sphere_hits(scene.spheres, o, d, t_max)
 
     use_sph = sph_t < tri_t
@@ -268,6 +273,70 @@ def _assemble_hit(scene: Scene, o, d, t_max, tri_t, tri_idx, b1, b2) -> Hit:
         mat_id=jnp.where(valid, mat_id, 0),
         emitter_id=jnp.where(valid, emitter_id, -1),
         prim=prim,
+    )
+
+
+def _assemble_hit_packed(scene: Scene, o, d, t_max, tri_t, tri_idx,
+                         b1, b2) -> Hit:
+    """Hit assembly with ONE packed-row lookup (one-hot matmul for small
+    scenes) instead of a dozen separate gathers.  The row matrix is built
+    from the live triangle fields (gradients flow; hoisted out of scans)."""
+    from drmlt_mitsuba_tpu.ops.gather import onehot_gather, pack_rows
+
+    tris_ = scene.tris
+    tri_shade = pack_rows(
+        tris_.v0, tris_.e1, tris_.e2, tris_.n0, tris_.n1, tris_.n2,
+        tris_.uv0, tris_.uv1, tris_.uv2, tris_.mat_id, tris_.emitter_id,
+    )
+    sph_t, sph_idx = _sphere_hits(scene.spheres, o, d, t_max)
+    use_sph = sph_t < tri_t
+    t = jnp.where(use_sph, sph_t, tri_t)
+    valid = t < INF
+
+    ti = jnp.clip(tri_idx, 0, scene.tris.v0.shape[0] - 1)
+    row = onehot_gather(tri_shade, ti)          # (R, 26)
+    v0 = row[:, 0:3]
+    e1 = row[:, 3:6]
+    e2 = row[:, 6:9]
+    p_tri = v0 + b1[:, None] * e1 + b2[:, None] * e2
+    ng_tri = normalize(jnp.cross(e1, e2))
+    w = 1.0 - b1 - b2
+    ns_tri = normalize(
+        w[:, None] * row[:, 9:12] + b1[:, None] * row[:, 12:15]
+        + b2[:, None] * row[:, 15:18]
+    )
+    uv_tri = jnp.stack([b1, b2], axis=-1)
+    tex_tri = (
+        w[:, None] * row[:, 18:20] + b1[:, None] * row[:, 20:22]
+        + b2[:, None] * row[:, 22:24]
+    )
+    mat_tri = row[:, 24].astype(jnp.int32)
+    emit_tri = row[:, 25].astype(jnp.int32)
+
+    si = sph_idx
+    p_sph = o + sph_t[:, None] * d
+    ng_sph = normalize(p_sph - scene.spheres.center[si])
+    mat_sph = scene.spheres.mat_id[si]
+    emit_sph = scene.spheres.emitter_id[si]
+    uv_sph = jnp.stack(
+        [jnp.arccos(jnp.clip(ng_sph[..., 2], -1, 1)) / jnp.pi,
+         (jnp.arctan2(ng_sph[..., 1], ng_sph[..., 0]) / (2 * jnp.pi)) + 0.5],
+        axis=-1,
+    )
+
+    us = use_sph[:, None]
+    return Hit(
+        valid=valid,
+        t=jnp.where(valid, t, INF),
+        p=jnp.where(us, p_sph, p_tri),
+        ng=jnp.where(us, ng_sph, ng_tri),
+        ns=jnp.where(us, ng_sph, ns_tri),
+        uv=jnp.where(us, uv_sph, uv_tri),
+        tex_uv=jnp.where(us, uv_sph, tex_tri),
+        mat_id=jnp.where(valid, jnp.where(use_sph, mat_sph, mat_tri), 0),
+        emitter_id=jnp.where(valid,
+                             jnp.where(use_sph, emit_sph, emit_tri), -1),
+        prim=jnp.where(use_sph, ~si, tri_idx),
     )
 
 

@@ -70,14 +70,21 @@ def _present(table: MaterialTable, *kinds) -> bool:
 
 
 def _mat(table: MaterialTable, mat_id):
+    """One fused row-select over the packed parameter matrix (built live
+    from the table fields so gradients flow; hoisted out of scans)."""
+    from drmlt_mitsuba_tpu.ops.gather import onehot_gather, pack_rows
+
+    packed = pack_rows(table.kind, table.albedo, table.eta, table.k,
+                       table.roughness, table.spec_refl, table.spec_trans)
+    row = onehot_gather(packed, mat_id)
     return (
-        table.kind[mat_id],
-        table.albedo[mat_id],
-        table.eta[mat_id],
-        table.k[mat_id],
-        jnp.maximum(table.roughness[mat_id], 1e-3),
-        table.spec_refl[mat_id],
-        table.spec_trans[mat_id],
+        row[..., 0].astype(jnp.int32),
+        row[..., 1:4],
+        row[..., 4:7],
+        row[..., 7:10],
+        jnp.maximum(row[..., 10], 1e-3),
+        row[..., 11:14],
+        row[..., 14:17],
     )
 
 
@@ -517,7 +524,7 @@ def sample_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, u3) -> BsdfSample:
 
 def is_delta_kind(table: MaterialTable, mat_id):
     """True for materials whose every lobe is Dirac (no NEE contribution)."""
-    kind = table.kind[mat_id]
+    kind = _mat(table, mat_id)[0]
     out = jnp.zeros(kind.shape, bool)
     for kk in DELTA_KINDS:
         if _present(table, kk):

@@ -21,6 +21,36 @@ def sample_ray(camera: Camera, uv, u_aperture=None):
     u_aperture: (R, 2) lens uniforms (thinlens only; ignored for pinhole).
     Returns (o, d) world-space origins/directions (unit).
     """
+    from drmlt_mitsuba_tpu.scene.types import (
+        CAMERA_ORTHOGRAPHIC, CAMERA_SPHERICAL,
+    )
+
+    if camera.kind == CAMERA_ORTHOGRAPHIC:
+        # parallel rays along +z; film extents in tan_half_fov_*
+        x = (2.0 * uv[..., 0] - 1.0) * camera.tan_half_fov_x
+        y = (1.0 - 2.0 * uv[..., 1]) * camera.tan_half_fov_y
+        o_cam = jnp.stack([x, y, jnp.zeros_like(x)], axis=-1)
+        o = apply_point(camera.to_world, o_cam)
+        d = normalize(apply_vector(
+            camera.to_world, jnp.broadcast_to(
+                jnp.asarray([0.0, 0.0, 1.0]), o_cam.shape
+            )
+        ))
+        return o, d
+    if camera.kind == CAMERA_SPHERICAL:
+        # full lat-long panorama from the camera position
+        theta = uv[..., 1] * jnp.pi
+        phi = (uv[..., 0] * 2.0 - 1.0) * jnp.pi
+        st_ = jnp.sin(theta)
+        d_cam = jnp.stack(
+            [st_ * jnp.sin(phi), jnp.cos(theta), st_ * jnp.cos(phi)], -1
+        )
+        o = jnp.broadcast_to(
+            camera.to_world[:3, 3], d_cam.shape
+        )
+        d = normalize(apply_vector(camera.to_world, d_cam))
+        return o, d
+
     # film plane at z=1 in camera space; +x right, +y up in camera space
     x = (2.0 * uv[..., 0] - 1.0) * camera.tan_half_fov_x
     y = (1.0 - 2.0 * uv[..., 1]) * camera.tan_half_fov_y

@@ -94,6 +94,7 @@ EMITTER_AREA = 0
 EMITTER_POINT = 1        # position delta, intensity I (W/sr)
 EMITTER_DIRECTIONAL = 2  # direction delta, irradiance E
 EMITTER_SPOT = 3         # point + cone falloff
+EMITTER_ENV = 4          # image environment map (lat-long)
 
 
 @struct.dataclass
@@ -114,17 +115,29 @@ class EmitterTable:
     cdf: jnp.ndarray        # (E,) inclusive cdf for categorical sampling
     # constant environment emitter (zeros = none)
     env_radiance: jnp.ndarray    # (3,)
+    # image environment map (lat-long, Mitsuba Y-up); None = constant only
+    env_image: jnp.ndarray | None = None      # (He, We, 3)
+    env_row_cdf: jnp.ndarray | None = None    # (He,) marginal row cdf
+    env_col_cdf: jnp.ndarray | None = None    # (He, We) conditional cdf
+    env_pmf: jnp.ndarray | None = None        # (He, We) pixel pmf
+
+
+CAMERA_PERSPECTIVE = 0
+CAMERA_ORTHOGRAPHIC = 1
+CAMERA_SPHERICAL = 2
 
 
 @struct.dataclass
 class Camera:
-    """Perspective / thinlens sensor (ref: src/sensors/perspective.cpp,
-    thinlens.cpp).  aperture_radius == 0 -> pinhole perspective."""
+    """Perspective / thinlens / orthographic / spherical sensor (ref:
+    src/sensors/).  aperture_radius == 0 -> pinhole perspective; for the
+    orthographic camera tan_half_fov_* carry the half-extents."""
     to_world: jnp.ndarray        # (4, 4)
     tan_half_fov_x: jnp.ndarray  # scalar
     tan_half_fov_y: jnp.ndarray  # scalar
     aperture_radius: jnp.ndarray  # scalar
     focus_distance: jnp.ndarray   # scalar
+    kind: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass
@@ -215,7 +228,7 @@ def make_material_table(mats: list[dict]) -> MaterialTable:
     kind = np.array([d["kind"] for d in mats], dtype=np.int32)
     tex_id = np.array([d.get("tex_id", -1) for d in mats], dtype=np.int32)
     two_sided = np.array([bool(d.get("two_sided", True)) for d in mats])
-    return MaterialTable(
+    fields = dict(
         kind=jnp.asarray(kind),
         kinds_present=tuple(sorted(set(int(k) for k in kind))),
         albedo=jnp.asarray(field("albedo", 0.5, (3,))),
@@ -227,6 +240,7 @@ def make_material_table(mats: list[dict]) -> MaterialTable:
         tex_id=jnp.asarray(tex_id),
         two_sided=jnp.asarray(two_sided),
     )
+    return MaterialTable(**fields)
 
 
 def build_triangles(
@@ -289,6 +303,7 @@ def build_emitters(
     point_intensity: np.ndarray | None = None,
     directional: list | None = None,
     spots: list | None = None,
+    env_image: np.ndarray | None = None,
     scene_radius: float = 1000.0,
 ) -> EmitterTable:
     """Collect all emitters into one power-weighted sampling table.
@@ -342,6 +357,18 @@ def build_emitters(
             max(float(irr @ _LUM_W) * np.pi * scene_radius**2, 1e-12)
         )
 
+    if env_image is not None:
+        rows_kind.append(EMITTER_ENV)
+        rows_tri.append(0)
+        rows_rad.append(np.asarray(env_image, np.float32).mean(axis=(0, 1)))
+        rows_area.append(0.0)
+        rows_pos.append(np.zeros(3, np.float32))
+        rows_aux.append(np.zeros(4, np.float32))
+        mean_lum = float(
+            (np.asarray(env_image, np.float32) @ _LUM_W).mean()
+        )
+        power.append(max(mean_lum * np.pi * scene_radius**2, 1e-12))
+
     for p, inten, axis, cutoff_deg in (spots or []):
         axis = np.asarray(axis, np.float32)
         axis = axis / np.linalg.norm(axis)
@@ -370,7 +397,29 @@ def build_emitters(
     pmf = power / power.sum()
     cdf = np.cumsum(pmf).astype(np.float32)
     cdf[-1] = 1.0
+
+    env_fields = dict(env_image=None, env_row_cdf=None, env_col_cdf=None,
+                      env_pmf=None)
+    if env_image is not None:
+        img = np.asarray(env_image, np.float32)
+        he, we = img.shape[:2]
+        lum = img @ _LUM_W
+        theta = (np.arange(he) + 0.5) / he * np.pi
+        w = lum * np.sin(theta)[:, None]
+        w = np.maximum(w, 1e-12)
+        px = w / w.sum()
+        row_p = px.sum(axis=1)
+        row_cdf = np.cumsum(row_p); row_cdf[-1] = 1.0
+        col_cdf = np.cumsum(px / row_p[:, None], axis=1)
+        col_cdf[:, -1] = 1.0
+        env_fields = dict(
+            env_image=jnp.asarray(img),
+            env_row_cdf=jnp.asarray(row_cdf.astype(np.float32)),
+            env_col_cdf=jnp.asarray(col_cdf.astype(np.float32)),
+            env_pmf=jnp.asarray(px.astype(np.float32)),
+        )
     return EmitterTable(
+        **env_fields,
         kind=jnp.asarray(np.asarray(rows_kind, np.int32)),
         tri_idx=jnp.asarray(np.asarray(rows_tri, np.int32)),
         radiance=jnp.asarray(np.stack(rows_rad)),
@@ -385,12 +434,15 @@ def build_emitters(
 
 def make_camera(to_world, fov_x_deg: float, aspect: float,
                 aperture_radius: float = 0.0,
-                focus_distance: float = 1.0) -> Camera:
-    tan_x = float(np.tan(np.deg2rad(fov_x_deg) / 2.0))
+                focus_distance: float = 1.0,
+                kind: int = CAMERA_PERSPECTIVE) -> Camera:
+    tan_x = float(np.tan(np.deg2rad(fov_x_deg) / 2.0)) \
+        if kind == CAMERA_PERSPECTIVE else float(fov_x_deg)
     return Camera(
         to_world=jnp.asarray(to_world, jnp.float32),
         tan_half_fov_x=jnp.float32(tan_x),
         tan_half_fov_y=jnp.float32(tan_x / aspect),
         aperture_radius=jnp.float32(aperture_radius),
         focus_distance=jnp.float32(focus_distance),
+        kind=kind,
     )

@@ -310,10 +310,11 @@ def load_scene_xml(path: str, defaults: dict | None = None):
     for d in root.findall("default"):
         defaults.setdefault(d.get("name"), d.get("value"))
 
-    ctx = dict(materials=[], mat_by_id={}, textures=[])
+    ctx = dict(materials=[], mat_by_id={}, textures=[], groups={})
     meshes = []     # (v, f, n, uv, mat_idx, emitter_radiance|None)
     spheres = []    # (center, radius, mat_idx, radiance|None)
     env_radiance = np.zeros(3, np.float32)
+    env_img = None
     points = []       # (pos, intensity)
     spots = []        # (pos, intensity, axis, cutoff_deg)
     directionals = []  # (direction, irradiance)
@@ -378,6 +379,67 @@ def load_scene_xml(path: str, defaults: dict | None = None):
             )
             v, _ = _apply_transform(m, v, None)
             meshes.append((v, f, None, None, mat_idx, radiance))
+        elif stype == "cylinder":
+            p0 = props.get("p0", np.asarray([0, 0, 0], np.float32))
+            p1 = props.get("p1", np.asarray([0, 0, 1], np.float32))
+            radius = float(props.get("radius", 1.0))
+            nseg = 32
+            axis = np.asarray(p1, np.float64) - np.asarray(p0, np.float64)
+            ln = np.linalg.norm(axis)
+            axis = axis / max(ln, 1e-9)
+            ref_v = np.array([1.0, 0, 0]) if abs(axis[0]) < 0.9 else \
+                np.array([0, 1.0, 0])
+            t1 = np.cross(axis, ref_v); t1 /= np.linalg.norm(t1)
+            t2 = np.cross(axis, t1)
+            ang = np.linspace(0, 2 * np.pi, nseg, endpoint=False)
+            ring = (np.outer(np.cos(ang), t1) + np.outer(np.sin(ang), t2)) \
+                * radius
+            v = np.concatenate([np.asarray(p0) + ring,
+                                np.asarray(p1) + ring]).astype(np.float32)
+            f = []
+            for i in range(nseg):
+                j = (i + 1) % nseg
+                f.append([i, j, nseg + j])
+                f.append([i, nseg + j, nseg + i])
+            v2, _ = _apply_transform(m, v, None)
+            meshes.append((v2, np.asarray(f, np.int32), None, None,
+                           mat_idx, radiance))
+        elif stype == "shapegroup":
+            ctx["groups"][sh.get("id")] = [
+                child for child in sh.findall("shape")
+            ]
+        elif stype == "instance":
+            gref = sh.find("ref")
+            group = ctx["groups"].get(gref.get("id") if gref is not None
+                                      else None, [])
+            for child in group:
+                cstype = _subst(child.get("type"), defaults)
+                cprops = _props(child, defaults)
+                cmat = shape_material(child)
+                cem = child.find("emitter")
+                crad = None
+                if cem is not None and cem.get("type") == "area":
+                    crad = _props(cem, defaults).get(
+                        "radiance", np.ones(3, np.float32))
+                ctnode = child.find("transform")
+                cm = _parse_transform(ctnode, defaults) \
+                    if ctnode is not None else np.eye(4, dtype=np.float32)
+                total = (m @ cm).astype(np.float32)
+                if cstype in ("obj", "ply", "serialized"):
+                    fname = cprops.get("filename")
+                    fp = fname if os.path.isabs(fname) else \
+                        os.path.join(base, fname)
+                    v, f, n, uvx = load_mesh(fp, cprops.get("shapeIndex", 0))
+                elif cstype == "rectangle":
+                    v, f, n, uvx = _unit_rect()
+                elif cstype == "cube":
+                    v, f, n, uvx = _unit_cube()
+                else:
+                    warnings.warn(
+                        f"instance child '{cstype}' unsupported, skipped")
+                    continue
+                v, n = _apply_transform(total, v, n)
+                meshes.append((v, f, n, uvx, cmat, crad))
         elif stype == "sphere":
             center = props.get("center", np.zeros(3, np.float32))
             radius = float(props.get("radius", 1.0))
@@ -416,19 +478,39 @@ def load_scene_xml(path: str, defaults: dict | None = None):
             directionals.append(
                 (d, props.get("irradiance", np.ones(3, np.float32)))
             )
-        elif etype in ("envmap", "sky", "sun", "sunsky"):
+        elif etype == "envmap":
+            fname = props.get("filename")
+            fpath = fname if os.path.isabs(fname) else os.path.join(base,
+                                                                    fname)
+            if fname.lower().endswith(".exr"):
+                from drmlt_mitsuba_tpu.utils.exr import read_exr
+
+                env_img = read_exr(fpath)[..., :3]
+            else:
+                from PIL import Image
+
+                im = np.asarray(Image.open(fpath).convert("RGB"),
+                                np.float32) / 255.0
+                env_img = np.where(im <= 0.04045, im / 12.92,
+                                   ((im + 0.055) / 1.055) ** 2.4)
+            env_img = env_img * float(props.get("scale", 1.0))
+        elif etype in ("sky", "sun", "sunsky"):
             warnings.warn(f"emitter '{etype}' approximated as constant")
             env_radiance = env_radiance + np.full(3, 1.0, np.float32)
         else:
             warnings.warn(f"unsupported emitter '{etype}', skipped")
 
     sensor = root.find("sensor")
+    sensor_kind = 0
     fov = 39.3077
     aspect = None
     to_world = np.eye(4, dtype=np.float32)
     aperture = 0.0
     focus = 1.0
     if sensor is not None:
+        stype_s = _subst(sensor.get("type"), defaults)
+        sensor_kind = {"perspective": 0, "thinlens": 0, "orthographic": 1,
+                       "spherical": 2}.get(stype_s, 0)
         sprops = _props(sensor, defaults)
         fov = float(sprops.get("fov", fov))
         fov_axis = sprops.get("fovAxis", "x")
@@ -549,6 +631,7 @@ def load_scene_xml(path: str, defaults: dict | None = None):
         point_intensity=np.stack([i for _, i in points]) if points else None,
         directional=directionals or None,
         spots=spots or None,
+        env_image=env_img,
     )
     area_rows = np.nonzero(np.asarray(emitters.kind) == 0)[0]
     row_of_tri = np.full(len(faces), -1, np.int32)
@@ -573,7 +656,9 @@ def load_scene_xml(path: str, defaults: dict | None = None):
         sph = st.empty_spheres()
 
     aspect = settings.width / settings.height
-    camera = st.make_camera(to_world, fov, aspect, aperture, focus)
+    fov_arg = fov if sensor_kind == 0 else 1.0
+    camera = st.make_camera(to_world, fov_arg, aspect, aperture, focus,
+                            kind=sensor_kind)
     textures = None
     if ctx["textures"]:
         textures = st.TextureAtlas(

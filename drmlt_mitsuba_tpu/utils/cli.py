@@ -140,6 +140,33 @@ def render(scene, settings, args, log):
                               scale=W * H / (n_chunks * chunk))
         return np.asarray(img), stats, None
 
+    if itype == "erpt":
+        from drmlt_mitsuba_tpu.integrators.erpt import (
+            ERPTConfig, render_erpt,
+        )
+        from drmlt_mitsuba_tpu.integrators.layout import (
+            PathConfig as _PC,
+        )
+
+        pcfg = PathConfig(max_depth=int(icfg.get("maxDepth", 8)),
+                          rr_depth=100)
+        trace = lambda u: trace_paths(scene, pcfg, u)
+        ecfg = ERPTConfig(
+            n_chains=int(icfg.get("chains", 4096)),
+            chain_length=int(icfg.get("numChains", 100)),
+            samples_per_batch=int(icfg.get("luminanceSamples", 16384)),
+        )
+        n_batches = max(1, W * H * settings.spp
+                        // (ecfg.n_chains * ecfg.chain_length))
+        img, aux = render_erpt(trace, ecfg, fc, key, pcfg.n_dims, n_batches)
+        return np.asarray(img), stats, None
+
+    if itype == "mlt":
+        # Veach path-space MLT capability is served by the PSS family here
+        # (SURVEY §2.5); map `mlt` to Gaussian-mutation PSSMLT
+        icfg = {**icfg, "type": "pssmlt", "kelemenStyleMutation": False}
+        itype = "pssmlt"
+
     if itype not in ("pssmlt", "drmlt"):
         raise SystemExit(f"unknown integrator '{itype}'")
 
