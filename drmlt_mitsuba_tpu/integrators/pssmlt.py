@@ -34,7 +34,14 @@ from drmlt_mitsuba_tpu.integrators.mcmc import (
 
 @dataclasses.dataclass(frozen=True)
 class PSSMLTConfig:
-    """Options mirror the reference pssmlt plugin (pssmlt.cpp:297-307)."""
+    """Options mirror the reference pssmlt plugin (pssmlt.cpp:297-307).
+
+    p_lens adds a PSS analog of the Veach lens perturbation
+    (src/libbidir/mut_lens.cpp): with that probability a small step
+    perturbs ONLY the image-plane dims (re-aiming the eye ray while the
+    rest of the path replays), the primary-sample-space counterpart of
+    perturbing the lens edge.  p_caustic analogously perturbs only the
+    final-bounce dims (mut_caustic.cpp re-seeds the last segment)."""
     n_chains: int = 8192
     p_large: float = 0.3
     kelemen_style_mutation: bool = True   # Kelemen hole vs Gaussian
@@ -43,6 +50,10 @@ class PSSMLTConfig:
     mutation_size_high: float = kernels.S2_DEFAULT
     sigma: float = kernels.SIGMA_DEFAULT
     n_bootstrap: int = 100_000            # luminanceSamples
+    p_lens: float = 0.0                   # lens-perturbation probability
+    p_caustic: float = 0.0                # caustic-perturbation probability
+    lens_sigma: float = 0.02              # image-space gaussian
+    caustic_dims: int = 7                 # trailing dims for p_caustic
 
 
 def _small_step_kernel(cfg: PSSMLTConfig):
@@ -54,13 +65,34 @@ def _small_step_kernel(cfg: PSSMLTConfig):
 def propose(cfg: PSSMLTConfig, key, u, pinned_mask=None):
     """Full-state proposal for all chains: (u', large_step_mask).
 
-    pinned_mask: dims never mutated (MMLT per-chain depth)."""
+    Mutation mixture per chain: large step | full small step | lens
+    perturbation (image dims only) | caustic perturbation (trailing
+    dims only).  pinned_mask: dims never mutated (MMLT per-chain depth)."""
     C, D = u.shape
-    k_coin, k_large, k_kern = jax.random.split(key, 3)
-    large = jax.random.uniform(k_coin, (C,)) < cfg.p_large
+    k_coin, k_large, k_kern, k_mut = jax.random.split(key, 4)
+    coin = jax.random.uniform(k_coin, (C,))
+    large = coin < cfg.p_large
+    pick_lens = (~large) & (coin < cfg.p_large + cfg.p_lens)
+    pick_caustic = (
+        (~large) & ~pick_lens
+        & (coin < cfg.p_large + cfg.p_lens + cfg.p_caustic)
+    )
     u_large = jax.random.uniform(k_large, (C, D))
     u2 = jax.random.uniform(k_kern, (C, D, 2))
     du = _small_step_kernel(cfg).sample(u2)
+    if cfg.p_lens > 0 or cfg.p_caustic > 0:
+        dim = jnp.arange(D)
+        img_dims = dim < 2
+        tail_dims = dim >= (D - cfg.caustic_dims)
+        du_lens = jnp.where(
+            img_dims[None, :],
+            kernels.Gaussian(cfg.lens_sigma).sample(u2), 0.0,
+        )
+        du = jnp.where(pick_lens[:, None], du_lens, du)
+        du = jnp.where(
+            pick_caustic[:, None],
+            jnp.where(tail_dims[None, :], du, 0.0), du,
+        )
     u_small = pss_wrap(u + du)
     out = jnp.where(large[:, None], u_large, u_small)
     if pinned_mask is not None:

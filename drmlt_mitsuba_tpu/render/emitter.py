@@ -135,7 +135,12 @@ def sample_emitter_direct(scene: Scene, p_ref, u3) -> DirectSample:
     axis = e_aux[..., :3]
     cos_cut = e_aux[..., 3]
     cos_spot = -jnp.sum(d_p * axis, axis=-1)
-    spot_f = jnp.where(cos_spot >= cos_cut, 1.0, 0.0)
+    # smooth falloff between beamWidth (0.75 * cutoff angle, the
+    # reference default) and the cutoff (ref: spot.cpp falloffCurve)
+    cos_beam = jnp.cos(jnp.arccos(jnp.clip(cos_cut, -1, 1)) * 0.75)
+    t_spot = safe_div(cos_spot - cos_cut, cos_beam - cos_cut)
+    spot_f = jnp.clip(t_spot, 0.0, 1.0)
+    spot_f = jnp.where(cos_spot >= cos_beam, 1.0, spot_f)
     rad_spot = rad_p * spot_f[..., None]
 
     # ---- directional rows -------------------------------------------------

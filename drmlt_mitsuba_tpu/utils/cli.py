@@ -258,6 +258,36 @@ def render(scene, settings, args, log):
             return drmlt_step(trace, dcfg, fc, frozen, carry, k,
                               pinned_mask=pinned, **extras)
 
+    # ---- sharded multi-device run (chains over the (host, chain) mesh) --
+    if args.shard and len(jax.devices()) > 1:
+        from drmlt_mitsuba_tpu.parallel.distributed import (
+            render_mcmc_sharded,
+        )
+        from drmlt_mitsuba_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        log.info("sharded render over mesh %s", dict(mesh.shape))
+
+        if itype == "pssmlt":
+            def sharded_step(bv, carry, k):
+                (st2, fl2), s2 = pssmlt_step(
+                    trace, mcfg, bv, fc, (carry[0], carry[1]), k, pinned
+                )
+                return (st2, fl2, carry[2]), s2
+        else:
+            def sharded_step(bv, carry, k):
+                return drmlt_step(trace, dcfg, fc, frozen, carry, k,
+                                  pinned_mask=pinned, **extras)
+
+        film_s, b_s, state_s, stats_s = render_mcmc_sharded(
+            mesh, trace, sharded_step, fc, jax.random.fold_in(key, 7),
+            n_dims, n_chains=n_chains, n_steps=n_steps, n_bootstrap=n_boot,
+        )
+        stats.record_mcmc(jax.tree.map(np.asarray, stats_s), n_chains)
+        img = _develop_mcmc(fc, film_s, b_s, n_chains, n_steps, kelemen_w,
+                            imap, direct_img)
+        return img, stats, None
+
     film = filmlib.new_film(fc)
     accmap = filmlib.new_film(fc) if icfg.get("acceptanceMap") else None
 
@@ -373,6 +403,9 @@ def main(argv=None):
                     help="chain-state checkpoint file (written per block)")
     ap.add_argument("--resume", action="store_true",
                     help="resume from --checkpoint if present")
+    ap.add_argument("--shard", action="store_true",
+                    help="shard chains over all visible devices "
+                         "(multi-chip/multi-host SPMD)")
     args = ap.parse_args(argv)
 
     from drmlt_mitsuba_tpu.core.logger import setup_logging
@@ -399,7 +432,18 @@ def main(argv=None):
     dt = time.time() - t0
     log.info("render finished in %.1fs", dt)
 
-    write_exr(args.output, img)
+    if args.output.endswith(".png"):
+        from PIL import Image
+
+        srgb = np.where(
+            np.clip(img, 0, 1) <= 0.0031308, np.clip(img, 0, 1) * 12.92,
+            1.055 * np.maximum(np.clip(img, 0, 1), 1e-8) ** (1 / 2.4) - 0.055,
+        )
+        Image.fromarray((srgb * 255).astype(np.uint8)).save(args.output)
+    elif args.output.endswith(".npy"):
+        np.save(args.output, img)   # mfilm equivalent
+    else:
+        write_exr(args.output, img)
     log.info("wrote %s", args.output)
     if accmap is not None:
         base, _ = os.path.splitext(args.output)

@@ -66,3 +66,9 @@ def test_heatmap_tool(tmp_path):
     assert heat.shape == (8, 8, 3)
     # rows with stage-2 accepts are colored differently
     assert not np.allclose(heat[2], heat[0])
+
+
+def test_cli_sharded(tmp_path):
+    """--shard runs the chains over the virtual 8-device CPU mesh."""
+    img, out = _run(tmp_path, "-D", "integrator=drmlt", "--spp", "8",
+                    "--chains", "256", "--shard")

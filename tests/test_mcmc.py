@@ -169,3 +169,19 @@ class TestDRMLT:
         # R channel (stage-1 accepts) and G channel (stage-2) both populated
         assert am[..., 0].sum() > 0
         assert am[..., 1].sum() > 0
+
+
+class TestMutationMixture:
+    def test_lens_caustic_perturbations(self, cornell_small):
+        """The Veach lens/caustic perturbation analogs keep the chain
+        unbiased (consistency vs PT) while mutating only subsets of dims."""
+        scene, cfg, fc, ref = cornell_small
+        trace = lambda u: trace_paths(scene, cfg, u)
+        mcfg = PSSMLTConfig(n_chains=1024, n_bootstrap=16384,
+                            kelemen_style_weights=False,
+                            p_lens=0.2, p_caustic=0.2)
+        img, aux = render_pssmlt(trace, mcfg, fc, jax.random.PRNGKey(11),
+                                 cfg.n_dims, 600)
+        img = np.asarray(img)
+        assert np.all(np.isfinite(img))
+        assert _mean_rel_err(img, ref) < 0.15
