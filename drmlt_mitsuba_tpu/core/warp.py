@@ -100,3 +100,21 @@ def interval_to_tent(u):
     s = jnp.where(u < 0.5, 1.0, -1.0)
     x = jnp.where(u < 0.5, 2.0 * u, 2.0 - 2.0 * u)
     return s * (1.0 - safe_sqrt(x))
+
+
+def square_to_vmf(u, kappa):
+    """von Mises-Fisher direction around +z with concentration kappa
+    (ref: include/mitsuba/core/vmf.h)."""
+    w = 1.0 + jnp.log(
+        jnp.maximum(u[..., 0], 1e-38)
+        + (1.0 - u[..., 0]) * jnp.exp(-2.0 * kappa)
+    ) / kappa
+    r = safe_sqrt(1.0 - w * w)
+    phi = 2.0 * jnp.pi * u[..., 1]
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), w], axis=-1)
+
+
+def square_to_vmf_pdf(d, kappa):
+    """vMF pdf: kappa * e^{kappa cos} / (2 pi (e^k - e^-k))."""
+    c = kappa / (2.0 * jnp.pi * (1.0 - jnp.exp(-2.0 * kappa)))
+    return c * jnp.exp(kappa * (d[..., 2] - 1.0))

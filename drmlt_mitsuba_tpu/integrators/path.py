@@ -122,13 +122,21 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
 
         # ---- participating medium: distance sampling (volpath) -----------
         if medium is not None:
-            from drmlt_mitsuba_tpu.render.medium import sample_distance
+            from drmlt_mitsuba_tpu.render.medium import (
+                HeterogeneousMedium, sample_distance, sample_distance_hetero,
+            )
 
             t_surf = jnp.where(hit.valid, hit.t, 1.0e7)
-            md = sample_distance(
-                medium, ub_b[:, OFF_MED_CHANNEL], ub_b[:, OFF_MED_DIST],
-                t_surf,
-            )
+            if isinstance(medium, HeterogeneousMedium):
+                md = sample_distance_hetero(
+                    medium, carry["o"], carry["d"],
+                    ub_b[:, OFF_MED_CHANNEL], ub_b[:, OFF_MED_DIST], t_surf,
+                )
+            else:
+                md = sample_distance(
+                    medium, ub_b[:, OFF_MED_CHANNEL],
+                    ub_b[:, OFF_MED_DIST], t_surf,
+                )
             scattered = md["scattered"] & active
             tp = tp * md["weight"]
             p_med = carry["o"] + md["t"][:, None] * carry["d"]
@@ -198,7 +206,8 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
             f_val, f_pdf = eval_bsdf(scene.materials, hit.mat_id, albedo, wi, wo_l)
             if medium is not None:
                 from drmlt_mitsuba_tpu.render.medium import (
-                    hg_phase, transmittance,
+                    HeterogeneousMedium, hg_phase, transmittance,
+                    transmittance_hetero,
                 )
 
                 cos_ph = jnp.sum(carry["d"] * ds.d, axis=-1)
@@ -219,7 +228,13 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
             w_nee = jnp.where(ds.delta, 1.0, mis_power(ds.pdf, f_pdf))
             contrib = tp * f_val * ds.radiance * (w_nee / jnp.maximum(ds.pdf, 1e-20))[:, None]
             if medium is not None:
-                contrib = contrib * transmittance(medium, ds.dist)
+                if isinstance(medium, HeterogeneousMedium):
+                    contrib = contrib * transmittance_hetero(
+                        medium, shadow_o, ds.d, ds.dist,
+                        ub_b[:, OFF_MED_DIST],
+                    )
+                else:
+                    contrib = contrib * transmittance(medium, ds.dist)
             sh_contrib = jnp.where(nee_ok[:, None], contrib, 0.0)
             sh_o = shadow_o
             sh_d = ds.d

@@ -33,7 +33,8 @@ from drmlt_mitsuba_tpu.render.microfacet import (
 from drmlt_mitsuba_tpu.scene.types import (
     BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_DIFFUSE, BSDF_MIRROR, BSDF_NULL,
     BSDF_PHONG, BSDF_PLASTIC, BSDF_ROUGH_CONDUCTOR, BSDF_ROUGH_DIELECTRIC,
-    BSDF_ROUGH_DIFFUSE, BSDF_ROUGH_PLASTIC, BSDF_THIN_DIELECTRIC,
+    BSDF_DIFFTRANS, BSDF_ROUGH_DIFFUSE, BSDF_ROUGH_PLASTIC,
+    BSDF_THIN_DIELECTRIC,
     BSDF_WARD, MaterialTable,
 )
 
@@ -41,7 +42,7 @@ ALL_KINDS = (
     BSDF_DIFFUSE, BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_ROUGH_CONDUCTOR,
     BSDF_PLASTIC, BSDF_ROUGH_PLASTIC, BSDF_THIN_DIELECTRIC,
     BSDF_ROUGH_DIELECTRIC, BSDF_MIRROR, BSDF_NULL, BSDF_PHONG, BSDF_WARD,
-    BSDF_ROUGH_DIFFUSE,
+    BSDF_ROUGH_DIFFUSE, BSDF_DIFFTRANS,
 )
 
 DELTA_KINDS = (BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_MIRROR, BSDF_NULL,
@@ -151,6 +152,17 @@ def eval_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, wo):
             m = (kind == kk) & same_side & upper
             value = jnp.where(m[..., None], pl_val, value)
             pdf = jnp.where(m, pl_pdf, pdf)
+
+    if _present(table, BSDF_DIFFTRANS):
+        # diffuse transmitter: T/pi on the OPPOSITE hemisphere
+        # (ref: difftrans.cpp behavior)
+        dt_val = albedo_tex * (INV_PI * abs_cos_o)[..., None]
+        dt_pdf = square_to_cosine_hemisphere_pdf(
+            jnp.stack([wo[..., 0], wo[..., 1], abs_cos_o], -1)
+        )
+        m = (kind == BSDF_DIFFTRANS) & ~same_side
+        value = jnp.where(m[..., None], dt_val, value)
+        pdf = jnp.where(m, dt_pdf, pdf)
 
     if _present(table, BSDF_ROUGH_DIFFUSE):
         # Oren-Nayar qualitative model (ref: roughdiffuse.cpp "fast" mode)
@@ -427,6 +439,13 @@ def sample_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, u3) -> BsdfSample:
         val_on, pdf_on = eval_bsdf(table, mat_id, albedo_tex, wi, wo_on)
         w_on = val_on / jnp.maximum(pdf_on, 1e-12)[..., None]
         setk(BSDF_ROUGH_DIFFUSE, wo_on, w_on, pdf_on, false_)
+
+    if _present(table, BSDF_DIFFTRANS):
+        # cosine-sample the hemisphere OPPOSITE the incident side
+        wo_dt = square_to_cosine_hemisphere(u2) * (-sign_i[..., None])
+        pdf_dt = square_to_cosine_hemisphere_pdf(
+            wo_dt * (-sign_i[..., None]))
+        setk(BSDF_DIFFTRANS, wo_dt, albedo_tex, pdf_dt, false_)
 
     if _present(table, BSDF_PHONG) or _present(table, BSDF_WARD):
         # mixture: diffuse cosine lobe vs specular lobe, picked by uc

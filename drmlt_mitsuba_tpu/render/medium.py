@@ -94,3 +94,159 @@ def sample_hg(g, wi, u2):
     wo = frame.to_world(fwd, local)
     pdf = hg_phase(g, cos_t)
     return wo, pdf
+
+
+@struct.dataclass
+class HeterogeneousMedium:
+    """Grid-density medium (ref: src/medium/heterogeneous.cpp + gridvolume):
+    density (D, H, W) sampled trilinearly in the unit cube mapped by
+    world_to_grid; extinction = density * sigma_t.
+
+    Distance sampling is Woodcock (delta) tracking with a bounded step
+    count.  The tracking RNG stream derives deterministically from the
+    per-bounce PSS uniforms, so L(u) stays a pure, replayable function —
+    MCMC proposals that move the medium dims re-randomize the collision
+    chain (a measurable, unbiased re-parameterization; mixing, not
+    correctness, is affected)."""
+    density: jnp.ndarray        # (D, H, W)
+    world_to_grid: jnp.ndarray  # (4, 4): world -> [0,1]^3
+    sigma_t: jnp.ndarray        # (3,)
+    albedo: jnp.ndarray         # (3,)
+    g: jnp.ndarray              # scalar
+    majorant: jnp.ndarray       # scalar: max density
+
+
+def make_hetero_medium(density, world_to_grid, sigma_t, albedo, g=0.0):
+    density = jnp.asarray(density, jnp.float32)
+    return HeterogeneousMedium(
+        density=density,
+        world_to_grid=jnp.asarray(world_to_grid, jnp.float32),
+        sigma_t=jnp.asarray(sigma_t, jnp.float32).reshape(3),
+        albedo=jnp.asarray(albedo, jnp.float32).reshape(3),
+        g=jnp.float32(g),
+        majorant=jnp.max(density),
+    )
+
+
+def _grid_density(med: HeterogeneousMedium, p_world):
+    """Trilinear density lookup; zero outside the unit-cube mapping."""
+    from drmlt_mitsuba_tpu.core.transform import apply_point
+
+    q = apply_point(med.world_to_grid, p_world)
+    D, H, W = med.density.shape
+    inside = jnp.all((q >= 0.0) & (q <= 1.0), axis=-1)
+    x = jnp.clip(q[..., 0], 0.0, 1.0 - 1e-6) * (W - 1)
+    y = jnp.clip(q[..., 1], 0.0, 1.0 - 1e-6) * (H - 1)
+    z = jnp.clip(q[..., 2], 0.0, 1.0 - 1e-6) * (D - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    z0 = jnp.floor(z).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    z1 = jnp.minimum(z0 + 1, D - 1)
+    fx, fy, fz = x - x0, y - y0, z - z0
+    g = med.density
+    c = (
+        (g[z0, y0, x0] * (1 - fx) + g[z0, y0, x1] * fx) * (1 - fy)
+        + (g[z0, y1, x0] * (1 - fx) + g[z0, y1, x1] * fx) * fy
+    ) * (1 - fz) + (
+        (g[z1, y0, x0] * (1 - fx) + g[z1, y0, x1] * fx) * (1 - fy)
+        + (g[z1, y1, x0] * (1 - fx) + g[z1, y1, x1] * fx) * fy
+    ) * fz
+    return jnp.where(inside, c, 0.0)
+
+
+_WOODCOCK_STEPS = 64
+
+
+def sample_distance_hetero(med: HeterogeneousMedium, o, d, u_channel,
+                           u_dist, t_surface):
+    """Woodcock tracking along rays (o, d) up to t_surface.
+
+    The collision stream derives from (u_channel, u_dist): bits of the two
+    uniforms seed a threefry key per lane.  Returns the same dict contract
+    as the homogeneous sample_distance; the weight is the standard
+    delta-tracking single-sample estimator (albedo applied on scatter).
+    """
+    import jax
+
+    R = o.shape[0]
+    sig_bar = jnp.maximum(
+        med.majorant * jnp.max(med.sigma_t), 1e-12
+    )
+    # lane keys from the PSS uniforms (deterministic, replayable)
+    seeds = (
+        (u_channel * 16777216.0).astype(jnp.uint32) * jnp.uint32(65537)
+        + (u_dist * 16777216.0).astype(jnp.uint32)
+    )
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        jax.random.PRNGKey(1234), seeds
+    )
+
+    def body(i, carry):
+        t, done, scattered, key = carry
+        k1, k2, key = jax.vmap(lambda k: tuple(jax.random.split(k, 3)))(key)
+        step = -jnp.log(jnp.maximum(
+            1.0 - jax.vmap(lambda k: jax.random.uniform(k))(k1), 1e-38
+        )) / sig_bar
+        t_new = t + step
+        exited = t_new >= t_surface
+        p = o + t_new[:, None] * d
+        dens = _grid_density(med, p)
+        sig_local = dens * jnp.max(med.sigma_t)
+        real = (jax.vmap(lambda k: jax.random.uniform(k))(k2)
+                < sig_local / sig_bar)
+        newly_scattered = ~done & ~exited & real
+        newly_done = ~done & (exited | real)
+        t = jnp.where(done, t, t_new)
+        scattered = scattered | newly_scattered
+        done = done | newly_done
+        return t, done, scattered, key
+
+    t0 = jnp.zeros((R,))
+    done0 = jnp.zeros((R,), bool)
+    sc0 = jnp.zeros((R,), bool)
+    t, done, scattered, _ = jax.lax.fori_loop(
+        0, _WOODCOCK_STEPS, body, (t0, done0, sc0, keys)
+    )
+    # lanes that never terminated within the step budget escape
+    t = jnp.where(scattered, jnp.minimum(t, t_surface * (1 - 1e-6)),
+                  t_surface)
+    # delta-tracking null collisions cancel: weight 1 on escape,
+    # albedo on real scatter (monochromatic majorant => exact)
+    weight = jnp.where(scattered[:, None], med.albedo[None, :],
+                       jnp.ones((R, 3)))
+    return dict(scattered=scattered, t=t, weight=weight)
+
+
+def transmittance_hetero(med: HeterogeneousMedium, o, d, dist, u_seed,
+                         n_steps: int = 32):
+    """Ratio-tracking transmittance estimate along shadow rays (unbiased;
+    the stream again derives from a PSS uniform)."""
+    import jax
+
+    R = o.shape[0]
+    sig_bar = jnp.maximum(med.majorant * jnp.max(med.sigma_t), 1e-12)
+    seeds = (u_seed * 16777216.0).astype(jnp.uint32)
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        jax.random.PRNGKey(4321), seeds
+    )
+
+    def body(i, carry):
+        t, tr, key = carry
+        k1, key = jax.vmap(lambda k: tuple(jax.random.split(k)))(key)
+        step = -jnp.log(jnp.maximum(
+            1.0 - jax.vmap(lambda k: jax.random.uniform(k))(k1), 1e-38
+        )) / sig_bar
+        t = t + step
+        inside = t < dist
+        p = o + t[:, None] * d
+        dens = _grid_density(med, p)
+        ratio = 1.0 - dens * jnp.max(med.sigma_t) / sig_bar
+        tr = jnp.where(inside, tr * jnp.maximum(ratio, 0.0), tr)
+        return t, tr, key
+
+    t0 = jnp.zeros((R,))
+    tr0 = jnp.ones((R,))
+    _, tr, _ = jax.lax.fori_loop(0, n_steps, body, (t0, tr0, keys))
+    return tr[:, None] * jnp.ones((1, 3))

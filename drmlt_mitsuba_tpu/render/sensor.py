@@ -22,8 +22,36 @@ def sample_ray(camera: Camera, uv, u_aperture=None):
     Returns (o, d) world-space origins/directions (unit).
     """
     from drmlt_mitsuba_tpu.scene.types import (
-        CAMERA_ORTHOGRAPHIC, CAMERA_SPHERICAL,
+        CAMERA_ORTHOGRAPHIC, CAMERA_RADIANCEMETER, CAMERA_SPHERICAL,
+        CAMERA_TELECENTRIC,
     )
+
+    if camera.kind == CAMERA_RADIANCEMETER:
+        # every sample measures the same ray (ref: radiancemeter.cpp)
+        o = jnp.broadcast_to(camera.to_world[:3, 3], uv.shape[:-1] + (3,))
+        d = jnp.broadcast_to(
+            normalize(camera.to_world[:3, 2]), uv.shape[:-1] + (3,)
+        )
+        return o, d
+
+    if camera.kind == CAMERA_TELECENTRIC:
+        # ref: telecentric.cpp — parallel projection with per-pixel thin
+        # lens: each film point carries its own aperture disk; rays
+        # converge on the focal plane at focus_distance along +z
+        x = (2.0 * uv[..., 0] - 1.0) * camera.tan_half_fov_x
+        y = (1.0 - 2.0 * uv[..., 1]) * camera.tan_half_fov_y
+        if u_aperture is None:
+            u_aperture = jnp.full(uv.shape[:-1] + (2,), 0.5)
+        lens = (square_to_uniform_disk_concentric(u_aperture)
+                * camera.aperture_radius)
+        o_cam = jnp.stack([x + lens[..., 0], y + lens[..., 1],
+                           jnp.zeros_like(x)], axis=-1)
+        p_focus = jnp.stack(
+            [x, y, jnp.full_like(x, camera.focus_distance)], axis=-1
+        )
+        o = apply_point(camera.to_world, o_cam)
+        d = normalize(apply_vector(camera.to_world, p_focus - o_cam))
+        return o, d
 
     if camera.kind == CAMERA_ORTHOGRAPHIC:
         # parallel rays along +z; film extents in tan_half_fov_*

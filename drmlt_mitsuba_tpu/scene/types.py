@@ -32,6 +32,7 @@ BSDF_NULL = 9             # passthrough
 BSDF_PHONG = 10
 BSDF_WARD = 11
 BSDF_ROUGH_DIFFUSE = 12   # Oren-Nayar
+BSDF_DIFFTRANS = 13       # diffuse transmitter (ref: src/bsdfs/difftrans.cpp)
 
 DELTA_BSDFS = (BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_MIRROR, BSDF_NULL,
                BSDF_THIN_DIELECTRIC)
@@ -125,6 +126,8 @@ class EmitterTable:
 CAMERA_PERSPECTIVE = 0
 CAMERA_ORTHOGRAPHIC = 1
 CAMERA_SPHERICAL = 2
+CAMERA_RADIANCEMETER = 3   # single-direction probe
+CAMERA_TELECENTRIC = 4     # orthographic with finite aperture (DOF)
 
 
 @struct.dataclass

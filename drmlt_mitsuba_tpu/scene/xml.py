@@ -7,15 +7,18 @@ parses the reference's XML dialect — named plugins + typed properties +
 integrator/sampler/film configuration.
 
 Supported subset (SURVEY.md §2.6 minimum rebuild set):
-  shapes   : obj, ply, serialized, rectangle, cube, sphere, disk
+  shapes   : obj, ply, serialized, rectangle, cube, sphere, disk, cylinder,
+             heightfield, instance/shapegroup
   bsdfs    : diffuse, roughdiffuse, conductor, roughconductor, dielectric,
-             thindielectric, roughdielectric (as rough approx), plastic,
-             roughplastic, phong/ward (mapped to roughconductor-equivalent
-             gloss), mask/bumpmap/normalmap/twosided/mixturebsdf (unwrap to
-             nested), null
-  emitters : area, constant, point, spot (as point), sky/sun/sunsky/envmap
-             (as constant average with a warning)
-  sensors  : perspective, thinlens
+             thindielectric, roughdielectric, plastic, roughplastic, phong,
+             ward, difftrans, mask/bumpmap/normalmap/twosided/mixturebsdf
+             (unwrap to nested), null
+  emitters : area, constant, point, spot, directional, envmap (image,
+             importance sampled), sky/sun/sunsky (Preetham bake ->
+             envmap, scene/sunsky.py)
+  media    : homogeneous, heterogeneous (gridvolume .vol / constvolume)
+  sensors  : perspective, thinlens, orthographic, spherical, radiancemeter,
+             telecentric
   films    : hdrfilm, ldrfilm, mfilm; rfilters box/tent/gaussian/mitchell/
              catmullrom/lanczos
   samplers : independent/stratified/ldsampler/halton/hammersley/sobol (spp
@@ -229,6 +232,7 @@ def _parse_bsdf(node, defaults, ctx, base_dir=""):
         "roughplastic": st.BSDF_ROUGH_PLASTIC,
         "phong": st.BSDF_PHONG,
         "ward": st.BSDF_WARD,
+        "difftrans": st.BSDF_DIFFTRANS,
         "null": st.BSDF_NULL,
         "mirror": st.BSDF_MIRROR,
     }
@@ -239,6 +243,8 @@ def _parse_bsdf(node, defaults, ctx, base_dir=""):
 
     mat = dict(kind=kind, two_sided=True, tex_id=tex_id)
     refl = props.get("reflectance", props.get("diffuseReflectance"))
+    if kind == st.BSDF_DIFFTRANS:
+        refl = props.get("transmittance", refl)
     if refl is not None:
         mat["albedo"] = refl
     if "specularReflectance" in props:
@@ -298,6 +304,36 @@ def _apply_transform(m, v, n):
         ln = np.linalg.norm(n2, axis=-1, keepdims=True)
         n2 = n2 / np.maximum(ln, 1e-20)
     return v2.astype(np.float32), n2
+
+
+def read_vol(path: str):
+    """Read a Mitsuba binary grid volume (.vol): 'VOL' magic, version 3,
+    encoding int32 (1=float32), res (x,y,z) int32, channels int32, aabb
+    6*float32, then x-fastest data.  Returns (density (D,H,W), bb_min,
+    bb_max).  Ref format: gridvolume's on-disk layout (SURVEY §2.6 media)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:3] != b"VOL":
+        raise ValueError(f"{path}: not a VOL file")
+    enc, xr, yr, zr, ch = np.frombuffer(raw[4:24], np.int32)
+    bb = np.frombuffer(raw[24:48], np.float32)
+    if enc != 1:
+        raise ValueError(f"{path}: only float32 encoding supported")
+    data = np.frombuffer(raw[48:48 + 4 * xr * yr * zr * ch], np.float32)
+    data = data.reshape(zr, yr, xr, ch)[..., 0]
+    return np.ascontiguousarray(data), bb[:3].copy(), bb[3:].copy()
+
+
+def write_vol(path: str, density, bb_min, bb_max):
+    """Write a float32 single-channel .vol grid (inverse of read_vol)."""
+    density = np.asarray(density, np.float32)
+    zr, yr, xr = density.shape
+    with open(path, "wb") as f:
+        f.write(b"VOL" + bytes([3]))
+        f.write(np.asarray([1, xr, yr, zr, 1], np.int32).tobytes())
+        f.write(np.asarray(list(bb_min) + list(bb_max),
+                           np.float32).tobytes())
+        f.write(density.tobytes())
 
 
 def load_scene_xml(path: str, defaults: dict | None = None):
@@ -404,6 +440,32 @@ def load_scene_xml(path: str, defaults: dict | None = None):
             v2, _ = _apply_transform(m, v, None)
             meshes.append((v2, np.asarray(f, np.int32), None, None,
                            mat_idx, radiance))
+        elif stype == "heightfield":
+            from PIL import Image
+
+            fname = props.get("filename")
+            if fname:
+                fp = fname if os.path.isabs(fname) else os.path.join(base,
+                                                                     fname)
+                hm = np.asarray(Image.open(fp).convert("L"),
+                                np.float32) / 255.0
+            else:
+                hm = np.zeros((16, 16), np.float32)
+            hm = hm * float(props.get("scale", 1.0))
+            hh, ww = hm.shape
+            xs = np.linspace(-1, 1, ww)
+            zs = np.linspace(-1, 1, hh)
+            XX, ZZ = np.meshgrid(xs, zs, indexing="xy")
+            v = np.stack([XX, hm, ZZ], -1).reshape(-1, 3).astype(np.float32)
+            f = []
+            for iy in range(hh - 1):
+                for ix in range(ww - 1):
+                    a = iy * ww + ix
+                    f.append([a, a + 1, a + ww + 1])
+                    f.append([a, a + ww + 1, a + ww])
+            v2, _ = _apply_transform(m, v, None)
+            meshes.append((v2, np.asarray(f, np.int32), None, None,
+                           mat_idx, radiance))
         elif stype == "shapegroup":
             ctx["groups"][sh.get("id")] = [
                 child for child in sh.findall("shape")
@@ -495,10 +557,108 @@ def load_scene_xml(path: str, defaults: dict | None = None):
                                    ((im + 0.055) / 1.055) ** 2.4)
             env_img = env_img * float(props.get("scale", 1.0))
         elif etype in ("sky", "sun", "sunsky"):
-            warnings.warn(f"emitter '{etype}' approximated as constant")
-            env_radiance = env_radiance + np.full(3, 1.0, np.float32)
+            # analytic daylight baked to an envmap (scene/sunsky.py)
+            from drmlt_mitsuba_tpu.scene.sunsky import (
+                bake_sky, sun_direction_from_time,
+            )
+
+            sd = props.get("sunDirection")
+            if sd is None:
+                sd = sun_direction_from_time(
+                    year=int(props.get("year", 2010)),
+                    month=int(props.get("month", 7)),
+                    day=int(props.get("day", 10)),
+                    hour=float(props.get("hour", 15.0)),
+                    latitude=float(props.get("latitude", 35.6894)),
+                    longitude=float(props.get("longitude", 139.6917)),
+                    timezone=float(props.get("timezone", 9.0)),
+                )
+            scale = float(props.get("scale", 1.0))
+            baked = bake_sky(
+                turbidity=float(props.get("turbidity", 3.0)),
+                sun_dir=sd,
+                height=int(props.get("resolution", 512)) // 4,
+                with_sky=etype != "sun",
+                with_sun=etype != "sky",
+                sky_scale=float(props.get("skyScale", 1.0)) * scale,
+                sun_scale=float(props.get("sunScale", 1.0))
+                * float(props.get("sunRadiusScale", 1.0)) ** 0 * scale,
+                ground_albedo=float(np.mean(np.asarray(
+                    props.get("albedo", 0.15), np.float32))),
+            )
+            env_img = baked if env_img is None else env_img + baked
         else:
             warnings.warn(f"unsupported emitter '{etype}', skipped")
+
+    # ---- participating media (ref: medium plugins, SURVEY §2.6) ----------
+    # A single global medium: first <medium> found anywhere (Mitsuba scenes
+    # attach the exterior medium to the sensor or reference it by id).
+    medium = None
+    for md in root.iter("medium"):
+        mtype = _subst(md.get("type"), defaults)
+        props = _props(md, defaults)
+        g = 0.0
+        ph = md.find("phase")
+        if ph is not None and _subst(ph.get("type"), defaults) == "hg":
+            g = float(_props(ph, defaults).get("g", 0.0))
+        sigma_t = props.get("sigmaT")
+        albedo = props.get("albedo")
+        if sigma_t is None and "sigmaS" in props:
+            ss = np.asarray(props["sigmaS"], np.float32) * np.ones(3)
+            sa = np.asarray(props.get("sigmaA", 0.0), np.float32) * np.ones(3)
+            sigma_t = ss + sa
+            albedo = ss / np.maximum(sigma_t, 1e-20)
+        if sigma_t is None:
+            sigma_t = np.ones(3, np.float32)
+        if albedo is None:
+            albedo = np.full(3, 0.75, np.float32)
+        sigma_t = np.asarray(sigma_t, np.float32) * float(
+            props.get("scale", 1.0)) * np.ones(3)
+        albedo = np.asarray(albedo, np.float32) * np.ones(3)
+        if mtype == "heterogeneous":
+            from drmlt_mitsuba_tpu.render.medium import make_hetero_medium
+
+            density, w2g = None, None
+            for vol in md.findall("volume"):
+                if _subst(vol.get("name"), defaults) != "density":
+                    continue
+                vtype = _subst(vol.get("type"), defaults)
+                vprops = _props(vol, defaults)
+                if vtype == "gridvolume":
+                    fname = vprops["filename"]
+                    fpath = fname if os.path.isabs(fname) else os.path.join(
+                        base, fname)
+                    density, bb_min, bb_max = read_vol(fpath)
+                elif vtype == "constvolume":
+                    density = np.full((2, 2, 2),
+                                      float(vprops.get("value", 1.0)),
+                                      np.float32)
+                    bb_min = np.full(3, -1e4, np.float32)
+                    bb_max = np.full(3, 1e4, np.float32)
+                else:
+                    warnings.warn(f"unsupported volume '{vtype}'")
+                    continue
+                ext = np.maximum(bb_max - bb_min, 1e-20)
+                w2g = np.eye(4, dtype=np.float32)
+                w2g[:3, :3] = np.diag(1.0 / ext)
+                w2g[:3, 3] = -bb_min / ext
+                tnode = vol.find("transform")
+                if tnode is not None:
+                    to_w = _parse_transform(tnode, defaults)
+                    w2g = w2g @ np.linalg.inv(to_w).astype(np.float32)
+            if density is None:
+                warnings.warn("heterogeneous medium without density volume, "
+                              "skipped")
+                continue
+            medium = make_hetero_medium(density, w2g, sigma_t, albedo, g)
+        else:
+            from drmlt_mitsuba_tpu.render.medium import make_medium
+
+            if mtype != "homogeneous":
+                warnings.warn(
+                    f"medium '{mtype}' approximated as homogeneous")
+            medium = make_medium(sigma_t, albedo, g)
+        break
 
     sensor = root.find("sensor")
     sensor_kind = 0
@@ -510,7 +670,7 @@ def load_scene_xml(path: str, defaults: dict | None = None):
     if sensor is not None:
         stype_s = _subst(sensor.get("type"), defaults)
         sensor_kind = {"perspective": 0, "thinlens": 0, "orthographic": 1,
-                       "spherical": 2}.get(stype_s, 0)
+                       "spherical": 2, "radiancemeter": 3, "telecentric": 4}.get(stype_s, 0)
         sprops = _props(sensor, defaults)
         fov = float(sprops.get("fov", fov))
         fov_axis = sprops.get("fovAxis", "x")
@@ -668,5 +828,6 @@ def load_scene_xml(path: str, defaults: dict | None = None):
         tris=tris, spheres=sph,
         materials=st.make_material_table(ctx["materials"]),
         emitters=emitters, camera=camera, textures=textures,
+        medium=medium,
     )
     return scene, settings

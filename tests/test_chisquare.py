@@ -92,6 +92,8 @@ class TestBsdfChi2:
                                   eta=(1.5, 1.5, 1.5), roughness=0.3)),
         ("plastic", dict(kind=st.BSDF_PLASTIC, albedo=(0.6, 0.6, 0.6),
                          eta=(1.49, 1.49, 1.49))),
+        ("difftrans", dict(kind=st.BSDF_DIFFTRANS,
+                           albedo=(0.9, 0.9, 0.9))),
     ])
     def test_lobe(self, name, mat):
         sample_fn, pdf_fn = _bsdf_case(mat)

@@ -119,3 +119,43 @@ class TestMis:
         )
         # degenerate
         assert float(mm.mis_power(jnp.asarray(0.0), jnp.asarray(0.0))) == 0.0
+
+
+class TestQuadSpline:
+    def test_gauss_legendre(self):
+        from drmlt_mitsuba_tpu.core.quad import integrate
+
+        v = float(integrate(lambda x: jnp.sin(x), 0.0, np.pi, 32))
+        np.testing.assert_allclose(v, 2.0, atol=1e-5)
+
+    def test_gauss_lobatto(self):
+        from drmlt_mitsuba_tpu.core.quad import gauss_lobatto
+
+        x, w = gauss_lobatto(6)
+        np.testing.assert_allclose(float(jnp.sum(w)), 2.0, atol=1e-5)
+        # integrates cubics exactly
+        v = float(jnp.sum(w * (np.asarray(x) ** 3 + 1.0)))
+        np.testing.assert_allclose(v, 2.0, atol=1e-5)
+
+    def test_catmull_rom(self):
+        from drmlt_mitsuba_tpu.core.quad import catmull_rom
+
+        xs = jnp.linspace(0, 1, 11)
+        ys = xs ** 2
+        v = catmull_rom(jnp.asarray(0.55), xs, ys)
+        np.testing.assert_allclose(float(v), 0.55 ** 2, atol=1e-3)
+
+
+class TestVmf:
+    def test_chi2(self):
+        from drmlt_mitsuba_tpu.core.chisquare import chi2_test
+
+        for kappa in [1.0, 10.0]:
+            r = chi2_test(
+                lambda key, n, k=kappa: warp.square_to_vmf(
+                    jax.random.uniform(key, (n, 2)), k
+                ),
+                lambda d, k=kappa: warp.square_to_vmf_pdf(d, k),
+                n_samples=300_000,
+            )
+            assert r.passed, (kappa, r)

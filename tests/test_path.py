@@ -132,3 +132,19 @@ def test_trace_jit_and_grad():
     assert np.all(np.isfinite(np.asarray(g)))
     # brighter walls -> more light: gradient positive
     assert float(jnp.sum(g)) > 0
+
+
+def test_furnace_difftrans():
+    """A perfect diffuse transmitter in the furnace also preserves unit
+    radiance (transmits everything it receives, diffusely)."""
+    from drmlt_mitsuba_tpu.scene import types as st
+
+    scene = furnace_sphere().replace(
+        materials=st.make_material_table(
+            [dict(kind=st.BSDF_DIFFTRANS, albedo=(1.0, 1.0, 1.0))]
+        )
+    )
+    cfg = PathConfig(max_depth=10, rr_depth=100, use_nee=False)
+    u = jax.random.uniform(jax.random.PRNGKey(0), (32768, cfg.n_dims))
+    lum = trace_paths(scene, cfg, u).lum
+    np.testing.assert_allclose(float(lum.mean()), 1.0, atol=1e-3)

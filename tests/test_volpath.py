@@ -98,3 +98,132 @@ class TestVolpath:
         )
         assert np.all(np.isfinite(np.asarray(img)))
         np.testing.assert_allclose(float(aux["b"]), ref, rtol=0.1)
+
+
+class TestHeterogeneous:
+    """Grid-medium oracles (ref: src/medium/heterogeneous.cpp — Woodcock
+    tracking; here the collision stream is PSS-derived so L(u) stays pure)."""
+
+    def _grid_scene(self, density, sig=2e-3):
+        import numpy as np
+
+        from drmlt_mitsuba_tpu.render.medium import make_hetero_medium
+        from drmlt_mitsuba_tpu.scene.builders import cornell_box
+
+        scene = cornell_box(16, 16)
+        # grid spans [-900, 900]^3: covers the camera AND the box
+        w2g = np.eye(4, dtype=np.float32) / 1800.0
+        w2g[:3, 3] = 0.5
+        w2g[3, 3] = 1.0
+        med = make_hetero_medium(density, w2g, [sig] * 3, [0.6] * 3, 0.1)
+        return scene.replace(medium=med)
+
+    def test_grid_density_trilinear(self):
+        import numpy as np
+
+        from drmlt_mitsuba_tpu.render.medium import (
+            _grid_density, make_hetero_medium,
+        )
+
+        w2g = np.eye(4, dtype=np.float32)
+        dens = np.zeros((2, 2, 2), np.float32)
+        dens[1] = 1.0  # density = z in the unit cube
+        med = make_hetero_medium(dens, w2g, [1.0] * 3, [1.0] * 3)
+        p = jnp.asarray([[0.5, 0.5, 0.25], [0.5, 0.5, 0.75],
+                         [0.5, 0.5, 2.0]])
+        d = _grid_density(med, p)
+        np.testing.assert_allclose(np.asarray(d), [0.25, 0.75, 0.0],
+                                   atol=1e-5)
+
+    def test_transmittance_ratio_tracking(self):
+        """Constant grid: ratio tracking must reproduce exp(-sigma d)."""
+        import numpy as np
+
+        from drmlt_mitsuba_tpu.render.medium import (
+            make_hetero_medium, transmittance_hetero,
+        )
+
+        sig = 3e-3
+        w2g = np.eye(4, dtype=np.float32) / 1800.0
+        w2g[:3, 3] = 0.5
+        w2g[3, 3] = 1.0
+        med = make_hetero_medium(np.ones((4, 4, 4), np.float32), w2g,
+                                 [sig] * 3, [1.0] * 3)
+        R = 20000
+        o = jnp.zeros((R, 3)) + jnp.asarray([278.0, 273.0, -100.0])
+        d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (R, 1))
+        dist = jnp.full((R,), 500.0)
+        u = jax.random.uniform(jax.random.PRNGKey(3), (R,))
+        tr = transmittance_hetero(med, o, d, dist, u)
+        np.testing.assert_allclose(
+            float(tr.mean()), np.exp(-sig * 500.0), rtol=0.03
+        )
+
+    def test_constant_grid_matches_homogeneous(self):
+        """A constant-density grid is a homogeneous medium: full-path
+        estimates must agree within MC error."""
+        import numpy as np
+
+        from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+        from drmlt_mitsuba_tpu.integrators.path import trace_paths
+        from drmlt_mitsuba_tpu.render.medium import make_medium
+        from drmlt_mitsuba_tpu.scene.builders import cornell_box
+
+        sig = 2e-3
+        homo = cornell_box(16, 16).replace(
+            medium=make_medium([sig] * 3, [0.6] * 3, 0.1)
+        )
+        het = self._grid_scene(np.ones((4, 4, 4), np.float32), sig)
+        cfg = PathConfig(max_depth=4, rr_depth=100)
+        u = jax.random.uniform(jax.random.PRNGKey(0), (65536, cfg.n_dims))
+        sh = trace_paths(homo, cfg, u).lum
+        sg = trace_paths(het, cfg, u).lum
+        se = float(sh.std() + sg.std()) / np.sqrt(sh.shape[0])
+        assert abs(float(sh.mean() - sg.mean())) < 4.0 * se, (
+            float(sh.mean()), float(sg.mean()), se)
+
+    def test_nonuniform_grid_between_bounds(self):
+        """Half-density grid sits between vacuum and full density, and a
+        spatially-varying grid differs from its mean-density constant."""
+        import numpy as np
+
+        from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+        from drmlt_mitsuba_tpu.integrators.path import trace_paths
+        from drmlt_mitsuba_tpu.scene.builders import cornell_box
+
+        cfg = PathConfig(max_depth=4, rr_depth=100)
+        u = jax.random.uniform(jax.random.PRNGKey(1), (32768, cfg.n_dims))
+        l_vac = float(trace_paths(cornell_box(16, 16), cfg, u).lum.mean())
+        l_full = float(trace_paths(
+            self._grid_scene(np.ones((4, 4, 4), np.float32)), cfg, u
+        ).lum.mean())
+        l_half = float(trace_paths(
+            self._grid_scene(np.full((4, 4, 4), 0.5, np.float32)), cfg, u
+        ).lum.mean())
+        assert l_full < l_half < l_vac, (l_full, l_half, l_vac)
+
+    def test_mcmc_over_hetero(self):
+        """DRMLT over the heterogeneous volpath target stays consistent
+        with plain MC on the same trace function."""
+        import numpy as np
+
+        from drmlt_mitsuba_tpu.core.spectrum import luminance
+        from drmlt_mitsuba_tpu.integrators.drmlt import (
+            DRMLTConfig, render_drmlt,
+        )
+        from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+        from drmlt_mitsuba_tpu.integrators.path import trace_paths
+        from drmlt_mitsuba_tpu.render.film import make_film_config
+
+        scene = self._grid_scene(np.ones((4, 4, 4), np.float32))
+        pcfg = PathConfig(max_depth=3, rr_depth=100)
+        trace = lambda u: trace_paths(scene, pcfg, u)
+        u = jax.random.uniform(jax.random.PRNGKey(2), (65536, pcfg.n_dims))
+        ref = float(trace(u).lum.mean())
+        fc = make_film_config(8, 8, "box")
+        dcfg = DRMLTConfig(type="green", n_chains=2048, n_bootstrap=8192)
+        n_dims = pcfg.n_dims + (pcfg.n_dims % 2)
+        img, _ = render_drmlt(trace, dcfg, fc, jax.random.PRNGKey(7),
+                              n_dims, n_steps=200)
+        got = float(luminance(jnp.asarray(img)).mean())
+        np.testing.assert_allclose(got, ref, rtol=0.25)

@@ -129,3 +129,145 @@ class TestExr:
         tol = 2e-3 if half else 1e-7
         assert r.shape == img.shape
         np.testing.assert_allclose(r, img, atol=tol)
+
+
+class TestMediumXml:
+    def test_vol_roundtrip(self, tmp_path):
+        import numpy as np
+
+        from drmlt_mitsuba_tpu.scene.xml import read_vol, write_vol
+
+        dens = np.random.RandomState(0).rand(4, 5, 6).astype(np.float32)
+        p = str(tmp_path / "d.vol")
+        write_vol(p, dens, [-1, -2, -3], [1, 2, 3])
+        back, bmin, bmax = read_vol(p)
+        np.testing.assert_array_equal(back, dens)
+        np.testing.assert_allclose(bmin, [-1, -2, -3])
+        np.testing.assert_allclose(bmax, [1, 2, 3])
+
+    def test_heterogeneous_medium_loads(self, tmp_path):
+        import numpy as np
+
+        from drmlt_mitsuba_tpu.render.medium import HeterogeneousMedium
+        from drmlt_mitsuba_tpu.scene.xml import load_scene_xml, write_vol
+
+        dens = np.random.RandomState(1).rand(8, 8, 8).astype(np.float32)
+        write_vol(str(tmp_path / "smoke.vol"), dens, [-1, -1, -1], [1, 1, 1])
+        (tmp_path / "s.xml").write_text("""<scene version="0.6.0">
+  <sensor type="perspective"><float name="fov" value="45"/>
+   <film type="hdrfilm"><integer name="width" value="8"/>
+    <integer name="height" value="8"/></film></sensor>
+  <medium type="heterogeneous" name="exterior">
+   <volume name="density" type="gridvolume">
+    <string name="filename" value="smoke.vol"/></volume>
+   <rgb name="sigmaT" value="0.8 0.8 0.8"/>
+   <rgb name="albedo" value="0.9"/>
+   <phase type="hg"><float name="g" value="0.3"/></phase>
+  </medium>
+  <emitter type="constant"><rgb name="radiance" value="1"/></emitter>
+ </scene>""")
+        scene, _ = load_scene_xml(str(tmp_path / "s.xml"))
+        assert isinstance(scene.medium, HeterogeneousMedium)
+        np.testing.assert_allclose(np.asarray(scene.medium.density), dens)
+        np.testing.assert_allclose(float(scene.medium.g), 0.3, atol=1e-6)
+
+    def test_homogeneous_medium_sigma_s_a(self, tmp_path):
+        import numpy as np
+
+        from drmlt_mitsuba_tpu.render.medium import HomogeneousMedium
+        from drmlt_mitsuba_tpu.scene.xml import load_scene_xml
+
+        (tmp_path / "h.xml").write_text("""<scene version="0.6.0">
+  <sensor type="perspective"><float name="fov" value="45"/>
+   <film type="hdrfilm"><integer name="width" value="8"/>
+    <integer name="height" value="8"/></film></sensor>
+  <medium type="homogeneous" name="exterior">
+   <rgb name="sigmaS" value="0.6"/>
+   <rgb name="sigmaA" value="0.2"/>
+  </medium>
+  <emitter type="constant"><rgb name="radiance" value="1"/></emitter>
+ </scene>""")
+        scene, _ = load_scene_xml(str(tmp_path / "h.xml"))
+        assert isinstance(scene.medium, HomogeneousMedium)
+        np.testing.assert_allclose(np.asarray(scene.medium.sigma_t), 0.8,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(scene.medium.albedo), 0.75,
+                                   atol=1e-6)
+
+
+class TestSunsky:
+    def test_bake_physical_behavior(self):
+        import numpy as np
+
+        from drmlt_mitsuba_tpu.scene.sunsky import bake_sky
+
+        sd = np.array([0.3, 0.8, 0.5])
+        sd /= np.linalg.norm(sd)
+        img = bake_sky(turbidity=3.0, sun_dir=sd, height=64)
+        H, W = img.shape[:2]
+        assert img.shape == (64, 128, 3)
+        assert np.isfinite(img).all() and img.min() >= 0.0
+        zen = img[2].mean(axis=0)
+        hz = img[H // 2 - 2].mean(axis=0)
+        # blue zenith, whiter horizon (classic clear-sky gradient)
+        assert zen[2] > zen[0], zen
+        assert hz[2] / hz.sum() < zen[2] / zen.sum()
+        # ground hemisphere is much dimmer than the sky
+        assert img[H // 2 + 4:].mean() < 0.5 * img[:H // 2 - 4].mean()
+
+    def test_sun_energy_conserved_subpixel(self):
+        """The sub-texel sun deposits the same total power at any bake
+        resolution (disk-resolved or not)."""
+        import numpy as np
+
+        from drmlt_mitsuba_tpu.scene.sunsky import bake_sky
+
+        sd = np.array([0.2, 0.9, 0.4])
+        sd /= np.linalg.norm(sd)
+
+        def power(h):
+            img = bake_sky(sun_dir=sd, with_sky=False, height=h)
+            H, W = img.shape[:2]
+            v = (np.arange(H) + 0.5) / H
+            sr = (np.pi / H) * (2 * np.pi / W) * np.sin(v * np.pi)
+            return float((img.mean(-1) * sr[:, None]).sum())
+
+        p64, p512 = power(64), power(512)
+        assert p64 > 0 and abs(p64 - p512) / p512 < 0.25, (p64, p512)
+
+    def test_sunsky_xml_loads_as_envmap(self, tmp_path):
+        import numpy as np
+
+        from drmlt_mitsuba_tpu.scene.xml import load_scene_xml
+
+        (tmp_path / "s.xml").write_text("""<scene version="0.6.0">
+  <sensor type="perspective"><float name="fov" value="45"/>
+   <film type="hdrfilm"><integer name="width" value="8"/>
+    <integer name="height" value="8"/></film></sensor>
+  <emitter type="sunsky">
+   <float name="turbidity" value="3"/>
+   <vector name="sunDirection" x="0.3" y="0.8" z="0.5"/>
+   <float name="scale" value="0.01"/>
+  </emitter>
+ </scene>""")
+        scene, _ = load_scene_xml(str(tmp_path / "s.xml"))
+        assert scene.emitters.env_image is not None
+        img = np.asarray(scene.emitters.env_image)
+        assert np.isfinite(img).all() and img.max() > 0
+
+    def test_sun_position_algorithm(self):
+        import numpy as np
+
+        from drmlt_mitsuba_tpu.scene.sunsky import sun_direction_from_time
+
+        hi = sun_direction_from_time(month=6, day=21, hour=12.0,
+                                     latitude=35.0, longitude=135.0,
+                                     timezone=9.0)
+        lo = sun_direction_from_time(month=12, day=21, hour=12.0,
+                                     latitude=35.0, longitude=135.0,
+                                     timezone=9.0)
+        assert hi[1] > lo[1] > 0.0      # summer noon higher than winter
+        night = sun_direction_from_time(month=6, day=21, hour=0.0,
+                                        latitude=35.0, longitude=135.0,
+                                        timezone=9.0)
+        assert night[1] < 0.0           # midnight: below horizon
