@@ -206,12 +206,12 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
             f_val, f_pdf = eval_bsdf(scene.materials, hit.mat_id, albedo, wi, wo_l)
             if medium is not None:
                 from drmlt_mitsuba_tpu.render.medium import (
-                    HeterogeneousMedium, hg_phase, transmittance,
+                    HeterogeneousMedium, eval_phase, transmittance,
                     transmittance_hetero,
                 )
 
                 cos_ph = jnp.sum(carry["d"] * ds.d, axis=-1)
-                ph = hg_phase(medium.g, cos_ph)
+                ph = eval_phase(medium, cos_ph)
                 # phase "BSDF": value = pdf = HG (albedo already applied by
                 # the distance-sampling weight)
                 f_val = jnp.where(scattered[:, None], ph[:, None], f_val)
@@ -255,10 +255,10 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
         bs_pdf = bs.pdf
         bs_delta = bs.delta
         if medium is not None:
-            from drmlt_mitsuba_tpu.render.medium import sample_hg
+            from drmlt_mitsuba_tpu.render.medium import sample_phase
 
-            wo_hg, pdf_hg = sample_hg(
-                medium.g, -carry["d"], ub_b[:, OFF_BSDF_U:OFF_BSDF_U + 2]
+            wo_hg, pdf_hg = sample_phase(
+                medium, -carry["d"], ub_b[:, OFF_BSDF_U:OFF_BSDF_U + 2]
             )
             wo_world = jnp.where(scattered[:, None], wo_hg, wo_world)
             # HG importance sampling: weight 1

@@ -33,7 +33,7 @@ from drmlt_mitsuba_tpu.render.microfacet import (
 from drmlt_mitsuba_tpu.scene.types import (
     BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_DIFFUSE, BSDF_MIRROR, BSDF_NULL,
     BSDF_PHONG, BSDF_PLASTIC, BSDF_ROUGH_CONDUCTOR, BSDF_ROUGH_DIELECTRIC,
-    BSDF_DIFFTRANS, BSDF_ROUGH_DIFFUSE, BSDF_ROUGH_PLASTIC,
+    BSDF_DIFFTRANS, BSDF_HK, BSDF_ROUGH_DIFFUSE, BSDF_ROUGH_PLASTIC,
     BSDF_THIN_DIELECTRIC,
     BSDF_WARD, MaterialTable,
 )
@@ -42,7 +42,7 @@ ALL_KINDS = (
     BSDF_DIFFUSE, BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_ROUGH_CONDUCTOR,
     BSDF_PLASTIC, BSDF_ROUGH_PLASTIC, BSDF_THIN_DIELECTRIC,
     BSDF_ROUGH_DIELECTRIC, BSDF_MIRROR, BSDF_NULL, BSDF_PHONG, BSDF_WARD,
-    BSDF_ROUGH_DIFFUSE, BSDF_DIFFTRANS,
+    BSDF_ROUGH_DIFFUSE, BSDF_DIFFTRANS, BSDF_HK,
 )
 
 DELTA_KINDS = (BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_MIRROR, BSDF_NULL,
@@ -163,6 +163,46 @@ def eval_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, wo):
         m = (kind == BSDF_DIFFTRANS) & ~same_side
         value = jnp.where(m[..., None], dt_val, value)
         pdf = jnp.where(m, dt_pdf, pdf)
+
+
+    if _present(table, BSDF_HK):
+        # Hanrahan-Krueger single-scattering slab (ref: hk.cpp).  Chromatic
+        # optical depth tau = (sigmaS+sigmaA)*thickness; HG phase between
+        # the propagation direction -wi and wo.  Smooth lobes only here —
+        # the unscattered attenuated straight-through ray is a Dirac lobe
+        # handled in sample_bsdf.
+        from drmlt_mitsuba_tpu.render.medium import hg_phase
+
+        sigma_s = spec_refl
+        sigma_t_hk = spec_refl + spec_trans
+        alb_ss = sigma_s / jnp.maximum(sigma_t_hk, 1e-20)
+        tau = sigma_t_hk * alpha[..., None]
+        g_hk = k[..., 0]
+        mu_i = jnp.maximum(jnp.abs(cos_i), 1e-4)
+        mu_o = jnp.maximum(abs_cos_o, 1e-4)
+        cos_gamma = -jnp.sum(wi * wo, axis=-1)
+        ph = hg_phase(g_hk, cos_gamma)[..., None]
+        # reflection: alpha p/(mu_i+mu_o) (1 - e^{-tau(1/mu_i+1/mu_o)})
+        f_r = alb_ss * ph / (mu_i + mu_o)[..., None] * (
+            1.0 - jnp.exp(-tau * (1.0 / mu_i + 1.0 / mu_o)[..., None])
+        )
+        # transmission: alpha p (e^{-tau/mu_i} - e^{-tau/mu_o})/(mu_i-mu_o)
+        dmu = (mu_i - mu_o)[..., None]
+        ratio = (jnp.exp(-tau / mu_i[..., None])
+                 - jnp.exp(-tau / mu_o[..., None])) / jnp.where(
+            jnp.abs(dmu) < 1e-4, 1.0, dmu)
+        lim = tau / (mu_i * mu_i)[..., None] * jnp.exp(
+            -tau / mu_i[..., None])
+        f_t = alb_ss * ph * jnp.where(jnp.abs(dmu) < 1e-4, lim, ratio)
+        hk_f = jnp.where(same_side[..., None], f_r, f_t)
+        hk_val = hk_f * abs_cos_o[..., None]
+        # pdf: (1 - p_delta) * cosine on the chosen hemisphere * 1/2
+        t0_mean = jnp.exp(-jnp.mean(tau, -1) / mu_i)
+        hk_pdf = (1.0 - t0_mean) * 0.5 * square_to_cosine_hemisphere_pdf(
+            jnp.stack([wo[..., 0], wo[..., 1], abs_cos_o], -1))
+        m = kind == BSDF_HK
+        value = jnp.where(m[..., None], hk_val, value)
+        pdf = jnp.where(m, hk_pdf, pdf)
 
     if _present(table, BSDF_ROUGH_DIFFUSE):
         # Oren-Nayar qualitative model (ref: roughdiffuse.cpp "fast" mode)
@@ -446,6 +486,29 @@ def sample_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, u3) -> BsdfSample:
         pdf_dt = square_to_cosine_hemisphere_pdf(
             wo_dt * (-sign_i[..., None]))
         setk(BSDF_DIFFTRANS, wo_dt, albedo_tex, pdf_dt, false_)
+
+
+    if _present(table, BSDF_HK):
+        # component pick: Dirac straight-through with prob T0, else 50/50
+        # cosine hemispheres weighted by eval/pdf
+        sigma_t_hk = spec_refl + spec_trans
+        tau_hk = sigma_t_hk * alpha[..., None]
+        mu_i_hk = jnp.maximum(jnp.abs(cos_i), 1e-4)
+        t0 = jnp.exp(-tau_hk / mu_i_hk[..., None])
+        t0_mean = jnp.clip(jnp.mean(t0, -1), 1e-4, 1.0 - 1e-4)
+        pick_delta = uc < t0_mean
+        u_rest = (uc - t0_mean) / (1.0 - t0_mean)
+        pick_refl = u_rest < 0.5
+        wo_cos = square_to_cosine_hemisphere(u2)
+        side = jnp.where(pick_refl, 1.0, -1.0) * sign_i
+        wo_hk_s = wo_cos * side[..., None]
+        val_hk, pdf_hk = eval_bsdf(table, mat_id, albedo_tex, wi, wo_hk_s)
+        w_smooth = val_hk / jnp.maximum(pdf_hk, 1e-12)[..., None]
+        wo_hk = jnp.where(pick_delta[..., None], -wi, wo_hk_s)
+        w_hk = jnp.where(pick_delta[..., None],
+                         t0 / t0_mean[..., None], w_smooth)
+        pdf_out = jnp.where(pick_delta, 0.0, pdf_hk)
+        setk(BSDF_HK, wo_hk, w_hk, pdf_out, pick_delta)
 
     if _present(table, BSDF_PHONG) or _present(table, BSDF_WARD):
         # mixture: diffuse cosine lobe vs specular lobe, picked by uc

@@ -17,18 +17,25 @@ import jax.numpy as jnp
 from drmlt_mitsuba_tpu.core.math import safe_div
 
 
+PHASE_HG = 0
+PHASE_RAYLEIGH = 1
+
+
 @struct.dataclass
 class HomogeneousMedium:
     sigma_t: jnp.ndarray   # (3,) extinction
     albedo: jnp.ndarray    # (3,) single-scattering albedo sigma_s/sigma_t
     g: jnp.ndarray         # scalar HG asymmetry
+    phase_kind: int = struct.field(pytree_node=False, default=PHASE_HG)
 
 
-def make_medium(sigma_t, albedo, g=0.0) -> HomogeneousMedium:
+def make_medium(sigma_t, albedo, g=0.0,
+                phase_kind: int = PHASE_HG) -> HomogeneousMedium:
     return HomogeneousMedium(
         sigma_t=jnp.asarray(sigma_t, jnp.float32).reshape(3),
         albedo=jnp.asarray(albedo, jnp.float32).reshape(3),
         g=jnp.float32(g),
+        phase_kind=phase_kind,
     )
 
 
@@ -68,6 +75,44 @@ def hg_phase(g, cos_theta):
     g2 = g * g
     denom = 1.0 + g2 - 2.0 * g * cos_theta
     return (1.0 - g2) / (4.0 * jnp.pi * jnp.maximum(denom, 1e-8) ** 1.5)
+
+
+def rayleigh_phase(cos_theta):
+    """Rayleigh phase (ref: src/phase/rayleigh.cpp): 3/(16 pi)(1+cos^2)."""
+    return 3.0 / (16.0 * jnp.pi) * (1.0 + cos_theta * cos_theta)
+
+
+def sample_rayleigh(wi, u2):
+    """Exact Rayleigh direction sampling around the propagation direction
+    -wi.  The cdf cubic (3 mu + mu^3 + 4)/8 = u inverts analytically via
+    mu = 2 sinh(asinh(4u - 2)/3).  Weight 1; pdf = phase value."""
+    from drmlt_mitsuba_tpu.core import frame
+
+    q = 4.0 * u2[..., 0] - 2.0
+    cos_t = 2.0 * jnp.sinh(jnp.arcsinh(q) / 3.0)
+    cos_t = jnp.clip(cos_t, -1.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = 2.0 * jnp.pi * u2[..., 1]
+    local = jnp.stack(
+        [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1
+    )
+    wo = frame.to_world(-wi, local)
+    return wo, rayleigh_phase(cos_t)
+
+
+def eval_phase(med, cos_theta):
+    """Phase value for the medium's configured phase function (static
+    switch on phase_kind)."""
+    if getattr(med, "phase_kind", PHASE_HG) == PHASE_RAYLEIGH:
+        return rayleigh_phase(cos_theta)
+    return hg_phase(med.g, cos_theta)
+
+
+def sample_phase(med, wi, u2):
+    """Direction sampling for the medium's phase function; weight 1."""
+    if getattr(med, "phase_kind", PHASE_HG) == PHASE_RAYLEIGH:
+        return sample_rayleigh(wi, u2)
+    return sample_hg(med.g, wi, u2)
 
 
 def sample_hg(g, wi, u2):

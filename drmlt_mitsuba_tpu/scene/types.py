@@ -33,6 +33,10 @@ BSDF_PHONG = 10
 BSDF_WARD = 11
 BSDF_ROUGH_DIFFUSE = 12   # Oren-Nayar
 BSDF_DIFFTRANS = 13       # diffuse transmitter (ref: src/bsdfs/difftrans.cpp)
+BSDF_HK = 14              # Hanrahan-Krueger single-scattering slab
+#                           (ref: src/bsdfs/hk.cpp); field mapping:
+#                           spec_refl=sigmaS, spec_trans=sigmaA,
+#                           roughness=thickness, k[0]=phase g
 
 DELTA_BSDFS = (BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_MIRROR, BSDF_NULL,
                BSDF_THIN_DIELECTRIC)
@@ -128,6 +132,7 @@ CAMERA_ORTHOGRAPHIC = 1
 CAMERA_SPHERICAL = 2
 CAMERA_RADIANCEMETER = 3   # single-direction probe
 CAMERA_TELECENTRIC = 4     # orthographic with finite aperture (DOF)
+CAMERA_FLUENCEMETER = 5    # uniform-sphere probe at a point
 
 
 @struct.dataclass

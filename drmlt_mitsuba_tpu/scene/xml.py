@@ -18,7 +18,7 @@ Supported subset (SURVEY.md §2.6 minimum rebuild set):
              envmap, scene/sunsky.py)
   media    : homogeneous, heterogeneous (gridvolume .vol / constvolume)
   sensors  : perspective, thinlens, orthographic, spherical, radiancemeter,
-             telecentric
+             telecentric, fluencemeter
   films    : hdrfilm, ldrfilm, mfilm; rfilters box/tent/gaussian/mitchell/
              catmullrom/lanczos
   samplers : independent/stratified/ldsampler/halton/hammersley/sobol (spp
@@ -233,6 +233,7 @@ def _parse_bsdf(node, defaults, ctx, base_dir=""):
         "phong": st.BSDF_PHONG,
         "ward": st.BSDF_WARD,
         "difftrans": st.BSDF_DIFFTRANS,
+        "hk": st.BSDF_HK,
         "null": st.BSDF_NULL,
         "mirror": st.BSDF_MIRROR,
     }
@@ -266,6 +267,16 @@ def _parse_bsdf(node, defaults, ctx, base_dir=""):
         mat["roughness"] = float(np.mean(props["alpha"]))
     elif "exponent" in props:   # phong exponent -> GGX-ish alpha
         mat["roughness"] = float(np.sqrt(2.0 / (2.0 + np.mean(props["exponent"]))))
+    if kind == st.BSDF_HK:
+        # slab medium parameters (see BSDF_HK field mapping in types.py)
+        mat["spec_refl"] = props.get("sigmaS", np.full(3, 2.0, np.float32))
+        mat["spec_trans"] = props.get("sigmaA", np.full(3, 0.05, np.float32))
+        mat["roughness"] = float(props.get("thickness", 1.0))
+        g_hk = 0.0
+        ph = node.find("phase")
+        if ph is not None:
+            g_hk = float(_props(ph, defaults).get("g", 0.0))
+        mat["k"] = np.asarray([g_hk, 0.0, 0.0], np.float32)
 
     ctx["materials"].append(mat)
     return len(ctx["materials"]) - 1
@@ -598,9 +609,18 @@ def load_scene_xml(path: str, defaults: dict | None = None):
         mtype = _subst(md.get("type"), defaults)
         props = _props(md, defaults)
         g = 0.0
+        phase_kind = 0
         ph = md.find("phase")
-        if ph is not None and _subst(ph.get("type"), defaults) == "hg":
-            g = float(_props(ph, defaults).get("g", 0.0))
+        if ph is not None:
+            ptype = _subst(ph.get("type"), defaults)
+            if ptype == "hg":
+                g = float(_props(ph, defaults).get("g", 0.0))
+            elif ptype == "rayleigh":
+                from drmlt_mitsuba_tpu.render.medium import PHASE_RAYLEIGH
+
+                phase_kind = PHASE_RAYLEIGH
+            elif ptype != "isotropic":
+                warnings.warn(f"phase '{ptype}' approximated as isotropic")
         sigma_t = props.get("sigmaT")
         albedo = props.get("albedo")
         if sigma_t is None and "sigmaS" in props:
@@ -657,7 +677,8 @@ def load_scene_xml(path: str, defaults: dict | None = None):
             if mtype != "homogeneous":
                 warnings.warn(
                     f"medium '{mtype}' approximated as homogeneous")
-            medium = make_medium(sigma_t, albedo, g)
+            medium = make_medium(sigma_t, albedo, g,
+                                 phase_kind=phase_kind)
         break
 
     sensor = root.find("sensor")
@@ -670,7 +691,8 @@ def load_scene_xml(path: str, defaults: dict | None = None):
     if sensor is not None:
         stype_s = _subst(sensor.get("type"), defaults)
         sensor_kind = {"perspective": 0, "thinlens": 0, "orthographic": 1,
-                       "spherical": 2, "radiancemeter": 3, "telecentric": 4}.get(stype_s, 0)
+                       "spherical": 2, "radiancemeter": 3, "telecentric": 4,
+                       "fluencemeter": 5}.get(stype_s, 0)
         sprops = _props(sensor, defaults)
         fov = float(sprops.get("fov", fov))
         fov_axis = sprops.get("fovAxis", "x")

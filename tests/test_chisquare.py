@@ -94,6 +94,11 @@ class TestBsdfChi2:
                          eta=(1.49, 1.49, 1.49))),
         ("difftrans", dict(kind=st.BSDF_DIFFTRANS,
                            albedo=(0.9, 0.9, 0.9))),
+        # hk: chi2 covers the smooth single-scattering lobes; the Dirac
+        # straight-through lanes are excluded by the pdf>0 filter
+        ("hk", dict(kind=st.BSDF_HK, spec_refl=(1.5, 1.5, 1.5),
+                    spec_trans=(0.1, 0.1, 0.1), roughness=0.8,
+                    k=(0.3, 0.0, 0.0))),
     ])
     def test_lobe(self, name, mat):
         sample_fn, pdf_fn = _bsdf_case(mat)
@@ -104,6 +109,22 @@ class TestBsdfChi2:
 
 
 class TestPhaseChi2:
+    def test_rayleigh(self):
+        from drmlt_mitsuba_tpu.render.medium import (
+            rayleigh_phase, sample_rayleigh,
+        )
+
+        wi = jnp.asarray([0.0, 0.0, -1.0])
+
+        def sf(key, n):
+            u2 = jax.random.uniform(key, (n, 2))
+            wo, _ = sample_rayleigh(jnp.broadcast_to(wi, (n, 3)), u2)
+            return wo
+
+        r = chi2_test(sf, lambda d: rayleigh_phase(d[..., 2]),
+                      n_samples=N)
+        assert r.passed, r
+
     @pytest.mark.parametrize("g", [0.0, 0.5, -0.4])
     def test_hg(self, g):
         wi = jnp.asarray([0.0, 0.0, -1.0])

@@ -159,3 +159,29 @@ class TestVmf:
                 n_samples=300_000,
             )
             assert r.passed, (kappa, r)
+
+
+class TestSh:
+    def test_orthonormality(self):
+        """MC estimate of <Y_i, Y_j> over the sphere is the identity."""
+        from drmlt_mitsuba_tpu.core.sh import N_COEFFS, eval_sh
+
+        u = jax.random.uniform(jax.random.PRNGKey(0), (400_000, 2))
+        d = warp.square_to_uniform_sphere(u)
+        b = eval_sh(d)
+        gram = (b.T @ b) * (4.0 * jnp.pi / d.shape[0])
+        np.testing.assert_allclose(
+            np.asarray(gram), np.eye(N_COEFFS), atol=0.03)
+
+    def test_project_reconstruct_lowpass(self):
+        """A band-limited function (itself an SH expansion) round-trips."""
+        from drmlt_mitsuba_tpu.core.sh import project, reconstruct
+
+        rng = np.random.RandomState(3)
+        c_true = jnp.asarray(rng.randn(16).astype(np.float32))
+        u = jax.random.uniform(jax.random.PRNGKey(1), (400_000, 2))
+        d = warp.square_to_uniform_sphere(u)
+        vals = reconstruct(c_true, d)
+        c_est = project(vals, d)
+        np.testing.assert_allclose(np.asarray(c_est), np.asarray(c_true),
+                                   atol=0.05)

@@ -148,3 +148,26 @@ def test_furnace_difftrans():
     u = jax.random.uniform(jax.random.PRNGKey(0), (32768, cfg.n_dims))
     lum = trace_paths(scene, cfg, u).lum
     np.testing.assert_allclose(float(lum.mean()), 1.0, atol=1e-3)
+
+
+def test_hk_slab_energy():
+    """Hanrahan-Krueger slab: total reflected+transmitted energy stays
+    below 1 and the Dirac transmission fraction equals exp(-tau/mu)."""
+    from drmlt_mitsuba_tpu.render.bsdf import sample_bsdf
+    from drmlt_mitsuba_tpu.scene import types as st
+
+    table = st.make_material_table([dict(
+        kind=st.BSDF_HK, spec_refl=(1.5, 1.5, 1.5),
+        spec_trans=(0.1, 0.1, 0.1), roughness=0.8, k=(0.3, 0.0, 0.0),
+    )])
+    n = 100_000
+    wi = jnp.tile(jnp.asarray([[0.3, -0.1, 0.949]]), (n, 1))
+    wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
+    u3 = jax.random.uniform(jax.random.PRNGKey(5), (n, 3))
+    mid = jnp.zeros((n,), jnp.int32)
+    bs = sample_bsdf(table, mid, table.albedo[mid], wi, u3)
+    mu = float(wi[0, 2])
+    t0 = np.exp(-1.6 * 0.8 / mu)
+    np.testing.assert_allclose(float(bs.delta.mean()), t0, atol=0.01)
+    assert float(bs.weight.mean(0).max()) < 1.0
+    assert bool(jnp.isfinite(bs.weight).all())

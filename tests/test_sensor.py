@@ -64,3 +64,31 @@ class TestCameras:
         spread_near = float(jnp.std(p_near[:, 0]) + jnp.std(p_near[:, 1]))
         assert spread_focus < 1e-5, spread_focus
         assert spread_near > 0.05, spread_near
+
+    def test_fluencemeter_uniform_sphere(self):
+        from drmlt_mitsuba_tpu.scene.types import CAMERA_FLUENCEMETER
+
+        cam = make_camera(EYE, 1.0, 1.0, kind=CAMERA_FLUENCEMETER)
+        o, d = sample_ray(cam, _uv(8192))
+        np.testing.assert_allclose(np.asarray(jnp.std(o, axis=0)), 0.0)
+        np.testing.assert_allclose(
+            np.asarray(jnp.linalg.norm(d, axis=-1)), 1.0, atol=1e-5)
+        assert float(jnp.abs(jnp.mean(d, 0)).max()) < 0.05
+
+    def test_fluencemeter_furnace(self):
+        """In a unit furnace the fluence probe reads exactly 1."""
+        from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+        from drmlt_mitsuba_tpu.integrators.path import trace_paths
+        from drmlt_mitsuba_tpu.scene.builders import furnace_sphere
+        from drmlt_mitsuba_tpu.scene.types import (
+            CAMERA_FLUENCEMETER, make_camera,
+        )
+
+        scene = furnace_sphere(albedo=1.0, env=1.0)
+        scene = scene.replace(camera=make_camera(
+            np.asarray(scene.camera.to_world), 1.0, 1.0,
+            kind=CAMERA_FLUENCEMETER))
+        cfg = PathConfig(max_depth=6, rr_depth=100, use_nee=False)
+        u = jax.random.uniform(jax.random.PRNGKey(0), (16384, cfg.n_dims))
+        lum = trace_paths(scene, cfg, u).lum
+        np.testing.assert_allclose(float(lum.mean()), 1.0, atol=1e-3)

@@ -227,3 +227,25 @@ class TestHeterogeneous:
                               n_dims, n_steps=200)
         got = float(luminance(jnp.asarray(img)).mean())
         np.testing.assert_allclose(got, ref, rtol=0.25)
+
+
+def test_rayleigh_fog_renders():
+    """Cornell fog with a Rayleigh phase renders finite and differs from
+    the HG g=0 fog only through the phase lobe (same extinction)."""
+    from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+    from drmlt_mitsuba_tpu.integrators.path import trace_paths
+    from drmlt_mitsuba_tpu.render.medium import PHASE_RAYLEIGH, make_medium
+    from drmlt_mitsuba_tpu.scene.builders import cornell_box
+
+    cfg = PathConfig(max_depth=4, rr_depth=100)
+    u = jax.random.uniform(jax.random.PRNGKey(4), (32768, cfg.n_dims))
+    base = cornell_box(16, 16)
+    iso = base.replace(medium=make_medium([2e-3] * 3, [0.6] * 3, 0.0))
+    ray = base.replace(medium=make_medium(
+        [2e-3] * 3, [0.6] * 3, 0.0, phase_kind=PHASE_RAYLEIGH))
+    l_iso = float(trace_paths(iso, cfg, u).lum.mean())
+    l_ray = float(trace_paths(ray, cfg, u).lum.mean())
+    assert np.isfinite(l_ray) and l_ray > 0
+    # same extinction and albedo: means agree within ~10% (phase only
+    # redistributes directions)
+    assert abs(l_iso - l_ray) / l_iso < 0.1, (l_iso, l_ray)
