@@ -185,3 +185,24 @@ class TestSh:
         c_est = project(vals, d)
         np.testing.assert_allclose(np.asarray(c_est), np.asarray(c_true),
                                    atol=0.05)
+
+
+class TestBrent:
+    def test_scalar_roots(self):
+        from drmlt_mitsuba_tpu.core.quad import brent
+
+        r = brent(lambda x: x ** 3 - 2 * x - 5, jnp.asarray(2.0),
+                  jnp.asarray(3.0))
+        np.testing.assert_allclose(float(r), 2.0945515, atol=1e-5)
+        r2 = brent(lambda x: jnp.cos(x) - x, jnp.asarray(0.0),
+                   jnp.asarray(1.0))
+        np.testing.assert_allclose(float(r2), 0.7390851, atol=1e-5)
+
+    def test_batched_under_jit(self):
+        from drmlt_mitsuba_tpu.core.quad import brent
+
+        k = jnp.arange(1.0, 9.0)
+        f = jax.jit(lambda: brent(lambda x: x * x - k, jnp.zeros(8),
+                                  jnp.full(8, 3.0)))
+        np.testing.assert_allclose(np.asarray(f()), np.sqrt(np.arange(1, 9)),
+                                   atol=1e-5)
