@@ -72,3 +72,70 @@ def test_cli_sharded(tmp_path):
     """--shard runs the chains over the virtual 8-device CPU mesh."""
     img, out = _run(tmp_path, "-D", "integrator=drmlt", "--spp", "8",
                     "--chains", "256", "--shard")
+
+
+def test_cli_full_stack_volpath_vs_drmlt(tmp_path):
+    """End-to-end through the CLI: sunsky envmap + bounded heterogeneous
+    fog (gridvolume .vol) + hk slab + difftrans spheres; the volpath and
+    DRMLT integrators must agree on the same scene."""
+    from drmlt_mitsuba_tpu.scene.xml import write_vol
+
+    write_vol(str(tmp_path / "fog.vol"), np.ones((4, 4, 4), np.float32),
+              [-8, -1, -8], [8, 7, 8])
+    scene = tmp_path / "scene.xml"
+    scene.write_text("""<scene version="0.6.0">
+  <default name="integrator" value="volpath"/>
+  <integrator type="$integrator"><integer name="maxDepth" value="4"/>
+  </integrator>
+  <sensor type="perspective">
+    <float name="fov" value="50"/>
+    <transform name="toWorld">
+      <lookat origin="0, 1.2, -5" target="0, 0.8, 0" up="0, 1, 0"/>
+    </transform>
+    <film type="hdrfilm"><integer name="width" value="32"/>
+      <integer name="height" value="32"/></film>
+    <sampler type="independent"><integer name="sampleCount" value="24"/>
+    </sampler>
+  </sensor>
+  <medium type="heterogeneous" name="exterior">
+    <volume name="density" type="gridvolume">
+      <string name="filename" value="fog.vol"/></volume>
+    <rgb name="sigmaT" value="0.05"/>
+    <rgb name="albedo" value="0.8"/>
+    <phase type="hg"><float name="g" value="0.2"/></phase>
+  </medium>
+  <emitter type="sunsky">
+    <float name="turbidity" value="3"/>
+    <vector name="sunDirection" x="0.4" y="0.7" z="0.3"/>
+    <float name="scale" value="0.05"/>
+  </emitter>
+  <shape type="rectangle">
+    <transform name="toWorld"><rotate x="1" angle="-90"/>
+      <scale value="8"/></transform>
+    <bsdf type="diffuse"><rgb name="reflectance" value="0.5"/></bsdf>
+  </shape>
+  <shape type="sphere"><float name="radius" value="0.8"/>
+    <transform name="toWorld"><translate x="-1.2" y="0.8" z="0"/></transform>
+    <bsdf type="hk"><rgb name="sigmaS" value="2.0"/>
+      <rgb name="sigmaA" value="0.1"/>
+      <float name="thickness" value="0.5"/>
+      <phase type="hg"><float name="g" value="0.4"/></phase></bsdf>
+  </shape>
+  <shape type="sphere"><float name="radius" value="0.8"/>
+    <transform name="toWorld"><translate x="1.2" y="0.8" z="0"/></transform>
+    <bsdf type="difftrans"><rgb name="transmittance" value="0.7 0.8 0.9"/>
+    </bsdf>
+  </shape>
+</scene>""")
+    out_pt = str(tmp_path / "pt.exr")
+    rc = cli_main([str(scene), "-o", out_pt, "-q", "--spp", "24"])
+    assert rc == 0
+    out_mlt = str(tmp_path / "mlt.exr")
+    rc = cli_main([str(scene), "-o", out_mlt, "-q",
+                   "-D", "integrator=drmlt", "-D", "type=orbital",
+                   "--chains", "4096", "-t", "40"])
+    assert rc == 0
+    a, b = read_exr(out_pt), read_exr(out_mlt)
+    assert np.all(np.isfinite(a)) and np.all(np.isfinite(b))
+    assert a.mean() > 1e-3
+    assert abs(a.mean() - b.mean()) / a.mean() < 0.1, (a.mean(), b.mean())
