@@ -22,8 +22,8 @@ def sample_ray(camera: Camera, uv, u_aperture=None):
     Returns (o, d) world-space origins/directions (unit).
     """
     from drmlt_mitsuba_tpu.scene.types import (
-        CAMERA_FLUENCEMETER, CAMERA_ORTHOGRAPHIC, CAMERA_RADIANCEMETER,
-        CAMERA_SPHERICAL, CAMERA_TELECENTRIC,
+        CAMERA_FLUENCEMETER, CAMERA_IRRADIANCEMETER, CAMERA_ORTHOGRAPHIC,
+        CAMERA_RADIANCEMETER, CAMERA_SPHERICAL, CAMERA_TELECENTRIC,
     )
 
     if camera.kind == CAMERA_RADIANCEMETER:
@@ -52,6 +52,16 @@ def sample_ray(camera: Camera, uv, u_aperture=None):
         o = apply_point(camera.to_world, o_cam)
         d = normalize(apply_vector(camera.to_world, p_focus - o_cam))
         return o, d
+
+    if camera.kind == CAMERA_IRRADIANCEMETER:
+        # ref: irradiancemeter.cpp — cosine-weighted hemisphere around the
+        # sensor's +z axis measures E = int L cos dw; with cosine-pdf
+        # importance the estimator is the plain sample mean times pi
+        from drmlt_mitsuba_tpu.core.warp import square_to_cosine_hemisphere
+
+        d_cam = square_to_cosine_hemisphere(uv)
+        o = jnp.broadcast_to(camera.to_world[:3, 3], d_cam.shape)
+        return o, normalize(apply_vector(camera.to_world, d_cam))
 
     if camera.kind == CAMERA_FLUENCEMETER:
         # ref: fluencemeter.cpp — integrate radiance uniformly over the

@@ -133,6 +133,7 @@ CAMERA_SPHERICAL = 2
 CAMERA_RADIANCEMETER = 3   # single-direction probe
 CAMERA_TELECENTRIC = 4     # orthographic with finite aperture (DOF)
 CAMERA_FLUENCEMETER = 5    # uniform-sphere probe at a point
+CAMERA_IRRADIANCEMETER = 6  # cosine-hemisphere probe (surface irradiance)
 
 
 @struct.dataclass

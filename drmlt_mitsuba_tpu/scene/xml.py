@@ -18,7 +18,8 @@ Supported subset (SURVEY.md §2.6 minimum rebuild set):
              envmap, scene/sunsky.py)
   media    : homogeneous, heterogeneous (gridvolume .vol / constvolume)
   sensors  : perspective, thinlens, orthographic, spherical, radiancemeter,
-             telecentric, fluencemeter
+             telecentric, fluencemeter, irradiancemeter
+             (perspective_rdist falls back to perspective with a warning)
   films    : hdrfilm, ldrfilm, mfilm; rfilters box/tent/gaussian/mitchell/
              catmullrom/lanczos
   samplers : independent/stratified/ldsampler/halton/hammersley/sobol (spp
@@ -542,6 +543,19 @@ def load_scene_xml(path: str, defaults: dict | None = None):
                 )
             else:
                 points.append((pos, inten))
+        elif etype == "collimated":
+            # ref: collimated.cpp — a zero-divergence beam.  Surface
+            # integrators can only see it through media; approximated here
+            # as a directional emitter carrying the beam power (warning).
+            warnings.warn("emitter 'collimated' approximated as directional")
+            tnode = em.find("transform")
+            d = np.asarray([0, 0, 1], np.float32)
+            if tnode is not None:
+                m = _parse_transform(tnode, defaults)
+                d = m[:3, :3] @ d
+            directionals.append(
+                (d, props.get("power", np.ones(3, np.float32)))
+            )
         elif etype == "directional":
             tnode = em.find("transform")
             d = props.get("direction", np.asarray([0, 0, 1], np.float32))
@@ -690,9 +704,12 @@ def load_scene_xml(path: str, defaults: dict | None = None):
     focus = 1.0
     if sensor is not None:
         stype_s = _subst(sensor.get("type"), defaults)
+        if stype_s == "perspective_rdist":
+            warnings.warn("perspective_rdist: radial distortion ignored, "
+                          "using perspective")
         sensor_kind = {"perspective": 0, "thinlens": 0, "orthographic": 1,
                        "spherical": 2, "radiancemeter": 3, "telecentric": 4,
-                       "fluencemeter": 5}.get(stype_s, 0)
+                       "fluencemeter": 5, "irradiancemeter": 6}.get(stype_s, 0)
         sprops = _props(sensor, defaults)
         fov = float(sprops.get("fov", fov))
         fov_axis = sprops.get("fovAxis", "x")

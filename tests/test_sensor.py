@@ -92,3 +92,32 @@ class TestCameras:
         u = jax.random.uniform(jax.random.PRNGKey(0), (16384, cfg.n_dims))
         lum = trace_paths(scene, cfg, u).lum
         np.testing.assert_allclose(float(lum.mean()), 1.0, atol=1e-3)
+
+    def test_irradiancemeter_cosine(self):
+        """Directions are cosine-distributed around the probe's +z."""
+        from drmlt_mitsuba_tpu.scene.types import CAMERA_IRRADIANCEMETER
+
+        cam = make_camera(EYE, 1.0, 1.0, kind=CAMERA_IRRADIANCEMETER)
+        o, d = sample_ray(cam, _uv(100_000))
+        assert float(jnp.min(d[:, 2])) >= 0.0
+        np.testing.assert_allclose(float(jnp.mean(d[:, 2])), 2.0 / 3.0,
+                                   atol=5e-3)
+
+    def test_irradiancemeter_uniform_env(self):
+        """Facing a unit constant environment the probe's sample mean is 1
+        (E = pi with cosine-pdf importance absorbed)."""
+        from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+        from drmlt_mitsuba_tpu.integrators.path import trace_paths
+        from drmlt_mitsuba_tpu.scene.builders import furnace_sphere
+        from drmlt_mitsuba_tpu.scene.types import (
+            CAMERA_IRRADIANCEMETER, make_camera,
+        )
+
+        scene = furnace_sphere(albedo=1.0, env=1.0)
+        scene = scene.replace(camera=make_camera(
+            np.asarray(scene.camera.to_world), 1.0, 1.0,
+            kind=CAMERA_IRRADIANCEMETER))
+        cfg = PathConfig(max_depth=6, rr_depth=100, use_nee=False)
+        u = jax.random.uniform(jax.random.PRNGKey(2), (16384, cfg.n_dims))
+        lum = trace_paths(scene, cfg, u).lum
+        np.testing.assert_allclose(float(lum.mean()), 1.0, atol=1e-3)
