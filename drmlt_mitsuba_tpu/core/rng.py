@@ -32,12 +32,15 @@ def pss_wrap(y):
     """Reflective [0,1] wrap of a perturbed primary sample.
 
     Mirror of the reference DRMLTSampler::wrap (drmlt_sampler.h:140-144):
-        y > 1  -> 2 - y;   y <= 0 -> |y|;   else y.
-    Valid for |offset| < 1, which all small-step kernels guarantee.
+        y > 1  -> 2 - y;   y <= 0 -> |y|;   else y
+    generalized to arbitrary offsets via the mod-2 reflection (identical on
+    |offset| < 1; needed because orbital stage-2 after a large step can move
+    a pair coordinate by up to sqrt(2), and green's reverse path y*=z-(y-x)
+    can likewise leave (-1, 2)).  The reflection is a piecewise isometry, so
+    symmetric proposal kernels stay symmetric under it.
     """
-    y = jnp.where(y > 1.0, 2.0 - y, y)
-    y = jnp.where(y <= 0.0, jnp.abs(y), y)
-    return y
+    t = jnp.mod(y, 2.0)
+    return jnp.where(t > 1.0, 2.0 - t, t)
 
 
 def split_many(key, n: int):

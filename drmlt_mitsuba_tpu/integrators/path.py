@@ -155,8 +155,11 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
         nee_pdf = pdf_emitter_direct(
             scene, carry["o"], hit.emitter_id, hit.p, hit.ng
         )
+        # without NEE there is no competing strategy: weight 1 (a biased
+        # 40%-dark render otherwise; caught by the cpu_oracle cross-check)
         w_bsdf = jnp.where(
-            carry["prev_delta"], 1.0, mis_power(carry["prev_pdf"], nee_pdf)
+            carry["prev_delta"] | (not cfg.use_nee), 1.0,
+            mis_power(carry["prev_pdf"], nee_pdf),
         )
         # resolve the previous bounce's pending NEE contribution
         L = carry["L"] + jnp.where(

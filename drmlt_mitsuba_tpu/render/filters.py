@@ -34,9 +34,9 @@ class Filter:
         if self.name == FILTER_TENT:
             return jnp.maximum(0.0, 1.0 - ax / self.radius)
         if self.name == FILTER_GAUSSIAN:
-            # truncated gaussian, sigma = radius/2 (ref gaussian.cpp: stddev .5
-            # at default radius 2)
-            sigma = self.radius / 4.0 * 2.0
+            # truncated gaussian, sigma = radius/4 (ref gaussian.cpp: stddev
+            # 0.5 at the default radius 2)
+            sigma = self.radius / 4.0
             alpha = -1.0 / (2.0 * sigma * sigma)
             tail = math.exp(alpha * self.radius * self.radius)
             return jnp.maximum(0.0, jnp.exp(alpha * ax * ax) - tail)

@@ -228,8 +228,10 @@ def sample_distance_hetero(med: HeterogeneousMedium, o, d, u_channel,
         jax.random.PRNGKey(1234), seeds
     )
 
+    max_sig = jnp.max(med.sigma_t)
+
     def body(i, carry):
-        t, done, scattered, key = carry
+        t, done, scattered, w, key = carry
         k1, k2, key = jax.vmap(lambda k: tuple(jax.random.split(k, 3)))(key)
         step = -jnp.log(jnp.maximum(
             1.0 - jax.vmap(lambda k: jax.random.uniform(k))(k1), 1e-38
@@ -238,29 +240,37 @@ def sample_distance_hetero(med: HeterogeneousMedium, o, d, u_channel,
         exited = t_new >= t_surface
         p = o + t_new[:, None] * d
         dens = _grid_density(med, p)
-        sig_local = dens * jnp.max(med.sigma_t)
+        sig_local = dens * max_sig                    # collision channel
         real = (jax.vmap(lambda k: jax.random.uniform(k))(k2)
                 < sig_local / sig_bar)
         newly_scattered = ~done & ~exited & real
+        # spectral weighted delta tracking: null collisions carry the
+        # per-channel factor (sig_bar - dens*sigma_c)/(sig_bar - sig_local)
+        # so chromatic sigma_t is exact, not max-channel grey
+        null = ~done & ~exited & ~real
+        null_num = sig_bar - dens[:, None] * med.sigma_t[None, :]
+        null_den = jnp.maximum(sig_bar - sig_local, 1e-12)[:, None]
+        w = jnp.where(null[:, None], w * null_num / null_den, w)
         newly_done = ~done & (exited | real)
         t = jnp.where(done, t, t_new)
         scattered = scattered | newly_scattered
         done = done | newly_done
-        return t, done, scattered, key
+        return t, done, scattered, w, key
 
     t0 = jnp.zeros((R,))
     done0 = jnp.zeros((R,), bool)
     sc0 = jnp.zeros((R,), bool)
-    t, done, scattered, _ = jax.lax.fori_loop(
-        0, _WOODCOCK_STEPS, body, (t0, done0, sc0, keys)
+    w0 = jnp.ones((R, 3))
+    t, done, scattered, w, _ = jax.lax.fori_loop(
+        0, _WOODCOCK_STEPS, body, (t0, done0, sc0, w0, keys)
     )
     # lanes that never terminated within the step budget escape
     t = jnp.where(scattered, jnp.minimum(t, t_surface * (1 - 1e-6)),
                   t_surface)
-    # delta-tracking null collisions cancel: weight 1 on escape,
-    # albedo on real scatter (monochromatic majorant => exact)
-    weight = jnp.where(scattered[:, None], med.albedo[None, :],
-                       jnp.ones((R, 3)))
+    # real collision: per-channel factor (dens*sigma_c/sig_bar)/(sig_local/
+    # sig_bar) = sigma_c/max_sig (density cancels), times albedo
+    scatter_fac = med.albedo * med.sigma_t / jnp.maximum(max_sig, 1e-20)
+    weight = w * jnp.where(scattered[:, None], scatter_fac[None, :], 1.0)
     return dict(scattered=scattered, t=t, weight=weight)
 
 
@@ -287,11 +297,13 @@ def transmittance_hetero(med: HeterogeneousMedium, o, d, dist, u_seed,
         inside = t < dist
         p = o + t[:, None] * d
         dens = _grid_density(med, p)
-        ratio = 1.0 - dens * jnp.max(med.sigma_t) / sig_bar
-        tr = jnp.where(inside, tr * jnp.maximum(ratio, 0.0), tr)
+        # per-channel ratio against the shared majorant => chromatic
+        # sigma_t transmittance is exact in expectation
+        ratio = 1.0 - dens[:, None] * med.sigma_t[None, :] / sig_bar
+        tr = jnp.where(inside[:, None], tr * jnp.maximum(ratio, 0.0), tr)
         return t, tr, key
 
     t0 = jnp.zeros((R,))
-    tr0 = jnp.ones((R,))
+    tr0 = jnp.ones((R, 3))
     _, tr, _ = jax.lax.fori_loop(0, n_steps, body, (t0, tr0, keys))
-    return tr[:, None] * jnp.ones((1, 3))
+    return tr

@@ -307,6 +307,32 @@ def _unit_cube():
     return corners, np.asarray(faces, np.int32), None, None
 
 
+def _unit_sphere_mesh(n_theta=12, n_phi=24):
+    """UV-sphere triangulation (unit radius, origin center) with smooth
+    per-vertex normals.  Used to realize area emitters attached to sphere
+    shapes: the emitter table scans triangles only, so emissive spheres are
+    tessellated at load (ref: src/shapes/sphere.cpp supports area emitters
+    natively)."""
+    th = np.linspace(0.0, np.pi, n_theta + 1)
+    ph = np.linspace(0.0, 2.0 * np.pi, n_phi, endpoint=False)
+    tt, pp = np.meshgrid(th, ph, indexing="ij")
+    v = np.stack(
+        [np.sin(tt) * np.cos(pp), np.sin(tt) * np.sin(pp), np.cos(tt)], -1
+    ).reshape(-1, 3).astype(np.float32)
+    idx = np.arange((n_theta + 1) * n_phi).reshape(n_theta + 1, n_phi)
+    faces = []
+    for i in range(n_theta):
+        a, b = idx[i], idx[i + 1]
+        an, bn = np.roll(a, -1), np.roll(b, -1)
+        if i > 0:                       # skip degenerate pole strip
+            faces.append(np.stack([a, b, an], -1))
+        if i < n_theta - 1:
+            faces.append(np.stack([an, b, bn], -1))
+    f = np.concatenate(faces).astype(np.int32)
+    uv = np.stack([pp / (2.0 * np.pi), 1.0 - tt / np.pi], -1).reshape(-1, 2)
+    return v, f, v.copy(), uv.astype(np.float32)
+
+
 def _apply_transform(m, v, n):
     v2 = v @ m[:3, :3].T + m[:3, 3]
     n2 = None
@@ -519,7 +545,14 @@ def load_scene_xml(path: str, defaults: dict | None = None):
             radius = float(props.get("radius", 1.0))
             center = (m[:3, :3] @ center + m[:3, 3]).astype(np.float32)
             radius = radius * float(np.linalg.norm(m[:3, 0]))
-            spheres.append((center, radius, mat_idx, radiance))
+            if radiance is not None:
+                # emissive sphere: tessellate so build_emitters (triangles
+                # only) picks it up; analytic spheres carry no emitter rows
+                v, f, n, uvx = _unit_sphere_mesh()
+                v = (v * radius + center).astype(np.float32)
+                meshes.append((v, f, n, uvx, mat_idx, radiance))
+            else:
+                spheres.append((center, radius, mat_idx, radiance))
         else:
             warnings.warn(f"unsupported shape '{stype}', skipped")
 

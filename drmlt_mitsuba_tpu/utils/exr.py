@@ -91,18 +91,16 @@ def write_exr(path: str, img: np.ndarray, half: bool = True,
 
 
 def _exr_zip_compress(raw: bytes) -> bytes:
-    buf = np.frombuffer(raw, np.uint8).astype(np.int16)
-    # delta-encode then interleave-split as the EXR predictor expects
+    # OpenEXR Zip::compress (ImfZip.cpp): FIRST split bytes even/odd into
+    # two halves, THEN delta-predict over the reordered buffer, then zlib.
+    buf = np.frombuffer(raw, np.uint8)
     n = len(buf)
-    half = (n + 1) // 2
-    out = np.empty(n, np.uint8)
-    delta = np.empty(n, np.int16)
-    delta[0] = buf[0]
-    delta[1:] = buf[1:] - buf[:-1] + 128 + 256
-    d8 = (delta & 0xFF).astype(np.uint8)
-    out[:half] = d8[0::2]
-    out[half:] = d8[1::2]
-    z = zlib.compress(out.tobytes())
+    reord = np.concatenate([buf[0::2], buf[1::2]])
+    delta = np.empty(n, np.uint8)
+    delta[0] = reord[0]
+    d = reord[1:].astype(np.int16) - reord[:-1].astype(np.int16) + 128
+    delta[1:] = (d & 0xFF).astype(np.uint8)
+    z = zlib.compress(delta.tobytes())
     return z if len(z) < n else raw
 
 
@@ -113,16 +111,16 @@ def _exr_zip_decompress(data: bytes, expected: int) -> bytes:
     buf = np.frombuffer(raw, np.uint8)
     n = len(buf)
     half = (n + 1) // 2
-    inter = np.empty(n, np.uint8)
-    inter[0::2] = buf[:half]
-    inter[1::2] = buf[half:]
+    # OpenEXR Zip::uncompress: FIRST undo the predictor over the flat
+    # buffer (out[i] = out[i-1] + in[i] - 128 mod 256), THEN interleave
+    # the two halves back to byte order.
     rec = np.empty(n, np.uint8)
-    acc = int(inter[0])
-    rec[0] = acc & 0xFF
-    vals = inter[1:].astype(np.int64) - 128 - 256
-    accs = (acc + np.cumsum(vals)) & 0xFF
-    rec[1:] = accs.astype(np.uint8)
-    return rec.tobytes()
+    rec[0] = buf[0]
+    rec[1:] = (int(buf[0]) + np.cumsum(buf[1:].astype(np.int64) - 128)) & 0xFF
+    inter = np.empty(n, np.uint8)
+    inter[0::2] = rec[:half]
+    inter[1::2] = rec[half:]
+    return inter.tobytes()
 
 
 def read_exr(path: str) -> np.ndarray:

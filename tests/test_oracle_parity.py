@@ -1,0 +1,100 @@
+"""External cross-implementation parity: JAX tracer vs native/cpu_oracle.
+
+The reference Mitsuba build is impossible in this image (boost/xerces
+headers and the OpenEXR-2 API are absent), so the external oracle is an
+independently written scalar C++ renderer (native/cpu_oracle.cpp) sharing
+no code with the JAX stack.  A shared bug in trace_paths + the MCMC layer
+would be invisible to the repo's self-consistency tests but disagrees
+here (this harness caught a real one: the emitted-hit MIS weight was
+applied even with use_nee=False).
+
+Ref: VERDICT.md missing item 1; the reference's own cross-check is
+src/libbidir/verification.cpp (pdf vs pdf), ours is image-space.
+"""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+import jax
+
+from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+from drmlt_mitsuba_tpu.integrators.path import render_pt
+from drmlt_mitsuba_tpu.render.film import FilmConfig, develop
+from drmlt_mitsuba_tpu.render.filters import make_filter
+from drmlt_mitsuba_tpu.scene.xml import load_scene_xml
+from drmlt_mitsuba_tpu.utils.scene_dump import dump_scene
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ORACLE = os.path.join(ROOT, "native", "cpu_oracle")
+CORNELL = os.path.join(ROOT, "tests", "data", "cornell.xml")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(ORACLE), reason="native/cpu_oracle not built"
+)
+
+W = H = 64
+SPP = 512
+
+
+@pytest.fixture(scope="module")
+def dumped(tmp_path_factory):
+    fc = FilmConfig(width=W, height=H, filter=make_filter("box"))
+    scene, _ = load_scene_xml(CORNELL)
+    path = str(tmp_path_factory.mktemp("oracle") / "cornell.bin")
+    dump_scene(scene, fc, path)
+    return scene, fc, path
+
+
+def _oracle_pt(scene_bin, out, spp, depth, strat="both"):
+    r = subprocess.run(
+        [ORACLE, "pt", scene_bin, out, str(spp), str(depth), strat],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    return np.fromfile(out, np.float32).reshape(H, W, 3)
+
+
+def _jax_pt(scene, fc, spp, depth, use_nee=True):
+    cfg = PathConfig(max_depth=depth, rr_depth=99, use_nee=use_nee)
+    film = render_pt(scene, cfg, jax.random.PRNGKey(11), W * H * spp, fc,
+                     mode="accum")
+    return np.asarray(develop(fc, film, mode="accum"))[..., :3]
+
+
+@pytest.mark.parametrize("depth", [2, 6])
+def test_pt_image_parity(dumped, tmp_path, depth):
+    scene, fc, scene_bin = dumped
+    a = _jax_pt(scene, fc, SPP, depth)
+    b = _oracle_pt(scene_bin, str(tmp_path / "o.raw"), SPP, depth)
+    rel = np.abs(a.mean(axis=(0, 1)) - b.mean(axis=(0, 1)))
+    rel /= np.maximum(b.mean(axis=(0, 1)), 1e-9)
+    # channel means agree to ~0.2% at convergence; 1.5% leaves noise room
+    assert np.all(rel < 0.015), rel
+    # per-pixel: symmetric relative RMSE dominated by MC noise
+    sym = (a - b) / (0.5 * (np.abs(a) + np.abs(b)) + 5e-2)
+    assert np.sqrt((sym ** 2).mean()) < 0.25
+
+
+def test_pt_bsdf_only_parity(dumped, tmp_path):
+    """No-NEE configuration (regression for the w_bsdf use_nee bug)."""
+    scene, fc, scene_bin = dumped
+    a = _jax_pt(scene, fc, SPP, 3, use_nee=False)
+    b = _oracle_pt(scene_bin, str(tmp_path / "o.raw"), SPP, 3, "bsdf")
+    rel = np.abs(a.mean(axis=(0, 1)) - b.mean(axis=(0, 1)))
+    rel /= np.maximum(b.mean(axis=(0, 1)), 1e-9)
+    assert np.all(rel < 0.03), rel
+
+
+def test_oracle_strategy_self_consistency(dumped, tmp_path):
+    """Oracle's own NEE / BSDF / MIS estimators agree (sanity of the
+    oracle itself)."""
+    _, _, scene_bin = dumped
+    imgs = {
+        s: _oracle_pt(scene_bin, str(tmp_path / f"{s}.raw"), SPP, 2, s)
+        for s in ("both", "nee", "bsdf")
+    }
+    m = {s: i.mean(axis=(0, 1)) for s, i in imgs.items()}
+    assert np.allclose(m["both"], m["nee"], rtol=0.02)
+    assert np.allclose(m["both"], m["bsdf"], rtol=0.02)
