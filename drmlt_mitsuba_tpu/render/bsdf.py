@@ -93,7 +93,7 @@ def _plastic_specular_prob(f_i):
     return jnp.clip(f_i, 0.05, 0.95)
 
 
-def eval_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, wo):
+def _eval_core(table: MaterialTable, mat_id, albedo_tex, wi, wo):
     """(f * |cos wo|, pdf) for non-delta lobes; (0, 0) for Dirac kinds."""
     kind, _, eta, k, alpha, spec_refl, spec_trans = _mat(table, mat_id)
     cos_i = wi[..., 2]
@@ -360,7 +360,7 @@ def pdf_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, wo):
     return pdf
 
 
-def sample_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, u3) -> BsdfSample:
+def _sample_core(table: MaterialTable, mat_id, albedo_tex, wi, u3) -> BsdfSample:
     """Sample wo from the BSDF; u3 = (component, u, v) uniforms (R, 3)."""
     kind, _, eta, k, alpha, spec_refl, spec_trans = _mat(table, mat_id)
     cos_i = wi[..., 2]
@@ -417,8 +417,13 @@ def sample_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, u3) -> BsdfSample:
         if _present(table, BSDF_DIELECTRIC):
             pick_refl = uc < f_d
             eta_ti = jnp.where(cos_i > 0, 1.0 / eta_d, eta_d)
+            # transmitted ray exits on the OPPOSITE side of the interface
+            # (fresnel_dielectric returns |cos_t|; regression: refraction
+            # used +cos_t for entering rays, bouncing them back up —
+            # caught writing the Pallas megakernel mirror)
+            cos_t_signed = jnp.where(cos_i > 0, -cos_t, cos_t)
             wo_refr = jnp.stack(
-                [-wi[..., 0] * eta_ti, -wi[..., 1] * eta_ti, cos_t], -1
+                [-wi[..., 0] * eta_ti, -wi[..., 1] * eta_ti, cos_t_signed], -1
             )
             wo_diel = jnp.where(pick_refl[..., None], wo_spec, wo_refr)
             factor = jnp.where(cos_i > 0, 1.0 / eta_d, eta_d)
@@ -476,7 +481,7 @@ def sample_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, u3) -> BsdfSample:
     if _present(table, BSDF_ROUGH_DIFFUSE):
         # Oren-Nayar: cosine-hemisphere sampled; weight = f*cos/pdf
         wo_on = square_to_cosine_hemisphere(u2) * sign_i[..., None]
-        val_on, pdf_on = eval_bsdf(table, mat_id, albedo_tex, wi, wo_on)
+        val_on, pdf_on = _eval_core(table, mat_id, albedo_tex, wi, wo_on)
         w_on = val_on / jnp.maximum(pdf_on, 1e-12)[..., None]
         setk(BSDF_ROUGH_DIFFUSE, wo_on, w_on, pdf_on, false_)
 
@@ -502,7 +507,7 @@ def sample_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, u3) -> BsdfSample:
         wo_cos = square_to_cosine_hemisphere(u2)
         side = jnp.where(pick_refl, 1.0, -1.0) * sign_i
         wo_hk_s = wo_cos * side[..., None]
-        val_hk, pdf_hk = eval_bsdf(table, mat_id, albedo_tex, wi, wo_hk_s)
+        val_hk, pdf_hk = _eval_core(table, mat_id, albedo_tex, wi, wo_hk_s)
         w_smooth = val_hk / jnp.maximum(pdf_hk, 1e-12)[..., None]
         wo_hk = jnp.where(pick_delta[..., None], -wi, wo_hk_s)
         w_hk = jnp.where(pick_delta[..., None],
@@ -532,7 +537,7 @@ def sample_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, u3) -> BsdfSample:
             wo_ph_u = _frame.to_world(refl_u, lobe)
             wo_ph = jnp.where(pick_spec[..., None],
                               wo_ph_u * sign_i[..., None], wo_diff2)
-            val_ph, pdf_ph = eval_bsdf(table, mat_id, albedo_tex, wi, wo_ph)
+            val_ph, pdf_ph = _eval_core(table, mat_id, albedo_tex, wi, wo_ph)
             w_ph = val_ph / jnp.maximum(pdf_ph, 1e-12)[..., None]
             ok_ph = wo_ph[..., 2] * sign_i > 0
             setk(BSDF_PHONG, wo_ph,
@@ -550,7 +555,7 @@ def sample_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, u3) -> BsdfSample:
             wo_wd_u = reflect(wi_u, hvec)
             wo_wd = jnp.where(pick_spec[..., None],
                               wo_wd_u * sign_i[..., None], wo_diff2)
-            val_wd, pdf_wd = eval_bsdf(table, mat_id, albedo_tex, wi, wo_wd)
+            val_wd, pdf_wd = _eval_core(table, mat_id, albedo_tex, wi, wo_wd)
             w_wd = val_wd / jnp.maximum(pdf_wd, 1e-12)[..., None]
             ok_wd = wo_wd[..., 2] * sign_i > 0
             setk(BSDF_WARD, wo_wd,
@@ -576,7 +581,7 @@ def sample_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, u3) -> BsdfSample:
         wo_rd_u = jnp.where((pick_refl | tir)[..., None], wo_refl_u,
                             wo_refr_u)
         wo_rd = wo_rd_u * sign_i[..., None]
-        _, pdf_rd = eval_bsdf(table, mat_id, albedo_tex, wi, wo_rd)
+        _, pdf_rd = _eval_core(table, mat_id, albedo_tex, wi, wo_rd)
         # exact VNDF weight G2/G1 (independent of the single-branch pdf
         # approximation near the refraction fold; F and the discrete pick
         # cancel, transmission carries the radiance (1/eta)^2 scale)
@@ -604,11 +609,220 @@ def sample_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, u3) -> BsdfSample:
     return BsdfSample(wo=wo, weight=weight, pdf=pdf, delta=delta, eta=eta_out)
 
 
+# ---------------------------------------------------------------------------
+# Modifier wrappers (ref: src/bsdfs/{mask,mixturebsdf,blendbsdf,coating}.cpp)
+#
+# The reference nests modifier plugins around an inner BSDF object at scene
+# load; the SoA equivalent is optional per-row modifier parameters on
+# MaterialTable applied around the core lobes in a fixed order:
+#     mask (outermost) -> smooth coating -> 2-way mixture -> core kind.
+# Static has_* flags keep scenes without modifiers on the bare-core path
+# (zero extra compiled code).  Modifier picks consume the component uniform
+# u3[...,0] by successive range-rescaling, so the core still sees a uniform
+# component draw and replay determinism is preserved.
+# ---------------------------------------------------------------------------
+
+def _gather_cols(mat_id, *fields):
+    """Row-select modifier parameter columns (exact onehot matmul)."""
+    from drmlt_mitsuba_tpu.ops.gather import onehot_gather, pack_rows
+
+    return onehot_gather(pack_rows(*fields), mat_id)
+
+
+def _mixture_params(table: MaterialTable, mat_id):
+    row = _gather_cols(mat_id, table.mix_other, table.mix_weight)
+    other = row[..., 0].astype(jnp.int32)
+    w = jnp.where(other >= 0, jnp.clip(row[..., 1], 0.0, 1.0), 0.0)
+    return jnp.maximum(other, 0), w
+
+
+def _coating_params(table: MaterialTable, mat_id, cos_i):
+    """(coated, Fresnel(wi), p_spec, eta, sigma_a) for the coating layer."""
+    row = _gather_cols(mat_id, table.coat_eta, table.coat_sigma_a)
+    ce, sig = row[..., 0], row[..., 1:4]
+    coated = ce > 0
+    e = jnp.where(coated, jnp.maximum(ce, 1.0 + 1e-4), 1.5)
+    f_i, _, _ = fresnel_dielectric(cos_i, e)
+    f_i = jnp.where(coated, f_i, 0.0)
+    p_spec = jnp.where(coated, jnp.clip(f_i, 0.05, 0.95), 0.0)
+    return coated, f_i, p_spec, e, sig
+
+
+def _coat_absorb(coated, sig, cos_i, cos_o):
+    """exp(-sigma_a * thickness * (sec wi + sec wo)) through the layer."""
+    secs = 1.0 / jnp.maximum(jnp.abs(cos_i), 1e-4) + 1.0 / jnp.maximum(
+        jnp.abs(cos_o), 1e-4
+    )
+    a = jnp.exp(-sig * secs[..., None])
+    return jnp.where(coated[..., None], a, 1.0)
+
+
+def _mixture_eval(table: MaterialTable, mat_id, albedo_tex, wi, wo):
+    """Core eval with the mixture chain folded in (f and pdf blended).
+
+    N-way mixtures are chains of 2-way links (row r = (1-w_r)*core(r) +
+    w_r * mixture(other_r)); the static mix_depth bounds the unroll.
+    Non-root components use their row's constant albedo (textures are
+    supported on the root component only)."""
+    v1, p1 = _eval_core(table, mat_id, albedo_tex, wi, wo)
+    if not table.has_mixture:
+        return v1, p1
+    from drmlt_mitsuba_tpu.ops.gather import onehot_gather
+
+    other, w = _mixture_params(table, mat_id)
+    val = (1.0 - w)[..., None] * v1
+    pdf = (1.0 - w) * p1
+    scale, cur = w, other
+    for _ in range(table.mix_depth):
+        alb = onehot_gather(table.albedo, cur)
+        v2, p2 = _eval_core(table, cur, alb, wi, wo)
+        other, w = _mixture_params(table, cur)
+        val = val + (scale * (1.0 - w))[..., None] * v2
+        pdf = pdf + scale * (1.0 - w) * p2
+        scale, cur = scale * w, other
+    return val, pdf
+
+
+def eval_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, wo):
+    """(f * |cos wo|, pdf) for non-delta lobes; (0, 0) for Dirac kinds."""
+    if not (table.has_mask or table.has_mixture or table.has_coating):
+        return _eval_core(table, mat_id, albedo_tex, wi, wo)
+    val, pdf = _mixture_eval(table, mat_id, albedo_tex, wi, wo)
+    cos_i, cos_o = wi[..., 2], wo[..., 2]
+    if table.has_coating:
+        coated, f_i, p_spec, e, sig = _coating_params(table, mat_id, cos_i)
+        f_o, _, _ = fresnel_dielectric(cos_o, e)
+        f_o = jnp.where(coated, f_o, 0.0)
+        val = val * ((1.0 - f_i) * (1.0 - f_o))[..., None]
+        val = val * _coat_absorb(coated, sig, cos_i, cos_o)
+        pdf = (1.0 - p_spec) * pdf
+    if table.has_mask:
+        from drmlt_mitsuba_tpu.ops.gather import onehot_gather
+
+        opac = onehot_gather(table.opacity, mat_id)
+        p_keep = jnp.clip(jnp.mean(opac, -1), 0.0, 1.0)
+        val = val * opac
+        pdf = pdf * p_keep
+    return val, pdf
+
+
+def sample_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, u3) -> BsdfSample:
+    """Sample wo from the BSDF; u3 = (component, u, v) uniforms (R, 3)."""
+    if not (table.has_mask or table.has_mixture or table.has_coating):
+        return _sample_core(table, mat_id, albedo_tex, wi, u3)
+    from drmlt_mitsuba_tpu.ops.gather import onehot_gather
+
+    uc = u3[..., 0]
+    cos_i = wi[..., 2]
+
+    if table.has_mask:
+        opac = onehot_gather(table.opacity, mat_id)
+        p_keep = jnp.clip(jnp.mean(opac, -1), 0.0, 1.0)
+        pick_null = uc >= p_keep
+        uc = jnp.where(pick_null, safe_div(uc - p_keep, 1.0 - p_keep),
+                       safe_div(uc, jnp.maximum(p_keep, 1e-6)))
+    if table.has_coating:
+        coated, f_i, p_spec, e, sig = _coating_params(table, mat_id, cos_i)
+        pick_spec = uc < p_spec
+        uc = jnp.where(pick_spec, uc, safe_div(uc - p_spec, 1.0 - p_spec))
+    if table.has_mixture:
+        # walk the mixture chain: at each link either settle on the link's
+        # own core lobes (prob 1-w) or descend to `other`
+        wmix_root = _mixture_params(table, mat_id)[1]
+        cur = mat_id
+        done = jnp.zeros(uc.shape, bool)
+        for _ in range(table.mix_depth + 1):
+            other, w = _mixture_params(table, cur)
+            pick = (~done) & (uc < w)
+            uc = jnp.where(
+                pick, safe_div(uc, jnp.maximum(w, 1e-6)),
+                jnp.where(done, uc,
+                          safe_div(uc - w, jnp.maximum(1.0 - w, 1e-6))),
+            )
+            done = done | ~pick
+            cur = jnp.where(pick, other, cur)
+        mat_eff = cur
+        alb_eff = jnp.where((cur == mat_id)[..., None], albedo_tex,
+                            onehot_gather(table.albedo, cur))
+    else:
+        mat_eff, alb_eff = mat_id, albedo_tex
+
+    u3n = jnp.stack([jnp.clip(uc, 0.0, 1.0 - 1e-7), u3[..., 1], u3[..., 2]],
+                    -1)
+    s = _sample_core(table, mat_eff, alb_eff, wi, u3n)
+    wo, weight, pdf = s.wo, s.weight, s.pdf
+    delta, eta_out = s.delta, s.eta
+
+    if table.has_mixture:
+        # one-sample MIS over the two components for non-delta picks; a
+        # Dirac pick keeps the core weight (component weight / pick
+        # probability cancels exactly since they are equal)
+        v_mix, p_mix = _mixture_eval(table, mat_id, albedo_tex, wi, wo)
+        lane_mix = wmix_root > 0
+        use_nd = lane_mix & ~delta
+        w_nd = v_mix / jnp.maximum(p_mix, 1e-12)[..., None]
+        weight = jnp.where(use_nd[..., None], w_nd, weight)
+        pdf = jnp.where(use_nd, p_mix, pdf)
+
+    if table.has_coating:
+        cos_o = wo[..., 2]
+        f_o, _, _ = fresnel_dielectric(cos_o, e)
+        f_o = jnp.where(coated, f_o, 0.0)
+        scale = safe_div((1.0 - f_i) * (1.0 - f_o), 1.0 - p_spec, 1.0)
+        scale = jnp.where(coated, scale, 1.0)
+        weight = weight * scale[..., None] * _coat_absorb(
+            coated, sig, cos_i, cos_o
+        )
+        pdf = jnp.where(coated, (1.0 - p_spec) * pdf, pdf)
+        # specular coat lobe: perfect mirror with reflectance F(wi);
+        # weight = F / p_spec
+        wo_spec = jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], -1)
+        w_spec = safe_div(f_i, p_spec)[..., None] * jnp.ones_like(weight)
+        wo = jnp.where(pick_spec[..., None], wo_spec, wo)
+        weight = jnp.where(pick_spec[..., None], w_spec, weight)
+        pdf = jnp.where(pick_spec, 0.0, pdf)
+        delta = jnp.where(pick_spec, True, delta)
+        eta_out = jnp.where(pick_spec, 1.0, eta_out)
+
+    if table.has_mask:
+        # null passthrough lobe carries (1 - opacity) / P(pick null)
+        w_null = (1.0 - opac) * safe_div(
+            1.0, 1.0 - p_keep, 0.0
+        )[..., None]
+        w_kept = weight * opac * safe_div(
+            1.0, p_keep, 0.0
+        )[..., None]
+        wo = jnp.where(pick_null[..., None], -wi, wo)
+        weight = jnp.where(pick_null[..., None], w_null, w_kept)
+        pdf = jnp.where(pick_null, 0.0, pdf * p_keep)
+        delta = jnp.where(pick_null, True, delta)
+        eta_out = jnp.where(pick_null, 1.0, eta_out)
+
+    return BsdfSample(wo=wo, weight=weight, pdf=pdf, delta=delta,
+                      eta=eta_out)
+
+
 def is_delta_kind(table: MaterialTable, mat_id):
-    """True for materials whose every lobe is Dirac (no NEE contribution)."""
+    """True for materials whose every lobe is Dirac (no NEE contribution).
+
+    Modifier-aware: a mask's null lobe and a coating's specular lobe are
+    Dirac, so neither changes the answer; a 2-way mixture is all-Dirac only
+    if BOTH components are."""
     kind = _mat(table, mat_id)[0]
-    out = jnp.zeros(kind.shape, bool)
-    for kk in DELTA_KINDS:
-        if _present(table, kk):
-            out = out | (kind == kk)
+
+    def kind_delta(k):
+        out = jnp.zeros(k.shape, bool)
+        for kk in DELTA_KINDS:
+            if _present(table, kk):
+                out = out | (k == kk)
+        return out
+
+    out = kind_delta(kind)
+    if table.has_mixture:
+        cur = mat_id
+        for _ in range(table.mix_depth + 1):
+            other, w = _mixture_params(table, cur)
+            kind2 = _mat(table, other)[0]
+            out = out & ((w <= 0) | kind_delta(kind2))
+            cur = other
     return out

@@ -79,9 +79,27 @@ class MaterialTable:
     spec_trans: jnp.ndarray  # (M, 3) specular transmittance scale
     tex_id: jnp.ndarray      # (M,) int32, -1 = constant albedo
     two_sided: jnp.ndarray   # (M,) bool
+    # ---- modifier wrappers (ref: src/bsdfs/{mask,mixturebsdf,blendbsdf,
+    # coating}.cpp).  Defaults are identity; the static has_* flags let
+    # scenes without modifiers compile zero extra code. ----
+    # mask: opacity o — f = o * f_nested plus a (1-o) null passthrough lobe
+    opacity: jnp.ndarray | None = None       # (M, 3), None = all opaque
+    # 2-component mixture: this row's BSDF with weight (1-w), `mix_other`
+    # row's with weight w (mixturebsdf/blendbsdf flattened to 2 lobes)
+    mix_other: jnp.ndarray | None = None     # (M,) int32, -1 = no mixture
+    mix_weight: jnp.ndarray | None = None    # (M,)
+    # smooth dielectric coating layer over the nested BSDF
+    coat_eta: jnp.ndarray | None = None      # (M,), 0 = uncoated
+    coat_sigma_a: jnp.ndarray | None = None  # (M, 3) absorption * thickness
     # static set of kinds present — lets the BSDF kernels skip absent lobes
     # at compile time (the SPMD answer to per-plugin virtual dispatch)
     kinds_present: tuple = struct.field(pytree_node=False, default=())
+    has_mask: bool = struct.field(pytree_node=False, default=False)
+    has_mixture: bool = struct.field(pytree_node=False, default=False)
+    has_coating: bool = struct.field(pytree_node=False, default=False)
+    # longest mix_other chain (N-way mixtures are chains of 2-way links);
+    # static so eval/sample unroll exactly this many levels
+    mix_depth: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass
@@ -237,6 +255,19 @@ def make_material_table(mats: list[dict]) -> MaterialTable:
     kind = np.array([d["kind"] for d in mats], dtype=np.int32)
     tex_id = np.array([d.get("tex_id", -1) for d in mats], dtype=np.int32)
     two_sided = np.array([bool(d.get("two_sided", True)) for d in mats])
+    has_mask = any("opacity" in d for d in mats)
+    has_mixture = any(d.get("mix_other", -1) >= 0 for d in mats)
+    has_coating = any(d.get("coat_eta", 0.0) > 0 for d in mats)
+    mix_other = np.array([d.get("mix_other", -1) for d in mats],
+                         dtype=np.int32)
+    M = len(mats)
+    depth = np.zeros(M, np.int64)
+    for _ in range(M):   # fixed-point; chains are acyclic and short
+        nxt = np.where(mix_other >= 0,
+                       depth[np.clip(mix_other, 0, M - 1)] + 1, 0)
+        if np.array_equal(nxt, depth):
+            break
+        depth = nxt
     fields = dict(
         kind=jnp.asarray(kind),
         kinds_present=tuple(sorted(set(int(k) for k in kind))),
@@ -248,6 +279,19 @@ def make_material_table(mats: list[dict]) -> MaterialTable:
         spec_trans=jnp.asarray(field("spec_trans", 1.0, (3,))),
         tex_id=jnp.asarray(tex_id),
         two_sided=jnp.asarray(two_sided),
+        has_mask=has_mask,
+        has_mixture=has_mixture,
+        has_coating=has_coating,
+        mix_depth=int(depth.max()),
+        opacity=jnp.asarray(field("opacity", 1.0, (3,))) if has_mask
+        else None,
+        mix_other=jnp.asarray(mix_other) if has_mixture else None,
+        mix_weight=jnp.asarray(field("mix_weight", 0.0, ()))
+        if has_mixture else None,
+        coat_eta=jnp.asarray(field("coat_eta", 0.0, ())) if has_coating
+        else None,
+        coat_sigma_a=jnp.asarray(field("coat_sigma_a", 0.0, (3,)))
+        if has_coating else None,
     )
     return MaterialTable(**fields)
 

@@ -209,17 +209,69 @@ def _parse_bsdf(node, defaults, ctx, base_dir=""):
     if tex is not None:
         tex_id = _parse_texture(tex, defaults, ctx, base_dir)
     two_sided = False
-    # unwrap modifier bsdfs
+    mods: dict = {}
+    # Modifier wrappers are collected into per-row parameters applied by
+    # render/bsdf.py around the core lobes (mask -> coating -> 2-way
+    # mixture; ref: src/bsdfs/{mask,coating,mixturebsdf,blendbsdf}.cpp).
+    # bumpmap/normalmap still collapse to the nested bsdf with a warning.
     while btype in ("twosided", "mask", "bumpmap", "normalmap", "coating",
                     "roughcoating", "mixturebsdf", "blendbsdf"):
+        node_props = _props(node, defaults)
         if btype == "twosided":
             two_sided = True
+        elif btype == "mask":
+            op = np.broadcast_to(
+                np.asarray(node_props.get("opacity", 0.5), np.float32), (3,)
+            )
+            mods["opacity"] = mods.get("opacity", np.ones(3, np.float32)) * op
+        elif btype in ("coating", "roughcoating"):
+            ii = _resolve_ior(node_props.get("intIOR", 1.5046))
+            ee = _resolve_ior(node_props.get("extIOR", 1.000277))
+            mods["coat_eta"] = float(ii / ee)
+            sa = np.asarray(node_props.get("sigmaA", 0.0), np.float32)
+            mods["coat_sigma_a"] = np.broadcast_to(
+                sa * float(node_props.get("thickness", 1.0)), (3,)
+            ).copy()
+            if btype == "roughcoating":
+                warnings.warn("roughcoating treated as a smooth coating")
+        elif btype in ("bumpmap", "normalmap"):
+            warnings.warn(f"{btype}: normal perturbation unsupported; "
+                          "using the nested bsdf unmodified")
+        else:   # mixturebsdf / blendbsdf
+            kids = [("bsdf", c) if c.tag == "bsdf" else ("ref", c.get("id"))
+                    for c in node if c.tag in ("bsdf", "ref")]
+            if btype == "blendbsdf":
+                w = float(np.mean(node_props.get("weight", 0.5)))
+                weights = [1.0 - w, w]
+            else:
+                ws = str(node_props.get("weights", "")).replace(",", " ")
+                weights = [float(x) for x in ws.split()]
+            weights += [1.0] * (len(kids) - len(weights))
+            if len(kids) >= 2:
+                total = sum(weights[: len(kids)]) or 1.0
+                mods["mix_other"] = _parse_mixture_rest(
+                    kids[1:], weights[1:len(kids)], defaults, ctx, base_dir
+                )
+                mods["mix_weight"] = sum(weights[1:len(kids)]) / total
+            if kids and kids[0][0] == "ref":
+                # first component by reference: give the modifiers a
+                # private copy of the referenced row
+                i0 = ctx["mat_by_id"].get(kids[0][1])
+                mat = (dict(ctx["materials"][i0]) if i0 is not None
+                       else dict(kind=st.BSDF_DIFFUSE))
+                mat.update(mods)
+                ctx["materials"].append(mat)
+                return len(ctx["materials"]) - 1
         inner = node.find("bsdf")
         if inner is None:
             break
         node = inner
-        btype = node.get("type")
+        btype = _subst(node.get("type"), defaults)
         props.update(_props(node, defaults))
+        if tex_id < 0:
+            tex = node.find("texture")
+            if tex is not None:
+                tex_id = _parse_texture(tex, defaults, ctx, base_dir)
 
     kind_map = {
         "diffuse": st.BSDF_DIFFUSE,
@@ -279,8 +331,41 @@ def _parse_bsdf(node, defaults, ctx, base_dir=""):
             g_hk = float(_props(ph, defaults).get("g", 0.0))
         mat["k"] = np.asarray([g_hk, 0.0, 0.0], np.float32)
 
+    mat.update(mods)
     ctx["materials"].append(mat)
     return len(ctx["materials"]) - 1
+
+
+def _parse_mixture_rest(kids, weights, defaults, ctx, base_dir):
+    """Collapse mixture components 1..N-1 into a chain of 2-way rows:
+    mixture(w0*A, w1*B, w2*C) == A blended with [B blended with C], with
+    renormalized weights at each link (the chained-row encoding of N-way
+    mixtures over MaterialTable.mix_other/mix_weight)."""
+
+    def row_for(kid):
+        tag, v = kid
+        if tag == "ref":
+            idx = ctx["mat_by_id"].get(v)
+            if idx is not None:
+                return idx
+            warnings.warn(f"mixture ref '{v}' unknown; using diffuse")
+            ctx["materials"].append(dict(kind=st.BSDF_DIFFUSE))
+            return len(ctx["materials"]) - 1
+        return _parse_bsdf(v, defaults, ctx, base_dir)
+
+    idx = row_for(kids[-1])
+    acc = weights[-1]
+    for kid, w in zip(reversed(kids[:-1]), reversed(weights[:-1])):
+        m = dict(ctx["materials"][row_for(kid)])   # private copy per link
+        if m.get("mix_other", -1) >= 0:
+            warnings.warn("mixture component is itself a mixture; its own "
+                          "blend is overridden by the chain link")
+        m["mix_other"] = idx
+        m["mix_weight"] = acc / max(acc + w, 1e-9)
+        ctx["materials"].append(m)
+        idx = len(ctx["materials"]) - 1
+        acc += w
+    return idx
 
 
 def _unit_rect():

@@ -87,6 +87,35 @@ def test_pt_bsdf_only_parity(dumped, tmp_path):
     assert np.all(rel < 0.03), rel
 
 
+def test_pt_glass_sphere_parity(tmp_path):
+    """Smooth-dielectric transport vs the oracle (regression for the
+    refraction-side bug: entering rays were refracted back into the upper
+    hemisphere)."""
+    src = open(CORNELL).read()
+    mod = src.replace(
+        '<bsdf type="roughconductor" id="metal">\n'
+        '        <string name="material" value="Cu"/>\n'
+        '        <float name="alpha" value="0.15"/>',
+        '<bsdf type="dielectric" id="metal">'
+        '<float name="intIOR" value="1.5"/>',
+    )
+    assert mod != src
+    xml = tmp_path / "cornell_glass.xml"
+    xml.write_text(mod)
+    fc = FilmConfig(width=W, height=H, filter=make_filter("box"))
+    scene, _ = load_scene_xml(str(xml))
+    scene_bin = str(tmp_path / "glass.bin")
+    dump_scene(scene, fc, scene_bin)
+    # depth 4: beyond that the double-refraction caustic tail is firefly
+    # noise at test spp (glass energy-exactness is pinned separately by
+    # the dielectric furnace in tests/test_path.py)
+    a = _jax_pt(scene, fc, SPP, 4)
+    b = _oracle_pt(scene_bin, str(tmp_path / "o.raw"), SPP, 4)
+    rel = np.abs(a.mean(axis=(0, 1)) - b.mean(axis=(0, 1)))
+    rel /= np.maximum(b.mean(axis=(0, 1)), 1e-9)
+    assert np.all(rel < 0.03), rel
+
+
 def test_oracle_strategy_self_consistency(dumped, tmp_path):
     """Oracle's own NEE / BSDF / MIS estimators agree (sanity of the
     oracle itself)."""

@@ -22,6 +22,25 @@ def test_furnace_white():
     np.testing.assert_allclose(vals.mean(), 1.0, atol=5e-3)
 
 
+def test_furnace_dielectric():
+    """A lossless smooth-glass sphere in the furnace preserves unit
+    radiance exactly (regression: refraction used +cos_t for entering
+    rays, bouncing them back into the upper hemisphere)."""
+    from drmlt_mitsuba_tpu.scene import types as st
+
+    scene = furnace_sphere(env=1.0).replace(
+        materials=st.make_material_table(
+            [dict(kind=st.BSDF_DIELECTRIC, eta=(1.5, 1.5, 1.5))]
+        )
+    )
+    cfg = PathConfig(max_depth=24, rr_depth=100, use_nee=False)
+    u = jax.random.uniform(jax.random.PRNGKey(4), (2048, cfg.n_dims))
+    sp = trace_paths(scene, cfg, u)
+    vals = np.asarray(sp.value[:, 0, :])
+    assert np.all(np.isfinite(vals))
+    np.testing.assert_allclose(vals.mean(), 1.0, atol=1e-2)
+
+
 def test_furnace_albedo():
     """Gray furnace: with albedo rho, radiance is env·rho^n for paths with n
     bounces; the expectation over bounce counts is strictly between
