@@ -57,7 +57,7 @@ def main():
     from drmlt_mitsuba_tpu.integrators.mmlt import (
         make_mmlt_trace, mmlt_emitter_mask, mmlt_lt_mask_fn, mmlt_masks,
     )
-    from drmlt_mitsuba_tpu.integrators.path import trace_paths
+    from drmlt_mitsuba_tpu.integrators.path import make_path_trace
     from drmlt_mitsuba_tpu.render import film as filmlib
     from drmlt_mitsuba_tpu.scene.builders import cornell_box
     from drmlt_mitsuba_tpu.scene.types import prepare_scene
@@ -99,7 +99,7 @@ def main():
     pcfg = PathConfig(max_depth=6, rr_depth=5)
     n_path = pcfg.n_dims + pcfg.n_dims % 2
     rate_path = bench_config(
-        lambda u: trace_paths(scene, pcfg, u[:, : pcfg.n_dims]),
+        make_path_trace(scene, pcfg),   # Pallas megakernel on TPU
         n_path, jnp.zeros((n_path,), bool),
     )
 

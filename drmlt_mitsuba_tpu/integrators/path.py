@@ -319,6 +319,30 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
     )
 
 
+def make_path_trace(scene: Scene, cfg: PathConfig, force_xla: bool = False):
+    """Fastest available trace(u)->Splats for this scene/config.
+
+    On TPU, eligible scenes (triangles + area emitters + constant albedos +
+    supported BSDF kinds, see ops/pallas/megatrace.py) run the whole trace
+    in one Pallas megakernel (~3.7x the wavefront); everything else — and
+    anything that needs gradients — uses trace_paths.
+    """
+    from drmlt_mitsuba_tpu.ops.intersect import _on_tpu
+    from drmlt_mitsuba_tpu.ops.pallas.megatrace import (
+        make_mega_trace, mega_eligible,
+    )
+
+    use_mega = (not force_xla) and _on_tpu() and mega_eligible(scene, cfg)
+    mega = make_mega_trace(scene, cfg) if use_mega else None
+
+    def trace(u):
+        if mega is not None and u.shape[0] % 8 == 0:
+            return mega(u)
+        return trace_paths(scene, cfg, u[:, : cfg.n_dims])
+
+    return trace
+
+
 def render_pt(scene: Scene, cfg: PathConfig, key, n_samples: int, film_cfg,
               mode: str = "accum"):
     """Plain Monte-Carlo render: n_samples random paths splatted to a film.
@@ -330,13 +354,14 @@ def render_pt(scene: Scene, cfg: PathConfig, key, n_samples: int, film_cfg,
     chunk = 16384
     n_chunks = max(1, -(-n_samples // chunk))
     scale = jnp.array([film_cfg.width, film_cfg.height], jnp.float32)
+    trace = make_path_trace(scene, cfg)
 
     @jax.jit
     def run():
         def body(film, i):
             u = jax.random.uniform(jax.random.fold_in(key, i),
                                    (chunk, cfg.n_dims))
-            sp = trace_paths(scene, cfg, u)
+            sp = trace(u)
             film = filmlib.splat(
                 film_cfg, film, sp.pos[:, 0, :] * scale, sp.value[:, 0, :],
                 mode=mode,

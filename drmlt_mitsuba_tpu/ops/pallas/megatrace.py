@@ -1,0 +1,901 @@
+"""Pallas per-path megakernel: the whole unidirectional trace in ONE kernel.
+
+Round-1 profiling (CLAUDE.md) showed the wavefront tracer is entirely
+memory-bound: one DRMLT step touches 6.1 GB of HBM, almost all of it
+fusion-boundary traffic of ~100 (chains, 3) intermediates per bounce
+(the lax.scan carry plus the Pallas-intersect kernel boundary).  This
+kernel keeps ALL per-path state in VMEM for the full trace: the only HBM
+traffic is reading the PSS vectors u (R, n_dims) once and writing the
+(R, 3) radiance once — everything else (intersection sweeps, BSDF
+eval/sample, NEE, MIS, RR) happens on VMEM tiles.
+
+Semantics mirror integrators/path.py:trace_paths EXACTLY (same PSS layout
+consumption per integrators/layout.py, same sampling warps, same MIS
+power heuristic, same RR) so the two are interchangeable in the MCMC
+stack; tests/test_megatrace.py asserts agreement.  Reference analog:
+this kernel replaces the per-bounce wavefront of SURVEY §2.8.6, i.e. the
+inner loop of MIPathTracer (path.cpp Li) run 65k lanes at a time.
+
+Supported scene subset (mega_eligible): triangle geometry, area emitters
+only (no env/delta emitters), no participating media, constant albedos
+(no textures), pinhole perspective camera, BSDF kinds diffuse / conductor
+/ mirror / dielectric / roughconductor / null.  Everything else falls
+back to trace_paths; the dispatcher never changes results, only speed.
+
+Layout: rays ride (8, L) f32 VPU tiles (8 sublanes x L lanes); a grid
+block is 8*L rays.  Scene tables stream from SMEM scalars exactly like
+ops/pallas/intersect_kernel.py v2 (the proven fast path), so every VPU op
+is a dense tile with free scalar broadcasts.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from drmlt_mitsuba_tpu.integrators.layout import (
+    BOUNCE_DIMS, OFF_BSDF_CMP, OFF_BSDF_U, OFF_LIGHT_PICK, OFF_LIGHT_U,
+    OFF_RR, SENSOR_DIMS,
+)
+from drmlt_mitsuba_tpu.scene.types import (
+    BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_DIFFUSE, BSDF_MIRROR, BSDF_NULL,
+    BSDF_ROUGH_CONDUCTOR, CAMERA_PERSPECTIVE, EMITTER_AREA, Scene,
+)
+
+RAY_EPS = 1e-4
+_INF = 3.0e38
+_PI = math.pi
+
+SUPPORTED_KINDS = (BSDF_DIFFUSE, BSDF_CONDUCTOR, BSDF_DIELECTRIC,
+                   BSDF_ROUGH_CONDUCTOR, BSDF_MIRROR, BSDF_NULL)
+_DELTA_KINDS = (BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_MIRROR, BSDF_NULL)
+
+# SMEM table column layouts (packed host-side)
+_TRI_COLS = 20   # v0 e1 e2 n0 n1 n2 mat_id erow
+_MAT_COLS = 18   # kind albedo eta k rough spec_refl spec_trans
+_EM_COLS = 20    # rad area pmf cdf v0 e1 e2 ng
+_CAM_COLS = 16   # R00..R22 t0..t2 thx thy
+
+
+# ---------------------------------------------------------------- SoA math
+def _dot(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _cross(ax, ay, az, bx, by, bz):
+    return ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
+
+
+def _normalize(x, y, z):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
+    return x * inv, y * inv, z * inv
+
+
+def _lum(r, g, b):
+    return 0.212671 * r + 0.715160 * g + 0.072169 * b
+
+
+def _mis_power(a, b):
+    a2 = a * a
+    b2 = b * b
+    s = a2 + b2
+    return jnp.where(s > 0, a2 / jnp.where(s > 0, s, 1.0), 0.0)
+
+
+def _onb(nx, ny, nz):
+    """Duff et al. branchless ONB (mirrors core/frame.py)."""
+    sign = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + nz)
+    b = nx * ny * a
+    sx, sy, sz = 1.0 + sign * nx * nx * a, sign * b, -sign * nx
+    tx, ty, tz = b, sign + ny * ny * a, -ny
+    return (sx, sy, sz), (tx, ty, tz)
+
+
+def _to_local(n, v):
+    (sx, sy, sz), (tx, ty, tz) = _onb(*n)
+    nx, ny, nz = n
+    vx, vy, vz = v
+    return (_dot(vx, vy, vz, sx, sy, sz),
+            _dot(vx, vy, vz, tx, ty, tz),
+            _dot(vx, vy, vz, nx, ny, nz))
+
+
+def _to_world(n, v):
+    (sx, sy, sz), (tx, ty, tz) = _onb(*n)
+    nx, ny, nz = n
+    lx, ly, lz = v
+    return (lx * sx + ly * tx + lz * nx,
+            lx * sy + ly * ty + lz * ny,
+            lx * sz + ly * tz + lz * nz)
+
+
+def _concentric_disk(u1, u2):
+    """Shirley-Chiu mapping (mirrors core/warp.py)."""
+    x = 2.0 * u1 - 1.0
+    y = 2.0 * u2 - 1.0
+    zero = (x == 0) & (y == 0)
+    use_x = jnp.abs(x) > jnp.abs(y)
+    r = jnp.where(use_x, x, y)
+    ratio = jnp.where(
+        use_x,
+        jnp.where(x != 0, y / jnp.where(x != 0, x, 1.0), 0.0),
+        jnp.where(y != 0, x / jnp.where(y != 0, y, 1.0), 0.0),
+    )
+    phi = jnp.where(use_x, (_PI / 4.0) * ratio,
+                    (_PI / 2.0) - (_PI / 4.0) * ratio)
+    r = jnp.where(zero, 0.0, r)
+    return r * jnp.cos(phi), r * jnp.sin(phi)
+
+
+def _cosine_hemisphere(u1, u2):
+    px, py = _concentric_disk(u1, u2)
+    z = jnp.sqrt(jnp.maximum(1.0 - px * px - py * py, 0.0))
+    return px, py, z
+
+
+def _fresnel_diel(cos_i, eta):
+    """Mirrors core/math.py fresnel_dielectric: returns (F, |cos_t|, tir)."""
+    outside = cos_i > 0
+    eta_it = jnp.where(outside, eta, 1.0 / eta)
+    ci = jnp.abs(cos_i)
+    sin2_t = (1.0 - ci * ci) / (eta_it * eta_it)
+    tir = sin2_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    den_s = ci + eta_it * cos_t
+    r_s = jnp.where(den_s > 0, (ci - eta_it * cos_t)
+                    / jnp.where(den_s > 0, den_s, 1.0), 0.0)
+    den_p = eta_it * ci + cos_t
+    r_p = jnp.where(den_p > 0, (eta_it * ci - cos_t)
+                    / jnp.where(den_p > 0, den_p, 1.0), 0.0)
+    f = 0.5 * (r_s * r_s + r_p * r_p)
+    return jnp.where(tir, 1.0, f), cos_t, tir
+
+
+def _fresnel_cond1(ci, e, kk):
+    """Per-channel conductor Fresnel (mirrors fresnel_conductor)."""
+    ci = jnp.clip(ci, 0.0, 1.0)
+    c2 = ci * ci
+    s2 = 1.0 - c2
+    e2 = e * e
+    k2 = kk * kk
+    t0 = e2 - k2 - s2
+    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * e2 * k2, 0.0))
+    t1 = a2b2 + c2
+    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+    t2 = 2.0 * a * ci
+    rs = jnp.where(t1 + t2 > 0, (t1 - t2) / jnp.maximum(t1 + t2, 1e-30), 0.0)
+    t3 = c2 * a2b2 + s2 * s2
+    t4 = t2 * s2
+    rp = rs * jnp.where(t3 + t4 > 0, (t3 - t4) / jnp.maximum(t3 + t4, 1e-30),
+                        0.0)
+    return 0.5 * (rp + rs)
+
+
+def _ggx_lambda(cz, alpha):
+    cz = jnp.abs(cz)
+    s2 = jnp.maximum(1.0 - cz * cz, 0.0)
+    a2 = alpha * alpha
+    return 0.5 * (jnp.sqrt(jnp.maximum(
+        1.0 + a2 * s2 / jnp.maximum(cz * cz, 1e-12), 0.0)) - 1.0)
+
+
+def _ggx_g1(cz, alpha):
+    return 1.0 / (1.0 + _ggx_lambda(cz, alpha))
+
+
+def _ggx_g2(ci, co, alpha):
+    return 1.0 / (1.0 + _ggx_lambda(ci, alpha) + _ggx_lambda(co, alpha))
+
+
+def _ggx_ndf(mz, alpha):
+    a2 = alpha * alpha
+    c2 = mz * mz
+    den = c2 * (a2 - 1.0) + 1.0
+    d = a2 / jnp.maximum(_PI * den * den, 1e-12)
+    return jnp.where(mz > 0, d, 0.0)
+
+
+def _ggx_sample_vndf(wix, wiy, wiz, alpha, u1, u2):
+    """Heitz 2018 VNDF sampling (mirrors render/microfacet.py)."""
+    vx, vy, vz = alpha * wix, alpha * wiy, wiz
+    inv = jax.lax.rsqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-24))
+    vx, vy, vz = vx * inv, vy * inv, vz * inv
+    lensq = vx * vx + vy * vy
+    invl = jax.lax.rsqrt(jnp.maximum(lensq, 1e-20))
+    big = lensq > 1e-18
+    t1x = jnp.where(big, -vy * invl, 1.0)
+    t1y = jnp.where(big, vx * invl, 0.0)
+    t1z = jnp.zeros_like(vx)
+    t2x, t2y, t2z = _cross(vx, vy, vz, t1x, t1y, t1z)
+    r = jnp.sqrt(jnp.maximum(u1, 0.0))
+    phi = 2.0 * _PI * u2
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vz)
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) + s * p2
+    p3 = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+    nx = p1 * t1x + p2 * t2x + p3 * vx
+    ny = p1 * t1y + p2 * t2y + p3 * vy
+    nz = p1 * t1z + p2 * t2z + p3 * vz
+    mx, my, mz = alpha * nx, alpha * ny, jnp.maximum(nz, 1e-6)
+    return _normalize(mx, my, mz)
+
+
+def _ggx_vndf_pdf(wix, wiy, wiz, mx, my, mz, alpha):
+    g1 = _ggx_g1(wiz, alpha)
+    d = _ggx_ndf(mz, alpha)
+    dot_im = jnp.maximum(_dot(wix, wiy, wiz, mx, my, mz), 0.0)
+    return g1 * dot_im * d / jnp.maximum(jnp.abs(wiz), 1e-12)
+
+
+# ---------------------------------------------------------------- packing
+def pack_mega_tables(scene: Scene):
+    """Host-side SMEM tables (numpy -> jnp) for the megakernel."""
+    tris = scene.tris
+    v0 = np.asarray(tris.v0, np.float32)
+    e1 = np.asarray(tris.e1, np.float32)
+    e2 = np.asarray(tris.e2, np.float32)
+    n0 = np.asarray(tris.n0, np.float32)
+    n1 = np.asarray(tris.n1, np.float32)
+    n2 = np.asarray(tris.n2, np.float32)
+    valid = np.asarray(tris.valid, bool)
+    T = v0.shape[0]
+    tri = np.zeros((T, _TRI_COLS), np.float32)
+    tri[:, 0:3] = v0
+    tri[:, 3:6] = e1
+    tri[:, 6:9] = e2
+    tri[:, 9:12] = n0
+    tri[:, 12:15] = n1
+    tri[:, 15:18] = n2
+    tri[:, 18] = np.asarray(tris.mat_id, np.float32)
+    tri[:, 19] = np.asarray(tris.emitter_id, np.float32)
+    # degenerate edges for invalid rows -> det 0 -> never hit
+    tri[~valid, 3:9] = 0.0
+
+    mats = scene.materials
+    M = np.asarray(mats.kind).shape[0]
+    mat = np.zeros((M, _MAT_COLS), np.float32)
+    mat[:, 0] = np.asarray(mats.kind, np.float32)
+    mat[:, 1:4] = np.asarray(mats.albedo, np.float32)
+    mat[:, 4:7] = np.asarray(mats.eta, np.float32)
+    mat[:, 7:10] = np.asarray(mats.k, np.float32)
+    mat[:, 10] = np.maximum(np.asarray(mats.roughness, np.float32), 1e-3)
+    mat[:, 11:14] = np.asarray(mats.spec_refl, np.float32)
+    mat[:, 14:17] = np.asarray(mats.spec_trans, np.float32)
+
+    em = scene.emitters
+    E = np.asarray(em.kind).shape[0]
+    emt = np.zeros((E, _EM_COLS), np.float32)
+    emt[:, 0:3] = np.asarray(em.radiance, np.float32)
+    emt[:, 3] = np.asarray(em.area, np.float32)
+    emt[:, 4] = np.asarray(em.pmf, np.float32)
+    emt[:, 5] = np.asarray(em.cdf, np.float32)
+    ti = np.clip(np.asarray(em.tri_idx), 0, T - 1)
+    emt[:, 6:9] = v0[ti]
+    emt[:, 9:12] = e1[ti]
+    emt[:, 12:15] = e2[ti]
+    ng = np.cross(e1[ti], e2[ti])
+    ng /= np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+    emt[:, 15:18] = ng
+
+    cam = np.zeros((1, _CAM_COLS), np.float32)
+    c2w = np.asarray(scene.camera.to_world, np.float32)
+    cam[0, 0:9] = c2w[:3, :3].reshape(9)
+    cam[0, 9:12] = c2w[:3, 3]
+    cam[0, 12] = float(np.asarray(scene.camera.tan_half_fov_x))
+    cam[0, 13] = float(np.asarray(scene.camera.tan_half_fov_y))
+    return (jnp.asarray(tri), jnp.asarray(mat), jnp.asarray(emt),
+            jnp.asarray(cam))
+
+
+def mega_eligible(scene: Scene, cfg) -> bool:
+    """Static host-side check that the megakernel covers this scene."""
+    try:
+        if getattr(cfg, "thinlens", False):
+            return False
+        if scene.medium is not None:
+            return False
+        if scene.camera.kind != CAMERA_PERSPECTIVE:
+            return False
+        if float(np.asarray(scene.camera.aperture_radius)) > 0:
+            return False
+        if scene.textures is not None:
+            return False
+        em = scene.emitters
+        if em.env_image is not None:
+            return False
+        if float(np.abs(np.asarray(em.env_radiance)).sum()) > 0:
+            return False
+        if not bool(np.all(np.asarray(em.kind) == EMITTER_AREA)):
+            return False
+        if bool(np.any(np.asarray(scene.spheres.valid))):
+            return False
+        kinds = set(int(k) for k in np.unique(
+            np.asarray(scene.materials.kind)))
+        if not kinds.issubset(set(SUPPORTED_KINDS)):
+            return False
+        T = np.asarray(scene.tris.v0).shape[0]
+        if T > 8192:      # SMEM scalar-table budget
+            return False
+        return True
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------- kernel
+def _mega_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
+                 n_tris, n_mats, n_ems, max_depth, min_depth, rr_depth,
+                 use_nee, kinds):
+    f32 = jnp.float32
+
+    def udim(j):
+        return u_ref[j]
+
+    shape = u_ref.shape[1:]          # (8, L)
+    zero = jnp.zeros(shape, f32)
+    one = jnp.ones(shape, f32)
+
+    # ---- camera ray (pinhole perspective; mirrors sensor.py) -------------
+    ux = udim(0)
+    uy = udim(1)
+    x = (2.0 * ux - 1.0) * cam_ref[0, 12]
+    y = (1.0 - 2.0 * uy) * cam_ref[0, 13]
+    dcx, dcy, dcz = x, y, one
+    dx = cam_ref[0, 0] * dcx + cam_ref[0, 1] * dcy + cam_ref[0, 2] * dcz
+    dy = cam_ref[0, 3] * dcx + cam_ref[0, 4] * dcy + cam_ref[0, 5] * dcz
+    dz = cam_ref[0, 6] * dcx + cam_ref[0, 7] * dcy + cam_ref[0, 8] * dcz
+    dx, dy, dz = _normalize(dx, dy, dz)
+    ox = jnp.broadcast_to(cam_ref[0, 9], shape)
+    oy = jnp.broadcast_to(cam_ref[0, 10], shape)
+    oz = jnp.broadcast_to(cam_ref[0, 11], shape)
+
+    tpx = tpy = tpz = one
+    Lx = Ly = Lz = zero
+    active = jnp.ones(shape, bool)
+    prev_pdf = zero
+    prev_delta = jnp.ones(shape, bool)
+    eta_scale = one
+
+    # ---------------------------------------------------------- sweeps
+    def closest_sweep(ox, oy, oz, dx, dy, dz):
+        """Fused closest-hit + winner-attribute selection.
+
+        carry: best_t + 20 attribute tiles (v0 e1 e2 n0 n1 n2 mat erow).
+        """
+        def body(t, carry):
+            (best_t, av) = carry
+            v0x = tri_ref[t, 0]
+            v0y = tri_ref[t, 1]
+            v0z = tri_ref[t, 2]
+            e1x = tri_ref[t, 3]
+            e1y = tri_ref[t, 4]
+            e1z = tri_ref[t, 5]
+            e2x = tri_ref[t, 6]
+            e2y = tri_ref[t, 7]
+            e2z = tri_ref[t, 8]
+            px, py, pz = _cross(dx, dy, dz, e2x, e2y, e2z)
+            det = e1x * px + e1y * py + e1z * pz
+            ok = jnp.abs(det) > 1e-12
+            inv = 1.0 / jnp.where(ok, det, 1.0)
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            b1 = (tx * px + ty * py + tz * pz) * inv
+            qx, qy, qz = _cross(tx, ty, tz, e1x, e1y, e1z)
+            b2 = (dx * qx + dy * qy + dz * qz) * inv
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+            hit = (ok & (b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+                   & (tt > RAY_EPS) & (tt < best_t))
+            best_t = jnp.where(hit, tt, best_t)
+            new_av = []
+            for c in range(_TRI_COLS):
+                new_av.append(jnp.where(hit, tri_ref[t, c], av[c]))
+            return (best_t, tuple(new_av))
+
+        init_av = tuple(zero for _ in range(_TRI_COLS))
+        init_av = init_av[:19] + (jnp.full(shape, -1.0, f32),)
+        best_t, av = jax.lax.fori_loop(
+            0, n_tris, body, (jnp.full(shape, _INF, f32), init_av))
+        return best_t, av
+
+    def shadow_sweep(ox, oy, oz, dx, dy, dz, tmax):
+        # NOTE: the any-hit flag is carried as f32 0/1, not bool — Mosaic
+        # (2026-08 jaxlib) miscompiles i1 fori_loop carries into mismatched
+        # packed-vector ranks (vector<8x128x32xi1> vs vector<8x128xi1>).
+        def body(t, blocked):
+            v0x = tri_ref[t, 0]
+            v0y = tri_ref[t, 1]
+            v0z = tri_ref[t, 2]
+            e1x = tri_ref[t, 3]
+            e1y = tri_ref[t, 4]
+            e1z = tri_ref[t, 5]
+            e2x = tri_ref[t, 6]
+            e2y = tri_ref[t, 7]
+            e2z = tri_ref[t, 8]
+            px, py, pz = _cross(dx, dy, dz, e2x, e2y, e2z)
+            det = e1x * px + e1y * py + e1z * pz
+            ok = jnp.abs(det) > 1e-12
+            inv = 1.0 / jnp.where(ok, det, 1.0)
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            b1 = (tx * px + ty * py + tz * pz) * inv
+            qx, qy, qz = _cross(tx, ty, tz, e1x, e1y, e1z)
+            b2 = (dx * qx + dy * qy + dz * qz) * inv
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+            hit = (ok & (b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+                   & (tt > RAY_EPS) & (tt < tmax))
+            return jnp.where(hit, 1.0, blocked)
+
+        blocked = jax.lax.fori_loop(
+            0, n_tris, body, jnp.zeros(shape, jnp.float32))
+        return blocked > 0.5
+
+    # ---------------------------------------------------------- bounces
+    for depth in range(1, max_depth + 1):
+        base = SENSOR_DIMS + (depth - 1) * BOUNCE_DIMS
+
+        best_t, av = closest_sweep(ox, oy, oz, dx, dy, dz)
+        hit_valid = best_t < _INF
+        t_hit = jnp.where(hit_valid, best_t, _INF)
+        v0x, v0y, v0z = av[0], av[1], av[2]
+        e1x, e1y, e1z = av[3], av[4], av[5]
+        e2x, e2y, e2z = av[6], av[7], av[8]
+        mat_id = av[18]
+        erow = jnp.where(hit_valid, av[19], -1.0)
+
+        # hit point + barycentrics (Cramer recompute like _tri_best_pallas)
+        hpx = ox + t_hit * dx
+        hpy = oy + t_hit * dy
+        hpz = oz + t_hit * dz
+        px, py, pz = _cross(dx, dy, dz, e2x, e2y, e2z)
+        det = e1x * px + e1y * py + e1z * pz
+        inv = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        b1 = jnp.clip((tx * px + ty * py + tz * pz) * inv, 0.0, 1.0)
+        qx, qy, qz = _cross(tx, ty, tz, e1x, e1y, e1z)
+        b2 = jnp.clip((dx * qx + dy * qy + dz * qz) * inv, 0.0, 1.0)
+        w0 = 1.0 - b1 - b2
+        ngx, ngy, ngz = _normalize(*_cross(e1x, e1y, e1z, e2x, e2y, e2z))
+        nsx = w0 * av[9] + b1 * av[12] + b2 * av[15]
+        nsy = w0 * av[10] + b1 * av[13] + b2 * av[16]
+        nsz = w0 * av[11] + b1 * av[14] + b2 * av[17]
+        nsx, nsy, nsz = _normalize(nsx, nsy, nsz)
+
+        # ---- material row select (loop over M) ---------------------------
+        kind = zero
+        alx = aly = alz = zero
+        etx = ety = etz = zero
+        kx = ky = kz = zero
+        rough = jnp.full(shape, 1e-3, f32)
+        srx = sry = srz = zero
+        stx = sty = stz = zero
+        for m in range(n_mats):
+            sel = mat_id == m
+            kind = jnp.where(sel, mat_ref[m, 0], kind)
+            alx = jnp.where(sel, mat_ref[m, 1], alx)
+            aly = jnp.where(sel, mat_ref[m, 2], aly)
+            alz = jnp.where(sel, mat_ref[m, 3], alz)
+            etx = jnp.where(sel, mat_ref[m, 4], etx)
+            ety = jnp.where(sel, mat_ref[m, 5], ety)
+            etz = jnp.where(sel, mat_ref[m, 6], etz)
+            kx = jnp.where(sel, mat_ref[m, 7], kx)
+            ky = jnp.where(sel, mat_ref[m, 8], ky)
+            kz = jnp.where(sel, mat_ref[m, 9], kz)
+            rough = jnp.where(sel, mat_ref[m, 10], rough)
+            srx = jnp.where(sel, mat_ref[m, 11], srx)
+            sry = jnp.where(sel, mat_ref[m, 12], sry)
+            srz = jnp.where(sel, mat_ref[m, 13], srz)
+            stx = jnp.where(sel, mat_ref[m, 14], stx)
+            sty = jnp.where(sel, mat_ref[m, 15], sty)
+            stz = jnp.where(sel, mat_ref[m, 16], stz)
+
+        # ---- emitted radiance + MIS (mirrors path.py) --------------------
+        e_radx = e_rady = e_radz = zero
+        e_area = one
+        e_pmf = zero
+        for e in range(n_ems):
+            sel = erow == e
+            e_radx = jnp.where(sel, em_ref[e, 0], e_radx)
+            e_rady = jnp.where(sel, em_ref[e, 1], e_rady)
+            e_radz = jnp.where(sel, em_ref[e, 2], e_radz)
+            e_area = jnp.where(sel, em_ref[e, 3], e_area)
+            e_pmf = jnp.where(sel, em_ref[e, 4], e_pmf)
+        front = -(dx * ngx + dy * ngy + dz * ngz) > 0
+        has_emitter = erow >= 0
+        cos_l = -(dx * ngx + dy * ngy + dz * ngz)
+        nee_pdf_hit = jnp.where(
+            has_emitter & (cos_l > 0),
+            e_pmf * t_hit * t_hit
+            / jnp.maximum(cos_l * e_area, 1e-30), 0.0)
+        if use_nee:
+            w_bsdf = jnp.where(prev_delta, 1.0,
+                               _mis_power(prev_pdf, nee_pdf_hit))
+        else:
+            w_bsdf = one
+        depth_ok = depth >= min_depth
+        hit_emitter = (active & hit_valid & has_emitter & front
+                       & depth_ok)
+        Lx = Lx + jnp.where(hit_emitter, tpx * e_radx * w_bsdf, 0.0)
+        Ly = Ly + jnp.where(hit_emitter, tpy * e_rady * w_bsdf, 0.0)
+        Lz = Lz + jnp.where(hit_emitter, tpz * e_radz * w_bsdf, 0.0)
+
+        active = active & hit_valid
+
+        # ---- local frame -------------------------------------------------
+        wiwx, wiwy, wiwz = -dx, -dy, -dz
+        wix, wiy, wiz = _to_local((nsx, nsy, nsz), (wiwx, wiwy, wiwz))
+        cos_i = wiz
+        sign_i = jnp.where(cos_i == 0, 1.0, jnp.sign(cos_i))
+
+        is_delta_m = jnp.zeros(shape, bool)
+        for kk in _DELTA_KINDS:
+            if kk in kinds:
+                is_delta_m = is_delta_m | (kind == kk)
+
+        # ---- NEE (immediate shadow sweep; no pipelining needed) ----------
+        if use_nee and n_ems > 0:
+            u_pick = udim(base + OFF_LIGHT_PICK)
+            u_l1 = udim(base + OFF_LIGHT_U)
+            u_l2 = udim(base + OFF_LIGHT_U + 1)
+            # cdf inversion == searchsorted(cdf, u, side="right")
+            row = zero
+            for e in range(n_ems):
+                row = row + jnp.where(u_pick >= em_ref[e, 5], 1.0, 0.0)
+            row = jnp.minimum(row, float(n_ems - 1))
+            l_radx = l_rady = l_radz = zero
+            l_area = one
+            l_pmf = zero
+            lv0x = lv0y = lv0z = zero
+            le1x = le1y = le1z = zero
+            le2x = le2y = le2z = zero
+            lngx = lngy = lngz = zero
+            for e in range(n_ems):
+                sel = row == e
+                l_radx = jnp.where(sel, em_ref[e, 0], l_radx)
+                l_rady = jnp.where(sel, em_ref[e, 1], l_rady)
+                l_radz = jnp.where(sel, em_ref[e, 2], l_radz)
+                l_area = jnp.where(sel, em_ref[e, 3], l_area)
+                l_pmf = jnp.where(sel, em_ref[e, 4], l_pmf)
+                lv0x = jnp.where(sel, em_ref[e, 6], lv0x)
+                lv0y = jnp.where(sel, em_ref[e, 7], lv0y)
+                lv0z = jnp.where(sel, em_ref[e, 8], lv0z)
+                le1x = jnp.where(sel, em_ref[e, 9], le1x)
+                le1y = jnp.where(sel, em_ref[e, 10], le1y)
+                le1z = jnp.where(sel, em_ref[e, 11], le1z)
+                le2x = jnp.where(sel, em_ref[e, 12], le2x)
+                le2y = jnp.where(sel, em_ref[e, 13], le2y)
+                le2z = jnp.where(sel, em_ref[e, 14], le2z)
+                lngx = jnp.where(sel, em_ref[e, 15], lngx)
+                lngy = jnp.where(sel, em_ref[e, 16], lngy)
+                lngz = jnp.where(sel, em_ref[e, 17], lngz)
+            # uniform triangle (sqrt warp, mirrors core/warp.py)
+            tw = jnp.sqrt(jnp.maximum(1.0 - u_l1, 0.0))
+            lb0 = 1.0 - tw
+            lb1 = tw * u_l2
+            plx = lv0x + lb0 * le1x + lb1 * le2x
+            ply = lv0y + lb0 * le1y + lb1 * le2y
+            plz = lv0z + lb0 * le1z + lb1 * le2z
+            tolx = plx - hpx
+            toly = ply - hpy
+            tolz = plz - hpz
+            dist2 = tolx * tolx + toly * toly + tolz * tolz
+            dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+            ldx = tolx / dist
+            ldy = toly / dist
+            ldz = tolz / dist
+            lcos = -(ldx * lngx + ldy * lngy + ldz * lngz)
+            ds_pdf = jnp.where(
+                lcos * l_area > 0,
+                l_pmf * dist2 / jnp.maximum(lcos * l_area, 1e-30), 0.0)
+            ds_pdf = jnp.where(lcos > 1e-7, ds_pdf, 0.0)
+            # f_val / f_pdf for the sampled direction (non-delta kinds)
+            wox, woy, woz = _to_local((nsx, nsy, nsz), (ldx, ldy, ldz))
+            f_vx, f_vy, f_vz, f_pdf = _eval_kinds(
+                kinds, kind, cos_i, wix, wiy, wiz, wox, woy, woz,
+                alx, aly, alz, etx, ety, etz, kx, ky, kz, rough,
+                srx, sry, srz, shape)
+            nee_ok = (active & ~is_delta_m & (ds_pdf > 0)
+                      & (_lum(f_vx, f_vy, f_vz) > 0))
+            if not (depth + 1 <= max_depth and depth + 1 >= min_depth):
+                nee_ok = jnp.zeros(shape, bool)
+            eps_sh = RAY_EPS * jnp.maximum(1.0, t_hit)
+            shx = hpx + ldx * eps_sh
+            shy = hpy + ldy * eps_sh
+            shz = hpz + ldz * eps_sh
+            sh_tmax = jnp.where(nee_ok, dist * (1.0 - 1e-3) - RAY_EPS, 0.0)
+            blocked = shadow_sweep(shx, shy, shz, ldx, ldy, ldz, sh_tmax)
+            w_nee = _mis_power(ds_pdf, f_pdf)
+            inv_pdf = jnp.where(ds_pdf > 0, w_nee
+                                / jnp.maximum(ds_pdf, 1e-20), 0.0)
+            add = nee_ok & ~blocked
+            Lx = Lx + jnp.where(add, tpx * f_vx * l_radx * inv_pdf, 0.0)
+            Ly = Ly + jnp.where(add, tpy * f_vy * l_rady * inv_pdf, 0.0)
+            Lz = Lz + jnp.where(add, tpz * f_vz * l_radz * inv_pdf, 0.0)
+
+        # ---- BSDF sampling (mirrors sample_bsdf for supported kinds) -----
+        uc = udim(base + OFF_BSDF_CMP)
+        ub1 = udim(base + OFF_BSDF_U)
+        ub2 = udim(base + OFF_BSDF_U + 1)
+        (swx, swy, swz, bwx, bwy, bwz, bs_pdf, bs_delta,
+         bs_eta) = _sample_kinds(
+            kinds, kind, cos_i, sign_i, wix, wiy, wiz, uc, ub1, ub2,
+            alx, aly, alz, etx, ety, etz, kx, ky, kz, rough,
+            srx, sry, srz, stx, sty, stz, shape)
+        wowx, wowy, wowz = _to_world((nsx, nsy, nsz), (swx, swy, swz))
+        tpx = tpx * bwx
+        tpy = tpy * bwy
+        tpz = tpz * bwz
+        eta_scale = eta_scale * bs_eta
+        alive = active & (_lum(tpx, tpy, tpz) > 0)
+        if depth + 1 > max_depth:
+            alive = jnp.zeros(shape, bool)
+
+        # ---- RR (mirrors path.py) ----------------------------------------
+        if depth >= rr_depth:
+            u_rr = udim(base + OFF_RR)
+            q = jnp.minimum(
+                jnp.maximum(jnp.maximum(tpx, tpy), tpz)
+                * eta_scale * eta_scale, 0.95)
+            survive = u_rr < q
+            inv_q = 1.0 / jnp.maximum(q, 1e-8)
+            tpx = jnp.where(survive, tpx * inv_q, tpx)
+            tpy = jnp.where(survive, tpy * inv_q, tpy)
+            tpz = jnp.where(survive, tpz * inv_q, tpz)
+            alive = alive & survive
+
+        eps_n = RAY_EPS * jnp.maximum(1.0, t_hit)
+        ox = jnp.where(active, hpx + wowx * eps_n, ox)
+        oy = jnp.where(active, hpy + wowy * eps_n, oy)
+        oz = jnp.where(active, hpz + wowz * eps_n, oz)
+        dx = jnp.where(active, wowx, dx)
+        dy = jnp.where(active, wowy, dy)
+        dz = jnp.where(active, wowz, dz)
+        tpx = jnp.where(alive, tpx, 0.0)
+        tpy = jnp.where(alive, tpy, 0.0)
+        tpz = jnp.where(alive, tpz, 0.0)
+        prev_pdf = bs_pdf
+        prev_delta = bs_delta
+        active = alive
+
+    out_ref[0] = Lx
+    out_ref[1] = Ly
+    out_ref[2] = Lz
+
+
+def _eval_kinds(kinds, kind, cos_i, wix, wiy, wiz, wox, woy, woz,
+                alx, aly, alz, etx, ety, etz, kx, ky, kz, rough,
+                srx, sry, srz, shape):
+    """(f * |cos_o|, pdf) for the non-delta supported kinds (NEE side)."""
+    f32 = jnp.float32
+    zero = jnp.zeros(shape, f32)
+    cos_o = woz
+    same_side = (cos_i * cos_o) > 0
+    abs_co = jnp.abs(cos_o)
+    f_vx = f_vy = f_vz = zero
+    f_pdf = zero
+    if BSDF_DIFFUSE in kinds:
+        d_pdf = jnp.maximum(abs_co, 0.0) / _PI
+        m = (kind == BSDF_DIFFUSE) & same_side
+        scale = abs_co / _PI
+        f_vx = jnp.where(m, alx * scale, f_vx)
+        f_vy = jnp.where(m, aly * scale, f_vy)
+        f_vz = jnp.where(m, alz * scale, f_vz)
+        f_pdf = jnp.where(m, d_pdf, f_pdf)
+    if BSDF_ROUGH_CONDUCTOR in kinds:
+        hx = wox + wix
+        hy = woy + wiy
+        hz = woz + wiz
+        hx, hy, hz = _normalize(hx, hy, hz)
+        hs = jnp.where(hz == 0, 1.0, jnp.sign(hz))
+        hx, hy, hz = hx * hs, hy * hs, hz * hs
+        si = jnp.where(cos_i == 0, 1.0, jnp.sign(cos_i))
+        wiz_u = wiz * si
+        woz_u = woz * si
+        d = _ggx_ndf(hz, rough)
+        g = _ggx_g2(wiz_u, woz_u, rough)
+        fc_ci = jnp.abs(_dot(wix, wiy, wiz, hx, hy, hz))
+        fx = _fresnel_cond1(fc_ci, etx, kx)
+        fy = _fresnel_cond1(fc_ci, ety, ky)
+        fz = _fresnel_cond1(fc_ci, etz, kz)
+        denom = 4.0 * jnp.abs(cos_i)
+        base = jnp.where(denom > 0, d * g / jnp.maximum(denom, 1e-30), 0.0)
+        m_pdf = _ggx_vndf_pdf(wix * si, wiy * si, wiz_u, hx, hy, hz, rough)
+        rc_pdf = m_pdf / jnp.maximum(
+            4.0 * jnp.abs(_dot(wox, woy, woz, hx, hy, hz)), 1e-12)
+        m = (kind == BSDF_ROUGH_CONDUCTOR) & same_side
+        f_vx = jnp.where(m, srx * fx * base, f_vx)
+        f_vy = jnp.where(m, sry * fy * base, f_vy)
+        f_vz = jnp.where(m, srz * fz * base, f_vz)
+        f_pdf = jnp.where(m, rc_pdf, f_pdf)
+    return f_vx, f_vy, f_vz, f_pdf
+
+
+def _sample_kinds(kinds, kind, cos_i, sign_i, wix, wiy, wiz, uc, ub1, ub2,
+                  alx, aly, alz, etx, ety, etz, kx, ky, kz, rough,
+                  srx, sry, srz, stx, sty, stz, shape):
+    """Mirror of render/bsdf.py sample_bsdf for the supported kinds."""
+    f32 = jnp.float32
+    zero = jnp.zeros(shape, f32)
+    one = jnp.ones(shape, f32)
+    swx = swy = swz = zero
+    bwx = bwy = bwz = zero
+    bs_pdf = zero
+    bs_delta = jnp.zeros(shape, bool)
+    bs_eta = one
+
+    spec_x, spec_y, spec_z = -wix, -wiy, wiz
+
+    if BSDF_DIFFUSE in kinds:
+        cx, cy, cz = _cosine_hemisphere(ub1, ub2)
+        dwx, dwy, dwz = cx * sign_i, cy * sign_i, cz * sign_i
+        d_pdf = jnp.maximum(dwz * sign_i, 0.0) / _PI
+        m = kind == BSDF_DIFFUSE
+        swx = jnp.where(m, dwx, swx)
+        swy = jnp.where(m, dwy, swy)
+        swz = jnp.where(m, dwz, swz)
+        bwx = jnp.where(m, alx, bwx)
+        bwy = jnp.where(m, aly, bwy)
+        bwz = jnp.where(m, alz, bwz)
+        bs_pdf = jnp.where(m, d_pdf, bs_pdf)
+
+    if BSDF_CONDUCTOR in kinds:
+        fx = _fresnel_cond1(jnp.abs(cos_i), etx, kx)
+        fy = _fresnel_cond1(jnp.abs(cos_i), ety, ky)
+        fz = _fresnel_cond1(jnp.abs(cos_i), etz, kz)
+        m = kind == BSDF_CONDUCTOR
+        swx = jnp.where(m, spec_x, swx)
+        swy = jnp.where(m, spec_y, swy)
+        swz = jnp.where(m, spec_z, swz)
+        bwx = jnp.where(m, srx * fx, bwx)
+        bwy = jnp.where(m, sry * fy, bwy)
+        bwz = jnp.where(m, srz * fz, bwz)
+        bs_pdf = jnp.where(m, 0.0, bs_pdf)
+        bs_delta = bs_delta | m
+
+    if BSDF_MIRROR in kinds:
+        m = kind == BSDF_MIRROR
+        swx = jnp.where(m, spec_x, swx)
+        swy = jnp.where(m, spec_y, swy)
+        swz = jnp.where(m, spec_z, swz)
+        bwx = jnp.where(m, srx, bwx)
+        bwy = jnp.where(m, sry, bwy)
+        bwz = jnp.where(m, srz, bwz)
+        bs_pdf = jnp.where(m, 0.0, bs_pdf)
+        bs_delta = bs_delta | m
+
+    if BSDF_DIELECTRIC in kinds:
+        eta_d = etx
+        f_d, cos_t, _ = _fresnel_diel(cos_i, eta_d)
+        pick_refl = uc < f_d
+        eta_ti = jnp.where(cos_i > 0, 1.0 / eta_d, eta_d)
+        cos_t_signed = jnp.where(cos_i > 0, -cos_t, cos_t)
+        refr_x = -wix * eta_ti
+        refr_y = -wiy * eta_ti
+        refr_z = cos_t_signed
+        dwx = jnp.where(pick_refl, spec_x, refr_x)
+        dwy = jnp.where(pick_refl, spec_y, refr_y)
+        dwz = jnp.where(pick_refl, spec_z, refr_z)
+        factor = eta_ti
+        wdx = jnp.where(pick_refl, srx, stx * factor * factor)
+        wdy = jnp.where(pick_refl, sry, sty * factor * factor)
+        wdz = jnp.where(pick_refl, srz, stz * factor * factor)
+        eta_diel = jnp.where(
+            pick_refl, 1.0, jnp.where(cos_i > 0, eta_d, 1.0 / eta_d))
+        m = kind == BSDF_DIELECTRIC
+        swx = jnp.where(m, dwx, swx)
+        swy = jnp.where(m, dwy, swy)
+        swz = jnp.where(m, dwz, swz)
+        bwx = jnp.where(m, wdx, bwx)
+        bwy = jnp.where(m, wdy, bwy)
+        bwz = jnp.where(m, wdz, bwz)
+        bs_pdf = jnp.where(m, 0.0, bs_pdf)
+        bs_delta = bs_delta | m
+        bs_eta = jnp.where(m, eta_diel, bs_eta)
+
+    if BSDF_ROUGH_CONDUCTOR in kinds:
+        wix_u, wiy_u, wiz_u = wix * sign_i, wiy * sign_i, wiz * sign_i
+        mx, my, mz = _ggx_sample_vndf(wix_u, wiy_u, wiz_u, rough, ub1, ub2)
+        im = _dot(wix_u, wiy_u, wiz_u, mx, my, mz)
+        rx = 2.0 * im * mx - wix_u
+        ry = 2.0 * im * my - wiy_u
+        rz = 2.0 * im * mz - wiz_u
+        m_pdf = _ggx_vndf_pdf(wix_u, wiy_u, wiz_u, mx, my, mz, rough)
+        pdf_rc = m_pdf / jnp.maximum(
+            4.0 * jnp.abs(_dot(rx, ry, rz, mx, my, mz)), 1e-12)
+        g2 = _ggx_g2(wiz_u, rz, rough)
+        g1 = _ggx_g1(wiz_u, rough)
+        gw = jnp.where(g1 > 0, g2 / jnp.maximum(g1, 1e-20), 0.0)
+        fc_ci = jnp.abs(im)
+        fx = _fresnel_cond1(fc_ci, etx, kx) * gw
+        fy = _fresnel_cond1(fc_ci, ety, ky) * gw
+        fz = _fresnel_cond1(fc_ci, etz, kz) * gw
+        rc_valid = rz > 0
+        m = kind == BSDF_ROUGH_CONDUCTOR
+        swx = jnp.where(m, rx * sign_i, swx)
+        swy = jnp.where(m, ry * sign_i, swy)
+        swz = jnp.where(m, rz * sign_i, swz)
+        bwx = jnp.where(m & rc_valid, srx * fx, jnp.where(m, 0.0, bwx))
+        bwy = jnp.where(m & rc_valid, sry * fy, jnp.where(m, 0.0, bwy))
+        bwz = jnp.where(m & rc_valid, srz * fz, jnp.where(m, 0.0, bwz))
+        bs_pdf = jnp.where(m & rc_valid, pdf_rc, jnp.where(m, 0.0, bs_pdf))
+
+    if BSDF_NULL in kinds:
+        m = kind == BSDF_NULL
+        swx = jnp.where(m, -wix, swx)
+        swy = jnp.where(m, -wiy, swy)
+        swz = jnp.where(m, -wiz, swz)
+        bwx = jnp.where(m, 1.0, bwx)
+        bwy = jnp.where(m, 1.0, bwy)
+        bwz = jnp.where(m, 1.0, bwz)
+        bs_pdf = jnp.where(m, 0.0, bs_pdf)
+        bs_delta = bs_delta | m
+
+    return swx, swy, swz, bwx, bwy, bwz, bs_pdf, bs_delta, bs_eta
+
+
+# ---------------------------------------------------------------- wrapper
+def make_mega_trace(scene: Scene, cfg, interpret: bool = False):
+    """Build trace(u) -> Splats running the whole path trace in one Pallas
+    kernel.  Caller must have checked mega_eligible(scene, cfg)."""
+    from drmlt_mitsuba_tpu.integrators.path import Splats
+
+    tri, mat, emt, cam = pack_mega_tables(scene)
+    n_tris = tri.shape[0]
+    n_mats = mat.shape[0]
+    n_ems = emt.shape[0]
+    kinds = tuple(sorted(set(
+        int(k) for k in np.unique(np.asarray(scene.materials.kind)))))
+    n_dims = cfg.n_dims
+
+    kernel = functools.partial(
+        _mega_kernel, n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
+        max_depth=cfg.max_depth, min_depth=cfg.min_depth,
+        rr_depth=cfg.rr_depth, use_nee=cfg.use_nee, kinds=kinds,
+    )
+
+    @jax.jit
+    def trace(u):
+        R = u.shape[0]
+        R8 = R // 8
+        L = min(R8, 512)
+        while R8 % L:
+            L //= 2
+        uT = u[:, :n_dims].T.reshape(n_dims, 8, R8)
+        out = pl.pallas_call(
+            kernel,
+            grid=(R8 // L,),
+            in_specs=[
+                pl.BlockSpec((n_tris, _TRI_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_mats, _MAT_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_ems, _EM_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_dims, 8, L), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((3, 8, L), lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3, 8, R8), jnp.float32),
+            interpret=interpret,
+        )(tri, mat, emt, cam, uT)
+        value = out.reshape(3, R).T
+        lum = (value * jnp.asarray([0.212671, 0.715160, 0.072169])).sum(-1)
+        return Splats(
+            pos=u[:, None, 0:2],
+            value=value[:, None, :],
+            lum=lum,
+        )
+
+    return trace

@@ -45,10 +45,12 @@ def build_trace(scene, settings, icfg):
     if max_depth <= 0:
         max_depth = 12
     if technique in ("path", "volpath", "volpath_simple"):
+        from drmlt_mitsuba_tpu.integrators.path import make_path_trace
+
         pcfg = PathConfig(max_depth=max_depth, rr_depth=100,
                           min_depth=int(icfg.get("minDepth", 1)))
         n = pcfg.n_dims + pcfg.n_dims % 2
-        trace = lambda u: trace_paths(scene, pcfg, u[:, : pcfg.n_dims])
+        trace = make_path_trace(scene, pcfg)   # Pallas megakernel on TPU
         return trace, n, jnp.zeros((n,), bool), jnp.zeros((n,), bool), {}
     if technique == "bdpt":
         bcfg = BDPTConfig(max_depth=max_depth,

@@ -1,0 +1,66 @@
+"""Megakernel == wavefront tracer equivalence (interpret mode on CPU).
+
+The Pallas megakernel (ops/pallas/megatrace.py) mirrors trace_paths
+exactly (same PSS consumption, same warps, same MIS/RR), so identical u
+must give identical radiance up to f32 reassociation.  These tests run
+the kernel in interpret mode so they work on the CPU test mesh.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+from drmlt_mitsuba_tpu.integrators.path import trace_paths
+from drmlt_mitsuba_tpu.ops.pallas.megatrace import (
+    make_mega_trace, mega_eligible,
+)
+from drmlt_mitsuba_tpu.scene.builders import cornell_box
+
+R = 1024
+
+
+@pytest.mark.parametrize("tall", ["diffuse", "mirror", "glass",
+                                  "roughconductor"])
+def test_megatrace_matches_wavefront(tall):
+    scene = cornell_box(64, 64, tall_box_material=tall)
+    cfg = PathConfig(max_depth=4, rr_depth=3)
+    assert mega_eligible(scene, cfg)
+    trace = make_mega_trace(scene, cfg, interpret=True)
+    u = jax.random.uniform(jax.random.PRNGKey(3), (R, cfg.n_dims))
+    va = np.asarray(trace_paths(scene, cfg, u).value[:, 0, :])
+    vb = np.asarray(trace(u).value[:, 0, :])
+    rel = np.abs(va - vb) / (np.abs(va) + 1e-3)
+    # identical math modulo f32 reassociation; allow a handful of lanes to
+    # flip at decision boundaries (hit epsilons, RR thresholds)
+    bad = (rel > 1e-3).any(-1).sum()
+    assert bad <= R // 500, f"{bad} lanes diverge"
+    np.testing.assert_allclose(va.mean(0), vb.mean(0), rtol=5e-3)
+
+
+def test_megatrace_no_nee_and_min_depth():
+    scene = cornell_box(64, 64)
+    for kw in (dict(use_nee=False), dict(min_depth=3)):
+        cfg = PathConfig(max_depth=4, rr_depth=99, **kw)
+        trace = make_mega_trace(scene, cfg, interpret=True)
+        u = jax.random.uniform(jax.random.PRNGKey(5), (R, cfg.n_dims))
+        va = np.asarray(trace_paths(scene, cfg, u).value[:, 0, :])
+        vb = np.asarray(trace(u).value[:, 0, :])
+        rel = np.abs(va - vb) / (np.abs(va) + 1e-3)
+        assert (rel > 1e-3).any(-1).sum() <= R // 500
+
+
+def test_megatrace_eligibility_gates():
+    scene = cornell_box(32, 32)
+    cfg = PathConfig(max_depth=3)
+    assert mega_eligible(scene, cfg)
+    assert not mega_eligible(scene, PathConfig(max_depth=3, thinlens=True))
+    import dataclasses
+
+    from drmlt_mitsuba_tpu.render.medium import HomogeneousMedium
+    import jax.numpy as jnp
+
+    med = HomogeneousMedium(
+        sigma_t=jnp.ones(3), albedo=jnp.full(3, 0.5), g=jnp.float32(0.0)
+    )
+    assert not mega_eligible(scene.replace(medium=med), cfg)
