@@ -106,6 +106,11 @@ class SubpathSoA:
     delta: jnp.ndarray    # (R, V)
     mat_id: jnp.ndarray   # (R, V)
     emitter_id: jnp.ndarray  # (R, V)
+    # slot i escaped: the segment leaving vertex i-1 left the scene.  wi
+    # still holds -d of that segment and beta the arriving throughput, so
+    # environment radiance can be evaluated (ref: vertex.cpp ESupernode /
+    # pathsampler.cpp env handling).  valid is False on escaped slots.
+    escaped: jnp.ndarray  # (R, V)
 
 
 def _sa_to_area(pdf_sa, p_from, p_to, n_to):
@@ -156,9 +161,13 @@ def _walk(scene: Scene, o0, d0, beta0, pdf0_sa, src_p, src_ns, n_surface,
 
         v = dict(
             valid=active, p=hit.p, ns=hit.ns, ng=hit.ng, wi=wi_world,
-            beta=jnp.where(active[:, None], carry["beta"], 0.0),
+            # beta masked by carry-activity only (NOT hit validity) so
+            # escaped slots keep the throughput along the escaping segment
+            # for environment evaluation
+            beta=jnp.where(carry["active"][:, None], carry["beta"], 0.0),
             pdf_fwd=jnp.where(active, pdf_area, 0.0),
             delta=delta, mat_id=hit.mat_id, emitter_id=hit.emitter_id,
+            escaped=carry["active"] & ~hit.valid,
         )
 
         wi = frame.to_local(hit.ns, wi_world)
@@ -245,33 +254,86 @@ def eye_subpath(scene: Scene, cfg: BDPTConfig, u_eye):
         delta=cat(jnp.ones((R,), bool), walk["delta"]),
         mat_id=cat(jnp.zeros((R,), jnp.int32), walk["mat_id"]),
         emitter_id=cat(jnp.full((R,), -1, jnp.int32), walk["emitter_id"]),
+        escaped=cat(jnp.zeros((R,), bool), walk["escaped"]),
     )
     return soa, uv
 
 
 def light_subpath(scene: Scene, cfg: BDPTConfig, u_light):
-    """Emitter-surface vertex + up to max_depth-1 bounce vertices."""
+    """Emitter vertex + up to max_depth-1 bounce vertices.
+
+    Emitter kinds (ref: vertex.cpp PathVertex::sampleNext over the emitter
+    supernode, :37-350):
+      * area      — uniform surface point + cosine-lobe direction
+      * point     — positional Dirac + uniform-sphere direction
+      * spot      — positional Dirac + uniform-cone direction x falloff
+    Directional and environment emitters do not start light walks here
+    (their transport reaches the film via the s=0 strategies / the
+    unidirectional techniques); their rows produce invalid subpaths.
+    """
+    from drmlt_mitsuba_tpu.core.warp import (
+        square_to_uniform_cone, square_to_uniform_sphere,
+    )
+    from drmlt_mitsuba_tpu.scene.types import (
+        EMITTER_AREA, EMITTER_POINT, EMITTER_SPOT,
+    )
+
     R = u_light.shape[0]
     em = scene.emitters
     tris = scene.tris
     row = jnp.searchsorted(em.cdf, u_light[:, 0], side="right")
     row = jnp.clip(row, 0, em.cdf.shape[0] - 1).astype(jnp.int32)
+    kind0 = em.kind[row]
+    is_area = kind0 == EMITTER_AREA
+    is_point = kind0 == EMITTER_POINT
+    is_spot = kind0 == EMITTER_SPOT
+    is_delta_pos = is_point | is_spot
+
+    # ---- position -------------------------------------------------------
     ti = em.tri_idx[row]
     b = square_to_uniform_triangle(u_light[:, 1:3])
-    p0 = tris.v0[ti] + b[:, 0:1] * tris.e1[ti] + b[:, 1:2] * tris.e2[ti]
-    n0 = normalize(jnp.cross(tris.e1[ti], tris.e2[ti]))
-    pdf_pos = em.pmf[row] / jnp.maximum(em.area[row], 1e-20)
+    p_area = tris.v0[ti] + b[:, 0:1] * tris.e1[ti] + b[:, 1:2] * tris.e2[ti]
+    n_area = normalize(jnp.cross(tris.e1[ti], tris.e2[ti]))
+    p0 = jnp.where(is_area[:, None], p_area, em.pos[row])
+    # delta lights carry no geometric normal; use the spot axis (or +z) so
+    # frame building stays finite — cosine factors are bypassed per kind
+    axis = em.aux[row, :3]
+    axis = jnp.where(
+        jnp.sum(axis * axis, -1, keepdims=True) > 1e-12, axis,
+        jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (R, 3)),
+    )
+    n0 = jnp.where(is_area[:, None], n_area, normalize(axis))
+    pdf_pos = jnp.where(
+        is_area, em.pmf[row] / jnp.maximum(em.area[row], 1e-20), em.pmf[row]
+    )
     le = em.radiance[row]
-    # the bidirectional light walk supports area emitters (delta lights
-    # would need dedicated s=1 strategies; the unidirectional technique
-    # covers them via NEE)
-    valid0 = (em.pmf[row] > 0) & (em.kind[row] == 0)
+    valid0 = (em.pmf[row] > 0) & (is_area | is_delta_pos)
 
-    d_local = square_to_cosine_hemisphere(u_light[:, 3:5])
+    # ---- direction ------------------------------------------------------
+    u_dir = u_light[:, 3:5]
+    d_cos = square_to_cosine_hemisphere(u_dir)
+    d_sph = square_to_uniform_sphere(u_dir)
+    cos_cut = jnp.clip(em.aux[row, 3], -1.0, 1.0 - 1e-6)
+    d_cone = square_to_uniform_cone(u_dir, cos_cut)
+    d_local = jnp.where(
+        is_area[:, None], d_cos,
+        jnp.where(is_spot[:, None], d_cone, d_sph),
+    )
     d0 = frame.to_world(n0, d_local)
-    pdf_dir = jnp.maximum(square_to_cosine_hemisphere_pdf(d_local), 1e-12)
-    cos0 = jnp.maximum(d_local[..., 2], 0.0)
-    beta1 = le * safe_div(cos0, pdf_pos * pdf_dir)[:, None]
+    pdf_cos = jnp.maximum(square_to_cosine_hemisphere_pdf(d_cos), 1e-12)
+    pdf_sph = jnp.full((R,), 0.25 / jnp.pi)
+    pdf_cone = 0.5 / jnp.pi / jnp.maximum(1.0 - cos_cut, 1e-6)
+    pdf_dir = jnp.where(is_area, pdf_cos,
+                        jnp.where(is_spot, pdf_cone, pdf_sph))
+    # spot falloff on the sampled direction (mirrors emitter.py)
+    cos_spot = d_local[..., 2]
+    cos_beam = jnp.cos(jnp.arccos(jnp.clip(cos_cut, -1, 1)) * 0.75)
+    t_spot = safe_div(cos_spot - cos_cut, cos_beam - cos_cut)
+    spot_f = jnp.clip(t_spot, 0.0, 1.0)
+    spot_f = jnp.where(cos_spot >= cos_beam, 1.0, spot_f)
+    le_dir = jnp.where(is_spot[:, None], le * spot_f[:, None], le)
+    cos0 = jnp.where(is_area, jnp.maximum(d_local[..., 2], 0.0), 1.0)
+    beta1 = le_dir * safe_div(cos0, pdf_pos * pdf_dir)[:, None]
 
     n_surf = cfg.n_light - 1
     u_b = u_light[:, LIGHT_START_DIMS:]
@@ -298,13 +360,17 @@ def light_subpath(scene: Scene, cfg: BDPTConfig, u_light):
         ),
         pdf_fwd=cat(pdf_pos, walk["pdf_fwd"]),
         # the emitter endpoint's reverse-chain pdf (from bounce vertex 1)
-        # comes back as src_rev; bounce vertex i's sits at walk slot i
+        # comes back as src_rev; bounce vertex i's sits at walk slot i.
+        # Positional-delta lights can never be regenerated from the eye
+        # side: reverse pdf 0 (strategies crossing them are masked anyway).
         pdf_rev=jnp.concatenate(
-            [src_rev[:, None], walk["pdf_rev"][:, : n_surf]], axis=1
+            [jnp.where(is_delta_pos, 0.0, src_rev)[:, None],
+             walk["pdf_rev"][:, : n_surf]], axis=1
         ),
-        delta=cat(jnp.zeros((R,), bool), walk["delta"]),
+        delta=cat(is_delta_pos, walk["delta"]),
         mat_id=cat(jnp.zeros((R,), jnp.int32), walk["mat_id"]),
         emitter_id=cat(row, walk["emitter_id"]),
+        escaped=cat(jnp.zeros((R,), bool), walk["escaped"]),
     )
     return soa
 
@@ -384,8 +450,12 @@ def _mis_weight(cfg, scene, L: SubpathSoA, E: SubpathSoA, s: int, t: int,
         pL_i = L.pdf_fwd[:, i]
         ri = ri * ratio(pE_i, pL_i)
         # strategy with junction between i-1 and i is valid unless a Dirac
-        # vertex flanks the junction
-        d_lo = L.delta[:, i - 1] if i >= 1 else jnp.zeros((R,), bool)
+        # vertex flanks the junction.  The light ENDPOINT's delta flag is
+        # positional delta-ness (point/spot): it blocks s'=0 (the eye path
+        # cannot hit it, handled at i=0 via d_hi) but NOT the s'=1
+        # connection to its exact sampled position — so it never enters as
+        # d_lo (mirror of the camera-endpoint override below).
+        d_lo = L.delta[:, i - 1] if i >= 2 else jnp.zeros((R,), bool)
         d_hi = L.delta[:, i]
         ok = ~(d_lo | d_hi)
         sum_ri = sum_ri + jnp.where(ok, ri, 0.0)
@@ -421,13 +491,43 @@ def _mis_weight(cfg, scene, L: SubpathSoA, E: SubpathSoA, s: int, t: int,
 # ---------------------------------------------------------------------------
 
 def _emission_dir_pdf_area(scene, row, p_l, n_l, p_to, n_to):
-    """Area pdf at p_to of the emitter's cosine-lobe direction sampling."""
+    """Area pdf at p_to of the emitter's direction sampling (per kind:
+    cosine lobe for area rows, uniform sphere for point, uniform cone x
+    falloff support for spot)."""
+    from drmlt_mitsuba_tpu.scene.types import (
+        EMITTER_AREA, EMITTER_POINT, EMITTER_SPOT,
+    )
+
+    em = scene.emitters
+    r = jnp.clip(row, 0, em.kind.shape[0] - 1)
+    kind = em.kind[r]
     d = p_to - p_l
     dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1), 1e-20))
     w = d / dist[..., None]
     cos_l = jnp.maximum(jnp.sum(w * n_l, -1), 0.0)
-    pdf_sa = cos_l / jnp.pi
+    pdf_sa = cos_l / jnp.pi                                   # area rows
+    pdf_sa = jnp.where(kind == EMITTER_POINT, 0.25 / jnp.pi, pdf_sa)
+    cos_cut = jnp.clip(em.aux[r, 3], -1.0, 1.0 - 1e-6)
+    axis = normalize(em.aux[r, :3] + 1e-12)
+    in_cone = jnp.sum(w * axis, -1) >= cos_cut
+    pdf_cone = jnp.where(in_cone,
+                         0.5 / jnp.pi / jnp.maximum(1.0 - cos_cut, 1e-6),
+                         0.0)
+    pdf_sa = jnp.where(kind == EMITTER_SPOT, pdf_cone, pdf_sa)
     return _sa_to_area(pdf_sa, p_l, p_to, n_to)
+
+
+def _spot_falloff(scene, row, w_from_light):
+    """Spot cone falloff along an outgoing direction (mirrors emitter.py)."""
+    em = scene.emitters
+    r = jnp.clip(row, 0, em.kind.shape[0] - 1)
+    axis = normalize(em.aux[r, :3] + 1e-12)
+    cos_cut = jnp.clip(em.aux[r, 3], -1.0, 1.0 - 1e-6)
+    cos_spot = jnp.sum(w_from_light * axis, -1)
+    cos_beam = jnp.cos(jnp.arccos(jnp.clip(cos_cut, -1, 1)) * 0.75)
+    t_spot = safe_div(cos_spot - cos_cut, cos_beam - cos_cut)
+    f = jnp.clip(t_spot, 0.0, 1.0)
+    return jnp.where(cos_spot >= cos_beam, 1.0, f)
 
 
 def _emitter_pos_pdf(scene, emitter_row):
@@ -471,6 +571,15 @@ def _strategies(scene: Scene, cfg: BDPTConfig, L: SubpathSoA, E: SubpathSoA,
             ) if t >= 3 else jnp.zeros((R,))
             w = _mis_weight(cfg, scene, L, E, 0, t, pL_jn, dict())
         val = jnp.where(ok[:, None], contrib * w[:, None], 0.0)
+        # ---- environment on escape (weight 1: the eye walk is the only
+        # strategy generating env-terminated paths — light subpaths never
+        # start at env/directional rows; ref pathsampler.cpp env handling).
+        # eval_env returns zeros for scenes without an environment.
+        from drmlt_mitsuba_tpu.render.emitter import eval_env
+
+        esc = E.escaped[:, ev]
+        le_env = eval_env(scene, -E.wi[:, ev])
+        val = val + jnp.where(esc[:, None], E.beta[:, ev] * le_env, 0.0)
         yield 0, t, uv, val
 
     # ---------------- s >= 1, t >= 2: connections -------------------------
@@ -490,15 +599,41 @@ def _strategies(scene: Scene, cfg: BDPTConfig, L: SubpathSoA, E: SubpathSoA,
             w_le = dvec / dist[..., None]
 
             ok = L.valid[:, lv] & E.valid[:, ev]
-            ok = ok & ~L.delta[:, lv] & ~E.delta[:, ev] & (dist2 > 1e-12)
+            # the light ENDPOINT's delta flag marks positional delta-ness
+            # (unreachable from the eye side) — the s=1 connection to its
+            # exact sampled position is still valid (ref: sampleDirect path
+            # in pathsampler.cpp; our x_0 is the sampled light point)
+            l_deltab = (jnp.zeros((R,), bool) if s == 1
+                        else L.delta[:, lv])
+            ok = ok & ~l_deltab & ~E.delta[:, ev] & (dist2 > 1e-12)
 
             cos_l = jnp.abs(jnp.sum(w_le * ngl, -1))
             cos_e = jnp.abs(jnp.sum(w_le * nge, -1))
             g = safe_div(cos_l * cos_e, dist2)
 
             if s == 1:
+                # endpoint "BSDF" per emitter kind: area = front-faced
+                # Lambertian lobe (cos_l already in g); point = isotropic
+                # (no surface cosine); spot = cone falloff
+                from drmlt_mitsuba_tpu.scene.types import (
+                    EMITTER_AREA, EMITTER_POINT, EMITTER_SPOT,
+                )
+
+                row0 = L.emitter_id[:, 0]
+                kind0 = scene.emitters.kind[
+                    jnp.clip(row0, 0, scene.emitters.kind.shape[0] - 1)]
                 front = jnp.sum(w_le * ngl, -1) > 0
-                f_l = jnp.where(front[:, None], jnp.ones((R, 3)), 0.0)
+                fall = _spot_falloff(scene, row0, w_le)
+                f_l_s = jnp.where(
+                    kind0 == EMITTER_AREA,
+                    jnp.where(front, 1.0, 0.0),
+                    jnp.where(kind0 == EMITTER_SPOT, fall,
+                              jnp.where(kind0 == EMITTER_POINT, 1.0, 0.0)),
+                )
+                f_l = f_l_s[:, None] * jnp.ones((R, 3))
+                # delta lights have no cos at the light: g = cos_e / d^2
+                g = jnp.where(kind0 == EMITTER_AREA, g,
+                              safe_div(cos_e, dist2))
             else:
                 f_l, _ = _bsdf_eval_pdf(
                     scene, L.mat_id[:, lv], L.wi[:, lv], w_le, nl
