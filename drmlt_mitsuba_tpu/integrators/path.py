@@ -110,6 +110,26 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
     )
 
     medium = scene.medium
+    # per-shape interior media (Scene.media): each lane tracks its current
+    # medium id; -1 = exterior (the global homogeneous medium, or vacuum).
+    # Row 0 of the packed table is the exterior so the gather is id+1.
+    lane_media = (scene.media is not None
+                  and scene.materials.interior_medium is not None)
+    if lane_media:
+        from drmlt_mitsuba_tpu.ops.gather import onehot_gather, pack_rows
+        from drmlt_mitsuba_tpu.render.medium import HomogeneousMedium
+
+        if isinstance(medium, HomogeneousMedium):
+            ext = (medium.sigma_t, medium.albedo, jnp.reshape(medium.g, (1,)))
+        else:   # vacuum exterior (heterogeneous globals are not lane-mixed)
+            ext = (jnp.zeros(3), jnp.ones(3), jnp.zeros(1))
+        med_packed = pack_rows(
+            jnp.concatenate([ext[0][None], scene.media.sigma_t]),
+            jnp.concatenate([ext[1][None], scene.media.albedo]),
+            jnp.concatenate([ext[2], scene.media.g]),
+        )
+        carry["med"] = jnp.full((R,), -1, jnp.int32)
+    any_media = lane_media or medium is not None
 
     def bounce(carry, xs):
         ub_b, depth = xs   # depth = 1-based segment count of the current ray
@@ -121,7 +141,21 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
         tp = carry["throughput"]
 
         # ---- participating medium: distance sampling (volpath) -----------
-        if medium is not None:
+        if lane_media:
+            from drmlt_mitsuba_tpu.render.medium import sample_distance_lanes
+
+            t_surf = jnp.where(hit.valid, hit.t, 1.0e7)
+            mrow = onehot_gather(med_packed, carry["med"] + 1)
+            sig_l, alb_l, g_l = mrow[:, 0:3], mrow[:, 3:6], mrow[:, 6]
+            md = sample_distance_lanes(
+                sig_l, alb_l, ub_b[:, OFF_MED_CHANNEL],
+                ub_b[:, OFF_MED_DIST], t_surf,
+            )
+            scattered = md["scattered"] & active
+            tp = tp * md["weight"]
+            p_med = carry["o"] + md["t"][:, None] * carry["d"]
+            eps_t = jnp.where(scattered, md["t"], jnp.minimum(hit.t, 1e7))
+        elif medium is not None:
             from drmlt_mitsuba_tpu.render.medium import (
                 HeterogeneousMedium, sample_distance, sample_distance_hetero,
             )
@@ -201,20 +235,21 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
         # ---- next-event estimation (visibility resolved next bounce) ------
         if cfg.use_nee:
             delta_mat = is_delta_kind(scene.materials, hit.mat_id)
-            p_nee = hit.p if medium is None else jnp.where(
+            p_nee = hit.p if not any_media else jnp.where(
                 scattered[:, None], p_med, hit.p
             )
             ds = sample_emitter_direct(scene, p_nee, ub_b[:, OFF_LIGHT_PICK:OFF_LIGHT_PICK + 3])
             wo_l = frame.to_local(ns, ds.d)
             f_val, f_pdf = eval_bsdf(scene.materials, hit.mat_id, albedo, wi, wo_l)
-            if medium is not None:
+            if any_media:
                 from drmlt_mitsuba_tpu.render.medium import (
-                    HeterogeneousMedium, eval_phase, transmittance,
+                    HeterogeneousMedium, eval_phase, hg_phase, transmittance,
                     transmittance_hetero,
                 )
 
                 cos_ph = jnp.sum(carry["d"] * ds.d, axis=-1)
-                ph = eval_phase(medium, cos_ph)
+                ph = (hg_phase(g_l, cos_ph) if lane_media
+                      else eval_phase(medium, cos_ph))
                 # phase "BSDF": value = pdf = HG (albedo already applied by
                 # the distance-sampling weight)
                 f_val = jnp.where(scattered[:, None], ph[:, None], f_val)
@@ -230,7 +265,16 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
             # competitor: MIS weight 1
             w_nee = jnp.where(ds.delta, 1.0, mis_power(ds.pdf, f_pdf))
             contrib = tp * f_val * ds.radiance * (w_nee / jnp.maximum(ds.pdf, 1e-20))[:, None]
-            if medium is not None:
+            if lane_media:
+                from drmlt_mitsuba_tpu.render.medium import (
+                    transmittance_lanes,
+                )
+
+                # shadow ray attenuated by the lane's CURRENT medium (the
+                # fused occlusion sweep blocks any boundary crossing, so
+                # the segment stays inside one medium)
+                contrib = contrib * transmittance_lanes(sig_l, ds.dist)
+            elif medium is not None:
                 if isinstance(medium, HeterogeneousMedium):
                     contrib = contrib * transmittance_hetero(
                         medium, shadow_o, ds.d, ds.dist,
@@ -257,11 +301,15 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
         bs_weight = bs.weight
         bs_pdf = bs.pdf
         bs_delta = bs.delta
-        if medium is not None:
-            from drmlt_mitsuba_tpu.render.medium import sample_phase
+        if any_media:
+            from drmlt_mitsuba_tpu.render.medium import sample_hg, sample_phase
 
-            wo_hg, pdf_hg = sample_phase(
-                medium, -carry["d"], ub_b[:, OFF_BSDF_U:OFF_BSDF_U + 2]
+            wo_hg, pdf_hg = (
+                sample_hg(g_l, -carry["d"],
+                          ub_b[:, OFF_BSDF_U:OFF_BSDF_U + 2])
+                if lane_media else
+                sample_phase(medium, -carry["d"],
+                             ub_b[:, OFF_BSDF_U:OFF_BSDF_U + 2])
             )
             wo_world = jnp.where(scattered[:, None], wo_hg, wo_world)
             # HG importance sampling: weight 1
@@ -282,10 +330,26 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
         )
         alive = alive & survive
 
-        origin = hit.p if medium is None else jnp.where(
+        origin = hit.p if not any_media else jnp.where(
             scattered[:, None], p_med, hit.p
         )
         new_o = origin + wo_world * RAY_EPS * jnp.maximum(1.0, eps_t)[:, None]
+        if lane_media:
+            # medium transition: a transmissive crossing of a material that
+            # declares an interior medium switches the lane's medium
+            # (entering -> interior row, exiting -> exterior -1); materials
+            # without an interior are not boundaries (ref convention:
+            # shapes without medium refs don't change the medium)
+            interior = onehot_gather(
+                pack_rows(scene.materials.interior_medium), hit.mat_id
+            )[:, 0].astype(jnp.int32)
+            crossed = (active & ~scattered & hit.valid
+                       & (bs.wo[..., 2] * wi[..., 2] < 0))
+            going_in = jnp.sum(wo_world * hit.ng, -1) < 0
+            med_new = jnp.where(
+                crossed & (interior >= 0),
+                jnp.where(going_in, interior, -1), carry["med"],
+            )
         carry_out = dict(
             o=jnp.where(active[:, None], new_o, carry["o"]),
             d=jnp.where(active[:, None], wo_world, carry["d"]),
@@ -300,6 +364,8 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
             sh_tmax=sh_tmax,
             sh_contrib=sh_contrib,
         )
+        if lane_media:
+            carry_out["med"] = med_new
         return carry_out, None
 
     depths = jnp.arange(1, cfg.max_depth + 1)

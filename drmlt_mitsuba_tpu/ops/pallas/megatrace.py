@@ -316,8 +316,12 @@ def mega_eligible(scene: Scene, cfg) -> bool:
             return False
         if bool(np.any(np.asarray(scene.spheres.valid))):
             return False
-        kinds = set(int(k) for k in np.unique(
-            np.asarray(scene.materials.kind)))
+        mt = scene.materials
+        if mt.has_mask or mt.has_mixture or mt.has_coating:
+            return False   # modifier wrappers live only in render/bsdf.py
+        if getattr(scene, "media", None) is not None:
+            return False   # per-shape interior media need the wavefront
+        kinds = set(int(k) for k in np.unique(np.asarray(mt.kind)))
         if not kinds.issubset(set(SUPPORTED_KINDS)):
             return False
         T = np.asarray(scene.tris.v0).shape[0]

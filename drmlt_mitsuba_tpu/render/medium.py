@@ -70,6 +70,31 @@ def sample_distance(med: HomogeneousMedium, u_channel, u_dist, t_surface):
     return dict(scattered=scattered, t=t, weight=weight)
 
 
+def sample_distance_lanes(sigma_t, albedo, u_channel, u_dist, t_surface):
+    """Per-lane variant of sample_distance: sigma_t/albedo are (R, 3) —
+    the current medium of each lane, gathered from Scene.media (vacuum
+    lanes pass sigma_t = 0 and get weight exactly 1, never scattering)."""
+    c = jnp.minimum((u_channel * 3).astype(jnp.int32), 2)
+    sig_c = jnp.take_along_axis(sigma_t, c[:, None], axis=-1)[:, 0]
+    t_m = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-38)) / jnp.maximum(
+        sig_c, 1e-20)
+    scattered = t_m < t_surface
+    t = jnp.where(scattered, t_m, t_surface)
+    tr = jnp.exp(-sigma_t * t[..., None])
+    pdf_scatter = jnp.mean(sigma_t * tr, axis=-1)
+    pdf_escape = jnp.mean(tr, axis=-1)
+    sigma_s = sigma_t * albedo
+    w_scatter = tr * sigma_s / jnp.maximum(pdf_scatter, 1e-30)[..., None]
+    w_escape = tr / jnp.maximum(pdf_escape, 1e-30)[..., None]
+    weight = jnp.where(scattered[..., None], w_scatter, w_escape)
+    return dict(scattered=scattered, t=t, weight=weight)
+
+
+def transmittance_lanes(sigma_t, dist):
+    """exp(-sigma_t * d) with per-lane (R, 3) extinction."""
+    return jnp.exp(-sigma_t * dist[..., None])
+
+
 def hg_phase(g, cos_theta):
     """HG phase function value (normalized over the sphere)."""
     g2 = g * g

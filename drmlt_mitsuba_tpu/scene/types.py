@@ -91,6 +91,10 @@ class MaterialTable:
     # smooth dielectric coating layer over the nested BSDF
     coat_eta: jnp.ndarray | None = None      # (M,), 0 = uncoated
     coat_sigma_a: jnp.ndarray | None = None  # (M, 3) absorption * thickness
+    # per-shape interior medium: row into Scene.media, -1 = none.  A
+    # transmissive crossing of a material with a row >= 0 switches the
+    # lane's current medium (entering -> row, exiting -> exterior).
+    interior_medium: jnp.ndarray | None = None   # (M,) int32
     # static set of kinds present — lets the BSDF kernels skip absent lobes
     # at compile time (the SPMD answer to per-plugin virtual dispatch)
     kinds_present: tuple = struct.field(pytree_node=False, default=())
@@ -203,6 +207,35 @@ class Scene:
     # global homogeneous participating medium (render/medium.py);
     # None = vacuum. Presence is static: trace functions specialize.
     medium: object | None = None
+    # per-shape interior media (ref: shapes carry interior/exterior medium
+    # refs, src/librender/scene.cpp).  Rows are referenced by
+    # MaterialTable.interior_medium; lane-tracked medium id -1 = exterior
+    # (the global `medium` above, or vacuum).  Presence is static.
+    media: "MediumTable | None" = None
+
+
+@struct.dataclass
+class MediumTable:
+    """Homogeneous interior media as SoA rows (HG phase, per-row g).
+
+    The lane-parallel volpath gathers a row per path (current-medium id)
+    instead of dispatching to per-shape Medium objects."""
+    sigma_t: jnp.ndarray   # (K, 3) extinction
+    albedo: jnp.ndarray    # (K, 3) single-scattering albedo
+    g: jnp.ndarray         # (K,) HG asymmetry
+
+
+def make_medium_table(rows: list[dict]) -> "MediumTable":
+    return MediumTable(
+        sigma_t=jnp.asarray(
+            np.stack([np.broadcast_to(np.asarray(r["sigma_t"], np.float32),
+                                      (3,)) for r in rows])),
+        albedo=jnp.asarray(
+            np.stack([np.broadcast_to(np.asarray(r["albedo"], np.float32),
+                                      (3,)) for r in rows])),
+        g=jnp.asarray(np.asarray([float(r.get("g", 0.0)) for r in rows],
+                                 np.float32)),
+    )
 
 
 def prepare_scene(scene: "Scene", cluster_threshold: int = 8192) -> "Scene":
@@ -292,6 +325,9 @@ def make_material_table(mats: list[dict]) -> MaterialTable:
         else None,
         coat_sigma_a=jnp.asarray(field("coat_sigma_a", 0.0, (3,)))
         if has_coating else None,
+        interior_medium=jnp.asarray(
+            np.array([d.get("interior_medium", -1) for d in mats], np.int32)
+        ) if any(d.get("interior_medium", -1) >= 0 for d in mats) else None,
     )
     return MaterialTable(**fields)
 

@@ -459,6 +459,47 @@ def write_vol(path: str, density, bb_min, bb_max):
         f.write(density.tobytes())
 
 
+def _medium_coeffs(props):
+    """(sigma_t, albedo) from either sigmaT/albedo or sigmaS/sigmaA props
+    (ref: HomogeneousMedium's two parameter conventions)."""
+    sigma_t = props.get("sigmaT")
+    albedo = props.get("albedo")
+    if sigma_t is None and "sigmaS" in props:
+        ss = np.asarray(props["sigmaS"], np.float32) * np.ones(3)
+        sa = np.asarray(props.get("sigmaA", 0.0), np.float32) * np.ones(3)
+        sigma_t = ss + sa
+        albedo = ss / np.maximum(sigma_t, 1e-20)
+    if sigma_t is None:
+        sigma_t = np.ones(3, np.float32)
+    if albedo is None:
+        albedo = np.full(3, 0.75, np.float32)
+    sigma_t = np.asarray(sigma_t, np.float32) * float(
+        props.get("scale", 1.0)) * np.ones(3)
+    return sigma_t, np.asarray(albedo, np.float32) * np.ones(3)
+
+
+def _interior_medium_row(md, defaults, ctx):
+    """Parse a shape-interior medium into a MediumTable row (homogeneous,
+    HG/isotropic phase); returns its row index."""
+    mtype = _subst(md.get("type"), defaults)
+    props = _props(md, defaults)
+    g = 0.0
+    ph = md.find("phase")
+    if ph is not None:
+        ptype = _subst(ph.get("type"), defaults)
+        if ptype == "hg":
+            g = float(_props(ph, defaults).get("g", 0.0))
+        elif ptype != "isotropic":
+            warnings.warn(
+                f"interior phase '{ptype}' approximated as isotropic")
+    if mtype != "homogeneous":
+        warnings.warn(
+            f"interior medium '{mtype}' approximated as homogeneous")
+    sigma_t, albedo = _medium_coeffs(props)
+    ctx["media"].append(dict(sigma_t=sigma_t, albedo=albedo, g=g))
+    return len(ctx["media"]) - 1
+
+
 def load_scene_xml(path: str, defaults: dict | None = None):
     """Load a Mitsuba scene XML -> (Scene, RenderSettings)."""
     defaults = dict(defaults or {})
@@ -496,6 +537,39 @@ def load_scene_xml(path: str, defaults: dict | None = None):
         ctx["materials"].append(dict(kind=st.BSDF_DIFFUSE))
         return len(ctx["materials"]) - 1
 
+    # ---- per-shape interior media (ref: shapes carry interior/exterior
+    # medium refs, src/librender/shape.cpp addChild) -----------------------
+    ctx["media"] = []
+    ctx["media_by_id"] = {}
+    shape_med_elems = set()
+    interior_ref_ids = set()
+    for sh in root.iter("shape"):
+        for mnode in sh.findall("medium"):
+            shape_med_elems.add(id(mnode))
+        for rnode in sh.findall("ref"):
+            if rnode.get("name") == "interior":
+                interior_ref_ids.add(rnode.get("id"))
+    for md in root.findall("medium"):
+        if md.get("id") and md.get("id") in interior_ref_ids:
+            ctx["media_by_id"][md.get("id")] = _interior_medium_row(
+                md, defaults, ctx)
+
+    def shape_interior(sh, mat_idx):
+        """Attach a shape's interior medium via a private material row."""
+        med_idx = -1
+        for mnode in sh.findall("medium"):
+            if mnode.get("name", "interior") != "exterior":
+                med_idx = _interior_medium_row(mnode, defaults, ctx)
+        for rnode in sh.findall("ref"):
+            if rnode.get("name") == "interior":
+                med_idx = ctx["media_by_id"].get(rnode.get("id"), med_idx)
+        if med_idx < 0:
+            return mat_idx
+        mrow = dict(ctx["materials"][mat_idx])
+        mrow["interior_medium"] = med_idx
+        ctx["materials"].append(mrow)
+        return len(ctx["materials"]) - 1
+
     for sh in root.findall("shape"):
         stype = _subst(sh.get("type"), defaults)
         props = _props(sh, defaults)
@@ -503,7 +577,7 @@ def load_scene_xml(path: str, defaults: dict | None = None):
         m = _parse_transform(tnode, defaults) if tnode is not None else np.eye(
             4, dtype=np.float32
         )
-        mat_idx = shape_material(sh)
+        mat_idx = shape_interior(sh, shape_material(sh))
         em = sh.find("emitter")
         radiance = None
         if em is not None and em.get("type") == "area":
@@ -734,10 +808,16 @@ def load_scene_xml(path: str, defaults: dict | None = None):
             warnings.warn(f"unsupported emitter '{etype}', skipped")
 
     # ---- participating media (ref: medium plugins, SURVEY §2.6) ----------
-    # A single global medium: first <medium> found anywhere (Mitsuba scenes
-    # attach the exterior medium to the sensor or reference it by id).
+    # Global (exterior) medium: first <medium> that is NOT shape-attached
+    # and NOT referenced as a shape interior (those became MediumTable rows
+    # above; Mitsuba scenes attach the exterior medium to the sensor or
+    # reference it by id).
     medium = None
     for md in root.iter("medium"):
+        if id(md) in shape_med_elems:
+            continue
+        if md.get("id") and md.get("id") in interior_ref_ids:
+            continue
         mtype = _subst(md.get("type"), defaults)
         props = _props(md, defaults)
         g = 0.0
@@ -753,20 +833,7 @@ def load_scene_xml(path: str, defaults: dict | None = None):
                 phase_kind = PHASE_RAYLEIGH
             elif ptype != "isotropic":
                 warnings.warn(f"phase '{ptype}' approximated as isotropic")
-        sigma_t = props.get("sigmaT")
-        albedo = props.get("albedo")
-        if sigma_t is None and "sigmaS" in props:
-            ss = np.asarray(props["sigmaS"], np.float32) * np.ones(3)
-            sa = np.asarray(props.get("sigmaA", 0.0), np.float32) * np.ones(3)
-            sigma_t = ss + sa
-            albedo = ss / np.maximum(sigma_t, 1e-20)
-        if sigma_t is None:
-            sigma_t = np.ones(3, np.float32)
-        if albedo is None:
-            albedo = np.full(3, 0.75, np.float32)
-        sigma_t = np.asarray(sigma_t, np.float32) * float(
-            props.get("scale", 1.0)) * np.ones(3)
-        albedo = np.asarray(albedo, np.float32) * np.ones(3)
+        sigma_t, albedo = _medium_coeffs(props)
         if mtype == "heterogeneous":
             from drmlt_mitsuba_tpu.render.medium import make_hetero_medium
 
@@ -986,5 +1053,6 @@ def load_scene_xml(path: str, defaults: dict | None = None):
         materials=st.make_material_table(ctx["materials"]),
         emitters=emitters, camera=camera, textures=textures,
         medium=medium,
+        media=st.make_medium_table(ctx["media"]) if ctx["media"] else None,
     )
     return scene, settings

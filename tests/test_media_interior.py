@@ -1,0 +1,158 @@
+"""Per-shape interior media: lane-tracked medium ids + boundary
+transitions (ref: shapes carry interior/exterior medium refs,
+src/librender/shape.cpp; HomogeneousMedium src/medium/homogeneous.cpp).
+
+Oracles: Beer-Lambert attenuation through an absorbing null-boundary cube
+(closed form per channel), the volumetric white furnace (albedo-1
+scattering interior in a unit environment must return exactly 1), and XML
+round-trips for shape-attached and ref-attached media.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+from drmlt_mitsuba_tpu.integrators.path import trace_paths
+from drmlt_mitsuba_tpu.scene.xml import load_scene_xml
+
+XML_CUBE = """<scene version="0.6.0">
+  <integrator type="volpath"/>
+  <sensor type="perspective">
+    <float name="fov" value="8"/>
+    <transform name="toWorld">
+      <lookat origin="0,0,6" target="0,0,0" up="0,1,0"/>
+    </transform>
+    <film type="hdrfilm">
+      <integer name="width" value="4"/><integer name="height" value="4"/>
+    </film>
+  </sensor>
+  <shape type="cube">
+    <bsdf type="null"/>
+    <medium name="interior" type="homogeneous">
+      <rgb name="sigmaT" value="{sigt}"/>
+      <rgb name="albedo" value="{alb}"/>
+      {phase}
+    </medium>
+  </shape>
+  <emitter type="constant"><spectrum name="radiance" value="1"/></emitter>
+</scene>"""
+
+
+def _scene(tmp_path, sigt, alb, phase=""):
+    f = tmp_path / "s.xml"
+    f.write_text(XML_CUBE.format(sigt=sigt, alb=alb, phase=phase))
+    scene, _ = load_scene_xml(str(f))
+    return scene
+
+
+def test_xml_interior_medium(tmp_path):
+    scene = _scene(tmp_path, "0.3,0.5,0.7", "0,0,0")
+    assert scene.media is not None
+    np.testing.assert_allclose(np.asarray(scene.media.sigma_t)[0],
+                               [0.3, 0.5, 0.7], rtol=1e-6)
+    im = np.asarray(scene.materials.interior_medium)
+    mat = np.asarray(scene.tris.mat_id)
+    assert (im[mat] >= 0).all()
+    # interior media must NOT leak into the global medium slot
+    assert scene.medium is None
+
+
+def test_xml_interior_medium_by_ref(tmp_path):
+    f = tmp_path / "r.xml"
+    f.write_text("""<scene version="0.6.0">
+      <medium id="goo" type="homogeneous">
+        <rgb name="sigmaS" value="0.4"/><rgb name="sigmaA" value="0.1"/>
+      </medium>
+      <sensor type="perspective">
+        <film type="hdrfilm">
+          <integer name="width" value="4"/><integer name="height" value="4"/>
+        </film>
+      </sensor>
+      <shape type="cube">
+        <bsdf type="dielectric"/>
+        <ref name="interior" id="goo"/>
+      </shape>
+    </scene>""")
+    scene, _ = load_scene_xml(str(f))
+    assert scene.media is not None and scene.medium is None
+    np.testing.assert_allclose(np.asarray(scene.media.sigma_t)[0], 0.5,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(scene.media.albedo)[0], 0.8,
+                               rtol=1e-5)
+
+
+def test_beer_lambert_through_null_cube(tmp_path):
+    """Absorbing-only interior: every channel attenuates exp(-sigma_c * 2)
+    along the straight path through the unit-scaled ([-1,1]^3) cube."""
+    sig = np.asarray([0.3, 0.5, 0.7])
+    scene = _scene(tmp_path, "0.3,0.5,0.7", "0,0,0")
+    cfg = PathConfig(max_depth=6, rr_depth=100, use_nee=False)
+    u = jax.random.uniform(jax.random.PRNGKey(0), (16384, cfg.n_dims))
+    sp = trace_paths(scene, cfg, u)
+    vals = np.asarray(sp.value[:, 0, :])
+    assert np.all(np.isfinite(vals))
+    # fov 8 deg at distance 6: all rays pass nearly straight through
+    expect = np.exp(-sig * 2.0)
+    np.testing.assert_allclose(vals.mean(0), expect, rtol=0.03)
+
+
+def test_volumetric_furnace_interior():
+    """Albedo-1 scattering interior behind a null boundary in a unit
+    environment is a furnace: radiance 1 regardless of sigma/g."""
+    import pytest
+    scene = None
+    try:
+        import tempfile, pathlib
+        with tempfile.TemporaryDirectory() as td:
+            scene = _scene(
+                pathlib.Path(td), "1.5,1.5,1.5", "1,1,1",
+                phase='<phase type="hg"><float name="g" value="0.4"/></phase>',
+            )
+    except Exception as e:   # pragma: no cover
+        pytest.skip(f"scene build failed: {e}")
+    cfg = PathConfig(max_depth=64, rr_depth=200, use_nee=False)
+    u = jax.random.uniform(jax.random.PRNGKey(1), (8192, cfg.n_dims))
+    sp = trace_paths(scene, cfg, u)
+    vals = np.asarray(sp.value[:, 0, :])
+    assert np.all(np.isfinite(vals))
+    # truncation at depth 64 loses a little tail energy
+    assert 0.97 < vals.mean() <= 1.005, vals.mean()
+
+
+def test_nee_inside_medium(tmp_path):
+    """NEE from scattering vertices attenuates by the lane's medium; the
+    render with NEE must agree with the BSDF-sampling-only estimate."""
+    f = tmp_path / "n.xml"
+    f.write_text("""<scene version="0.6.0">
+      <sensor type="perspective">
+        <float name="fov" value="30"/>
+        <transform name="toWorld">
+          <lookat origin="0,0,6" target="0,0,0" up="0,1,0"/>
+        </transform>
+        <film type="hdrfilm">
+          <integer name="width" value="4"/><integer name="height" value="4"/>
+        </film>
+      </sensor>
+      <shape type="cube">
+        <bsdf type="null"/>
+        <medium name="interior" type="homogeneous">
+          <rgb name="sigmaT" value="0.8"/><rgb name="albedo" value="0.9"/>
+        </medium>
+      </shape>
+      <shape type="rectangle">
+        <transform name="toWorld">
+          <translate z="3.5"/><scale value="2"/>
+        </transform>
+        <emitter type="area"><rgb name="radiance" value="5,5,5"/></emitter>
+      </shape>
+    </scene>""")
+    scene, _ = load_scene_xml(str(f))
+    u = jax.random.uniform(jax.random.PRNGKey(2), (32768, 64))
+    cfg_nee = PathConfig(max_depth=6, rr_depth=100, use_nee=True)
+    cfg_no = PathConfig(max_depth=6, rr_depth=100, use_nee=False)
+    a = np.asarray(
+        trace_paths(scene, cfg_nee, u[:, :cfg_nee.n_dims]).value).mean()
+    b = np.asarray(
+        trace_paths(scene, cfg_no, u[:, :cfg_no.n_dims]).value).mean()
+    assert np.isfinite(a) and np.isfinite(b)
+    np.testing.assert_allclose(a, b, rtol=0.08)
