@@ -57,6 +57,7 @@ class BDPTConfig:
     reference bdpt maxDepth).  A full path of n vertices has n-1 segments."""
     max_depth: int = 5
     light_image: bool = True   # include t=1 (light tracing) strategies
+    thinlens: bool = False     # camera vertex = sampled lens point (2 dims)
 
     @property
     def n_eye(self):    # camera vertex + surface vertices
@@ -68,7 +69,8 @@ class BDPTConfig:
 
     @property
     def eye_dims(self):
-        return 2 + EYE_BOUNCE_DIMS * (self.n_eye - 2)
+        return (2 + (2 if self.thinlens else 0)
+                + EYE_BOUNCE_DIMS * (self.n_eye - 2))
 
     @property
     def light_dims(self):
@@ -227,10 +229,14 @@ def eye_subpath(scene: Scene, cfg: BDPTConfig, u_eye):
     (R, eye_dims)."""
     R = u_eye.shape[0]
     uv = u_eye[:, 0:2]
-    o, d = sample_ray(scene.camera, uv)
+    if cfg.thinlens:
+        o, d = sample_ray(scene.camera, uv, u_eye[:, 2:4])
+    else:
+        o, d = sample_ray(scene.camera, uv)
     pdf_dir = sensor_pdf_dir(scene.camera, d)
     n_surf = cfg.n_eye - 1
-    u_b = u_eye[:, 2:2 + EYE_BOUNCE_DIMS * (n_surf - 1)]
+    b0 = 2 + (2 if cfg.thinlens else 0)
+    u_b = u_eye[:, b0:b0 + EYE_BOUNCE_DIMS * (n_surf - 1)]
     u_b = jnp.concatenate(
         [u_b.reshape(R, n_surf - 1, EYE_BOUNCE_DIMS),
          jnp.zeros((R, 1, EYE_BOUNCE_DIMS))], axis=1,
@@ -392,15 +398,35 @@ def sensor_pdf_dir(camera, d_world):
     return jnp.where(cos > 1e-6, 1.0 / (a * jnp.maximum(cos, 1e-6) ** 3), 0.0)
 
 
-def sensor_importance(camera, d_world):
-    """(We, film_uv, inside) for a world direction from the camera."""
+def sensor_importance(camera, d_world, origin=None):
+    """(We, film_uv, inside) for a world direction leaving the camera.
+
+    origin: world-space camera-vertex position (the sampled lens point for
+    a thinlens camera); None = the camera center (pinhole).  With the
+    focal-plane film mapping, the conditional directional density from ANY
+    lens point is 1/(A cos^3) — identical to the pinhole — so We and
+    sensor_pdf_dir keep the pinhole form and only the film-uv mapping
+    shifts with the lens point (ref: src/sensors/thinlens.cpp eval/
+    sampleDirect; SURVEY bidir sensor rows)."""
     fwd = camera.to_world[:3, 2]
     left = camera.to_world[:3, 0]
     up = camera.to_world[:3, 1]
     cos = jnp.sum(d_world * fwd, axis=-1)
     inv_cos = 1.0 / jnp.maximum(cos, 1e-6)
-    x_cam = jnp.sum(d_world * left, axis=-1) * inv_cos
-    y_cam = jnp.sum(d_world * up, axis=-1) * inv_cos
+    if origin is None:
+        x_cam = jnp.sum(d_world * left, axis=-1) * inv_cos
+        y_cam = jnp.sum(d_world * up, axis=-1) * inv_cos
+    else:
+        # project the focal-plane point of the (lens point, direction) ray
+        # through the lens center
+        o_rel = origin - camera.to_world[:3, 3]
+        ox = jnp.sum(o_rel * left, axis=-1)
+        oy = jnp.sum(o_rel * up, axis=-1)
+        oz = jnp.sum(o_rel * fwd, axis=-1)
+        f = jnp.maximum(camera.focus_distance, 1e-6)
+        t = (f - oz) * inv_cos
+        x_cam = (ox + jnp.sum(d_world * left, axis=-1) * t) / f
+        y_cam = (oy + jnp.sum(d_world * up, axis=-1) * t) / f
     u = (x_cam / camera.tan_half_fov_x + 1.0) * 0.5
     v = (1.0 - y_cam / camera.tan_half_fov_y) * 0.5
     inside = (cos > 1e-6) & (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
@@ -705,7 +731,8 @@ def _strategies(scene: Scene, cfg: BDPTConfig, L: SubpathSoA, E: SubpathSoA,
             dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
             w_lc = dvec / dist[..., None]
 
-            we, film_uv, inside = sensor_importance(scene.camera, -w_lc)
+            we, film_uv, inside = sensor_importance(scene.camera, -w_lc,
+                                                    cam_p)
             ok = L.valid[:, lv] & ~L.delta[:, lv] & inside & (dist2 > 1e-12)
 
             cos_l = jnp.abs(jnp.sum(w_lc * L.ng[:, lv], -1))
@@ -924,7 +951,7 @@ def trace_mmlt(scene: Scene, cfg: BDPTConfig, u, depth) -> Splats:
 
     # eye-end BSDF (t >= 2) or sensor importance (t = 1)
     f_e_bsdf, pdf_e_fwd_sa = _bsdf_eval_pdf(scene, Emat, Ewi, -w_le, Ens)
-    we, film_uv, inside = sensor_importance(scene.camera, -w_le)
+    we, film_uv, inside = sensor_importance(scene.camera, -w_le, Ep)
     f_e = jnp.where(case_lt[:, None], we[:, None], f_e_bsdf)
 
     contrib_conn = Lbeta * f_l * f_e * Ebeta * g[:, None]

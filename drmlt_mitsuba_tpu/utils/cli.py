@@ -28,6 +28,12 @@ import time
 import numpy as np
 
 
+def _thinlens(scene):
+    """True when the camera has a lens (aperture > 0): the integrators
+    consume 2 lens dims and bidir importance projects through the lens."""
+    return float(np.asarray(scene.camera.aperture_radius)) > 0.0
+
+
 def build_trace(scene, settings, icfg):
     """Map an integrator config onto (trace_fn, n_dims, frozen, pinned,
     technique)."""
@@ -44,17 +50,20 @@ def build_trace(scene, settings, icfg):
     max_depth = int(icfg.get("maxDepth", 8))
     if max_depth <= 0:
         max_depth = 12
+    tl = _thinlens(scene)
     if technique in ("path", "volpath", "volpath_simple"):
         from drmlt_mitsuba_tpu.integrators.path import make_path_trace
 
         pcfg = PathConfig(max_depth=max_depth, rr_depth=100,
-                          min_depth=int(icfg.get("minDepth", 1)))
+                          min_depth=int(icfg.get("minDepth", 1)),
+                          thinlens=tl)
         n = pcfg.n_dims + pcfg.n_dims % 2
         trace = make_path_trace(scene, pcfg)   # Pallas megakernel on TPU
         return trace, n, jnp.zeros((n,), bool), jnp.zeros((n,), bool), {}
     if technique == "bdpt":
         bcfg = BDPTConfig(max_depth=max_depth,
-                          light_image=bool(icfg.get("lightImage", True)))
+                          light_image=bool(icfg.get("lightImage", True)),
+                          thinlens=tl)
         n = bcfg.n_dims + bcfg.n_dims % 2
         trace = lambda u: trace_bdpt(scene, bcfg, u[:, : bcfg.n_dims])
         return trace, n, jnp.zeros((n,), bool), jnp.zeros((n,), bool), {}
@@ -64,7 +73,8 @@ def build_trace(scene, settings, icfg):
         )
 
         bcfg = BDPTConfig(max_depth=max_depth,
-                          light_image=bool(icfg.get("lightImage", True)))
+                          light_image=bool(icfg.get("lightImage", True)),
+                          thinlens=tl)
         frozen, pinned, n = mmlt_masks(bcfg)
         trace = make_mmlt_trace(scene, bcfg)
         extras = dict(emitter_mask=mmlt_emitter_mask(bcfg, n),
@@ -109,7 +119,8 @@ def render(scene, settings, args, log):
         depth = int(icfg.get("maxDepth", 8))
         if itype == "direct":
             depth = 2
-        pcfg = PathConfig(max_depth=max(1, depth), rr_depth=100)
+        pcfg = PathConfig(max_depth=max(1, depth), rr_depth=100,
+                          thinlens=_thinlens(scene))
         film = render_pt(scene, pcfg, key, W * H * settings.spp, fc,
                          mode="accum")
         img = filmlib.develop(fc, film, mode="accum")
@@ -117,7 +128,8 @@ def render(scene, settings, args, log):
 
     if itype == "bdpt":
         bcfg = BDPTConfig(max_depth=int(icfg.get("maxDepth", 5)),
-                          light_image=bool(icfg.get("lightImage", True)))
+                          light_image=bool(icfg.get("lightImage", True)),
+                          thinlens=_thinlens(scene))
         n_total = W * H * settings.spp
         chunk = 8192
         n_chunks = max(1, n_total // chunk)
@@ -230,6 +242,13 @@ def render(scene, settings, args, log):
             mutation_size_high=float(icfg.get("mutationSizeHigh", 1 / 64)),
             sigma=float(icfg.get("sigma", 1 / 64)),
             n_bootstrap=n_boot,
+            # PSS analogs of the Veach lens/caustic perturbations
+            # (mut_lens.cpp / mut_caustic.cpp; tested in
+            # tests/test_mcmc.py::TestMutationMixture)
+            p_lens=float(icfg.get("pLens", 0.0)),
+            p_caustic=float(icfg.get("pCaustic", 0.0)),
+            lens_sigma=float(icfg.get("lensSigma", 1 / 16)),
+            caustic_dims=int(icfg.get("causticDims", 7)),
         )
 
         def step(carry, k):
