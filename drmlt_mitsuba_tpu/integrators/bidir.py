@@ -58,6 +58,14 @@ class BDPTConfig:
     max_depth: int = 5
     light_image: bool = True   # include t=1 (light tracing) strategies
     thinlens: bool = False     # camera vertex = sampled lens point (2 dims)
+    # global homogeneous medium participates in both walks: each walk step
+    # consumes 2 extra dims (channel pick + distance) and vertices may be
+    # medium-scatter events (ref: EMediumInteraction, vertex.cpp:273)
+    medium: bool = False
+
+    @property
+    def bounce_dims(self):
+        return EYE_BOUNCE_DIMS + (2 if self.medium else 0)
 
     @property
     def n_eye(self):    # camera vertex + surface vertices
@@ -69,14 +77,19 @@ class BDPTConfig:
 
     @property
     def eye_dims(self):
+        # the final walk step samples no direction but (with a medium)
+        # still needs its segment's distance dims
         return (2 + (2 if self.thinlens else 0)
-                + EYE_BOUNCE_DIMS * (self.n_eye - 2))
+                + self.bounce_dims * (self.n_eye - 2)
+                + (2 if self.medium else 0))
 
     @property
     def light_dims(self):
         # the start ray makes bounce vertex 1; BSDF sampling happens at
         # bounce vertices 1..n_light-2 (the last vertex samples nothing)
-        return LIGHT_START_DIMS + LIGHT_BOUNCE_DIMS * max(0, self.n_light - 2)
+        return (LIGHT_START_DIMS
+                + self.bounce_dims * max(0, self.n_light - 2)
+                + (2 if self.medium and self.n_light >= 2 else 0))
 
     @property
     def n_dims(self):
@@ -113,6 +126,9 @@ class SubpathSoA:
     # environment radiance can be evaluated (ref: vertex.cpp ESupernode /
     # pathsampler.cpp env handling).  valid is False on escaped slots.
     escaped: jnp.ndarray  # (R, V)
+    # medium-scatter vertices (ref: EMediumInteraction, vertex.cpp:273):
+    # shading is the phase function, geometry terms drop the local cosine
+    medium: jnp.ndarray   # (R, V)
 
 
 def _sa_to_area(pdf_sa, p_from, p_to, n_to):
@@ -142,77 +158,156 @@ def _bsdf_pdf_sa(scene, mat_id, wi_world, wo_world, ns):
 # Random walks
 # ---------------------------------------------------------------------------
 
+def _sa_to_area_med(pdf_sa, p_from, p_to, n_to, to_is_medium):
+    """Solid-angle -> area-measure conversion; a medium vertex target has
+    no surface cosine (ref: pdf conversions in vertex.cpp with
+    EMediumInteraction)."""
+    d = p_to - p_from
+    dist2 = jnp.sum(d * d, axis=-1)
+    w = d / jnp.sqrt(jnp.maximum(dist2, 1e-20))[..., None]
+    cos_to = jnp.where(to_is_medium, 1.0,
+                       jnp.abs(jnp.sum(w * n_to, axis=-1)))
+    return pdf_sa * safe_div(cos_to, dist2)
+
+
 def _walk(scene: Scene, o0, d0, beta0, pdf0_sa, src_p, src_ns, n_surface,
           u_bounce, importance_mode: bool):
-    """Scan out up to n_surface surface vertices from a start ray.
+    """Scan out up to n_surface vertices (surface hits or medium scatters)
+    from a start ray.
+
+    u_bounce: (R, n_surface, 3) direction dims, or (R, n_surface, 5) with
+    per-segment (channel, distance) medium dims appended when the scene has
+    a global homogeneous medium (BDPTConfig.medium).
 
     Returns dict of stacked per-vertex fields, each (R, n_surface, ...), and
     src_rev: (R,) area pdf of the SOURCE vertex as seen from vertex 1
-    (reverse-chain pdf of the endpoint).
+    (reverse-chain pdf of the endpoint).  Stored pdf_fwd/pdf_rev include the
+    medium distance-sampling factors (scatter density / escape mass), so
+    the MIS ratio recursion stays exact in volumetric scenes.
     """
+    from drmlt_mitsuba_tpu.render.medium import (
+        HomogeneousMedium, distance_pdfs, hg_phase, sample_distance,
+        sample_hg,
+    )
+
     R = o0.shape[0]
+    # the u layout (BDPTConfig.medium) is the switch: without the extra
+    # per-segment dims the walk is surface-only even in a medium scene
+    med = scene.medium if (
+        isinstance(scene.medium, HomogeneousMedium)
+        and u_bounce.shape[-1] >= 5
+    ) else None
 
     def body(carry, ub):
         hit = intersect(scene, carry["o"], carry["d"])
-        active = carry["active"] & hit.valid
-        pdf_area = _sa_to_area(
-            carry["pdf_sa"], carry["prev_p"], hit.p, hit.ng
-        )
         wi_world = -carry["d"]
-        delta = is_delta_kind(scene.materials, hit.mat_id)
+
+        if med is not None:
+            t_surf = jnp.where(hit.valid, hit.t, 1.0e7)
+            md = sample_distance(med, ub[:, 3], ub[:, 4], t_surf)
+            scat = carry["active"] & md["scattered"]
+            p_med = carry["o"] + md["t"][:, None] * carry["d"]
+            active = (carry["active"] & hit.valid & ~scat) | scat
+            p_v = jnp.where(scat[:, None], p_med, hit.p)
+            # medium vertices carry no surface frame; park the normals on
+            # the incoming direction so frames stay finite
+            ns_v = jnp.where(scat[:, None], wi_world, hit.ns)
+            ng_v = jnp.where(scat[:, None], wi_world, hit.ng)
+            mat_v = jnp.where(scat, -1, hit.mat_id)
+            em_v = jnp.where(scat, -1, hit.emitter_id)
+            beta_in = carry["beta"] * md["weight"]
+            f_dist = jnp.where(scat, md["pdf_scatter"], md["pdf_escape"])
+            pdf_area = _sa_to_area_med(
+                carry["pdf_sa"], carry["prev_p"], p_v, ng_v, scat
+            ) * f_dist
+            eps_t = jnp.where(scat, md["t"], jnp.minimum(hit.t, 1e7))
+        else:
+            scat = jnp.zeros((R,), bool)
+            active = carry["active"] & hit.valid
+            p_v, ns_v, ng_v = hit.p, hit.ns, hit.ng
+            mat_v, em_v = hit.mat_id, hit.emitter_id
+            beta_in = carry["beta"]
+            pdf_area = _sa_to_area(
+                carry["pdf_sa"], carry["prev_p"], p_v, ng_v
+            )
+            eps_t = hit.t
+
+        delta = jnp.where(
+            scat, False, is_delta_kind(scene.materials, hit.mat_id)
+        )
 
         v = dict(
-            valid=active, p=hit.p, ns=hit.ns, ng=hit.ng, wi=wi_world,
+            valid=active, p=p_v, ns=ns_v, ng=ng_v, wi=wi_world,
             # beta masked by carry-activity only (NOT hit validity) so
             # escaped slots keep the throughput along the escaping segment
             # for environment evaluation
-            beta=jnp.where(carry["active"][:, None], carry["beta"], 0.0),
+            beta=jnp.where(carry["active"][:, None], beta_in, 0.0),
             pdf_fwd=jnp.where(active, pdf_area, 0.0),
-            delta=delta, mat_id=hit.mat_id, emitter_id=hit.emitter_id,
-            escaped=carry["active"] & ~hit.valid,
+            delta=delta, mat_id=mat_v, emitter_id=em_v,
+            escaped=carry["active"] & ~hit.valid & ~scat,
+            medium=scat,
         )
 
-        wi = frame.to_local(hit.ns, wi_world)
+        wi = frame.to_local(ns_v, wi_world)
         albedo = scene.materials.albedo[hit.mat_id]
-        bs = sample_bsdf(scene.materials, hit.mat_id, albedo, wi, ub)
-        wo_world = frame.to_world(hit.ns, bs.wo)
+        bs = sample_bsdf(scene.materials, hit.mat_id, albedo, wi,
+                         ub[:, :3])
+        wo_world = frame.to_world(ns_v, bs.wo)
         # reverse pdf of the previous vertex: sample wi from wo at this vertex
         _, pdf_rev_sa = eval_bsdf(
             scene.materials, hit.mat_id, albedo, bs.wo, wi
         )
-        prev_rev = _sa_to_area(pdf_rev_sa, hit.p, carry["prev_p"],
-                               carry["prev_ns"])
+        bs_weight, bs_pdf, bs_delta = bs.weight, bs.pdf, bs.delta
+        if med is not None:
+            wo_ph, pdf_ph = sample_hg(med.g, wi_world, ub[:, 1:3])
+            wo_world = jnp.where(scat[:, None], wo_ph, wo_world)
+            bs_weight = jnp.where(scat[:, None], 1.0, bs_weight)
+            bs_pdf = jnp.where(scat, pdf_ph, bs_pdf)
+            bs_delta = jnp.where(scat, False, bs_delta)
+            # HG is symmetric in the in/out angle: reverse dir pdf = fwd
+            pdf_rev_sa = jnp.where(scat, pdf_ph, pdf_rev_sa)
+        prev_rev = _sa_to_area_med(pdf_rev_sa, p_v, carry["prev_p"],
+                                   carry["prev_ns"], carry["prev_med"])
+        if med is not None:
+            seg = p_v - carry["prev_p"]
+            d_seg = jnp.sqrt(jnp.maximum(jnp.sum(seg * seg, -1), 1e-20))
+            r_scat, r_esc = distance_pdfs(med, d_seg)
+            prev_rev = prev_rev * jnp.where(carry["prev_med"], r_scat,
+                                            r_esc)
         prev_rev = jnp.where(active, prev_rev, 0.0)
 
-        beta_next = carry["beta"] * bs.weight
+        beta_next = beta_in * bs_weight
         if importance_mode:
-            # shading-normal correction for importance transport (Veach 5.17)
-            num = jnp.abs(jnp.sum(wi_world * hit.ns, -1)) * jnp.abs(
-                jnp.sum(wo_world * hit.ng, -1)
+            # shading-normal correction for importance transport (Veach
+            # 5.17); medium vertices have ns == ng == wi so the factor is 1
+            num = jnp.abs(jnp.sum(wi_world * ns_v, -1)) * jnp.abs(
+                jnp.sum(wo_world * ng_v, -1)
             )
-            den = jnp.abs(jnp.sum(wi_world * hit.ng, -1)) * jnp.abs(
-                jnp.sum(wo_world * hit.ns, -1)
+            den = jnp.abs(jnp.sum(wi_world * ng_v, -1)) * jnp.abs(
+                jnp.sum(wo_world * ns_v, -1)
             )
             beta_next = beta_next * safe_div(num, den, 1.0)[..., None]
 
-        cont = active & (luminance(beta_next) > 0) & ((bs.pdf > 0) | bs.delta)
-        o_next = hit.p + wo_world * RAY_EPS * jnp.maximum(1.0, hit.t)[:, None]
+        cont = active & (luminance(beta_next) > 0) & ((bs_pdf > 0) | bs_delta)
+        o_next = p_v + wo_world * RAY_EPS * jnp.maximum(1.0, eps_t)[:, None]
         carry_out = dict(
             o=jnp.where(active[:, None], o_next, carry["o"]),
             d=jnp.where(active[:, None], wo_world, carry["d"]),
             beta=jnp.where(cont[:, None], beta_next, 0.0),
-            pdf_sa=jnp.where(bs.delta, 1.0, bs.pdf),
+            pdf_sa=jnp.where(bs_delta, 1.0, bs_pdf),
             active=cont,
-            prev_p=jnp.where(active[:, None], hit.p, carry["prev_p"]),
-            prev_ns=jnp.where(active[:, None], hit.ns, carry["prev_ns"]),
+            prev_p=jnp.where(active[:, None], p_v, carry["prev_p"]),
+            prev_ns=jnp.where(active[:, None], ns_v, carry["prev_ns"]),
+            prev_med=jnp.where(active, scat, carry["prev_med"]),
         )
         return carry_out, (v, prev_rev)
 
     carry0 = dict(
         o=o0, d=d0, beta=beta0, pdf_sa=pdf0_sa,
         active=jnp.ones((R,), bool), prev_p=src_p, prev_ns=src_ns,
+        prev_med=jnp.zeros((R,), bool),
     )
-    u = jnp.moveaxis(u_bounce, 1, 0)  # (n_surface, R, 3)
+    u = jnp.moveaxis(u_bounce, 1, 0)  # (n_surface, R, 3|5)
     _, (vs, prev_revs) = jax.lax.scan(body, carry0, u)
     out = {k: jnp.moveaxis(vs[k], 0, 1) for k in vs}
     prev_revs = jnp.moveaxis(prev_revs, 0, 1)  # (R, n_surface)
@@ -236,11 +331,17 @@ def eye_subpath(scene: Scene, cfg: BDPTConfig, u_eye):
     pdf_dir = sensor_pdf_dir(scene.camera, d)
     n_surf = cfg.n_eye - 1
     b0 = 2 + (2 if cfg.thinlens else 0)
-    u_b = u_eye[:, b0:b0 + EYE_BOUNCE_DIMS * (n_surf - 1)]
-    u_b = jnp.concatenate(
-        [u_b.reshape(R, n_surf - 1, EYE_BOUNCE_DIMS),
-         jnp.zeros((R, 1, EYE_BOUNCE_DIMS))], axis=1,
-    )
+    B = cfg.bounce_dims
+    u_steps = u_eye[:, b0:b0 + B * (n_surf - 1)].reshape(R, n_surf - 1, B)
+    if cfg.medium:
+        # the final step samples no direction but needs its segment's
+        # (channel, distance) dims
+        tail = u_eye[:, b0 + B * (n_surf - 1):
+                     b0 + B * (n_surf - 1) + 2].reshape(R, 1, 2)
+        last = jnp.concatenate([jnp.zeros((R, 1, 3)), tail], axis=-1)
+    else:
+        last = jnp.zeros((R, 1, B))
+    u_b = jnp.concatenate([u_steps, last], axis=1)
     walk, _ = _walk(
         scene, o, d, jnp.ones((R, 3)), pdf_dir, o,
         jnp.broadcast_to(scene.camera.to_world[:3, 2], (R, 3)),
@@ -261,6 +362,7 @@ def eye_subpath(scene: Scene, cfg: BDPTConfig, u_eye):
         mat_id=cat(jnp.zeros((R,), jnp.int32), walk["mat_id"]),
         emitter_id=cat(jnp.full((R,), -1, jnp.int32), walk["emitter_id"]),
         escaped=cat(jnp.zeros((R,), bool), walk["escaped"]),
+        medium=cat(jnp.zeros((R,), bool), walk["medium"]),
     )
     return soa, uv
 
@@ -342,11 +444,20 @@ def light_subpath(scene: Scene, cfg: BDPTConfig, u_light):
     beta1 = le_dir * safe_div(cos0, pdf_pos * pdf_dir)[:, None]
 
     n_surf = cfg.n_light - 1
-    u_b = u_light[:, LIGHT_START_DIMS:]
-    u_b = jnp.concatenate(
-        [u_b.reshape(R, max(0, n_surf - 1), LIGHT_BOUNCE_DIMS),
-         jnp.zeros((R, 1, LIGHT_BOUNCE_DIMS))], axis=1,
-    ) if n_surf >= 1 else jnp.zeros((R, 0, LIGHT_BOUNCE_DIMS))
+    B = cfg.bounce_dims
+    u_rest = u_light[:, LIGHT_START_DIMS:]
+    if n_surf >= 1:
+        u_steps = u_rest[:, : B * (n_surf - 1)].reshape(
+            R, max(0, n_surf - 1), B)
+        if cfg.medium:
+            tail = u_rest[:, B * (n_surf - 1): B * (n_surf - 1) + 2]
+            last = jnp.concatenate(
+                [jnp.zeros((R, 1, 3)), tail.reshape(R, 1, 2)], axis=-1)
+        else:
+            last = jnp.zeros((R, 1, B))
+        u_b = jnp.concatenate([u_steps, last], axis=1)
+    else:
+        u_b = jnp.zeros((R, 0, B))
     o0 = p0 + d0 * (RAY_EPS * 10.0)
     walk, src_rev = _walk(
         scene, o0, d0, beta1, pdf_dir, p0, n0, n_surf, u_b,
@@ -377,6 +488,7 @@ def light_subpath(scene: Scene, cfg: BDPTConfig, u_light):
         mat_id=cat(jnp.zeros((R,), jnp.int32), walk["mat_id"]),
         emitter_id=cat(row, walk["emitter_id"]),
         escaped=cat(jnp.zeros((R,), bool), walk["escaped"]),
+        medium=cat(jnp.zeros((R,), bool), walk["medium"]),
     )
     return soa
 
@@ -516,10 +628,12 @@ def _mis_weight(cfg, scene, L: SubpathSoA, E: SubpathSoA, s: int, t: int,
 # Connections
 # ---------------------------------------------------------------------------
 
-def _emission_dir_pdf_area(scene, row, p_l, n_l, p_to, n_to):
+def _emission_dir_pdf_area(scene, row, p_l, n_l, p_to, n_to,
+                           to_is_medium=None):
     """Area pdf at p_to of the emitter's direction sampling (per kind:
     cosine lobe for area rows, uniform sphere for point, uniform cone x
-    falloff support for spot)."""
+    falloff support for spot).  to_is_medium: target is a medium-scatter
+    vertex (no surface cosine in the conversion)."""
     from drmlt_mitsuba_tpu.scene.types import (
         EMITTER_AREA, EMITTER_POINT, EMITTER_SPOT,
     )
@@ -540,7 +654,9 @@ def _emission_dir_pdf_area(scene, row, p_l, n_l, p_to, n_to):
                          0.5 / jnp.pi / jnp.maximum(1.0 - cos_cut, 1e-6),
                          0.0)
     pdf_sa = jnp.where(kind == EMITTER_SPOT, pdf_cone, pdf_sa)
-    return _sa_to_area(pdf_sa, p_l, p_to, n_to)
+    if to_is_medium is None:
+        return _sa_to_area(pdf_sa, p_l, p_to, n_to)
+    return _sa_to_area_med(pdf_sa, p_l, p_to, n_to, to_is_medium)
 
 
 def _spot_falloff(scene, row, w_from_light):
@@ -563,6 +679,50 @@ def _emitter_pos_pdf(scene, emitter_row):
     return jnp.where(emitter_row >= 0, pdf, 0.0)
 
 
+def _scene_med(scene):
+    """The global homogeneous medium participating in bidir transport."""
+    from drmlt_mitsuba_tpu.render.medium import HomogeneousMedium
+
+    m = scene.medium
+    return m if isinstance(m, HomogeneousMedium) else None
+
+
+def _edge_shading(scene, med, mat_id, wi_world, w_out, ns, is_med):
+    """(f, pdf_sa) at a vertex toward w_out: the BSDF, or the phase
+    function at medium vertices (value == pdf; sigma_s/albedo are already
+    folded into beta by the distance-sampling weight)."""
+    f_b, pdf_b = _bsdf_eval_pdf(scene, mat_id, wi_world, w_out, ns)
+    if med is None:
+        return f_b, pdf_b
+    from drmlt_mitsuba_tpu.render.medium import hg_phase
+
+    ph = hg_phase(med.g, jnp.sum(-wi_world * w_out, -1))
+    return (jnp.where(is_med[:, None], ph[:, None], f_b),
+            jnp.where(is_med, ph, pdf_b))
+
+
+def _fdist(med, p_a, p_b, b_is_med):
+    """Distance-sampling density factor of edge a->b: scatter density at a
+    medium target, escape mass at a surface target; 1 without a medium
+    (the factor every volumetric path pdf carries per edge)."""
+    if med is None:
+        return 1.0
+    from drmlt_mitsuba_tpu.render.medium import distance_pdfs
+
+    seg = p_b - p_a
+    d = jnp.sqrt(jnp.maximum(jnp.sum(seg * seg, -1), 1e-20))
+    r_scat, r_esc = distance_pdfs(med, d)
+    return jnp.where(b_is_med, r_scat, r_esc)
+
+
+def _edge_tr(med, dist):
+    """Connection-edge transmittance (ref: src/libbidir/edge.cpp
+    evalTransmittance); 1 without a medium."""
+    if med is None:
+        return 1.0
+    return jnp.exp(-med.sigma_t * dist[..., None])
+
+
 def _strategies(scene: Scene, cfg: BDPTConfig, L: SubpathSoA, E: SubpathSoA,
                 uv, mis: bool = True, only=None):
     """Evaluate every (s, t) connection strategy for the whole batch.
@@ -573,6 +733,7 @@ def _strategies(scene: Scene, cfg: BDPTConfig, L: SubpathSoA, E: SubpathSoA,
     single-strategy selection.
     """
     R = uv.shape[0]
+    med = _scene_med(scene) if cfg.medium else None
 
     # ---------------- s = 0: eye path hits an emitter ---------------------
     for t in range(2, cfg.n_eye + 1):
@@ -591,10 +752,12 @@ def _strategies(scene: Scene, cfg: BDPTConfig, L: SubpathSoA, E: SubpathSoA,
         else:
             pL_jn = dict()
             pL_jn["s"] = _emitter_pos_pdf(scene, hit_row)
-            pL_jn["s+1"] = _emission_dir_pdf_area(
+            pL_jn["s+1"] = (_emission_dir_pdf_area(
                 scene, row, E.p[:, ev], E.ng[:, ev],
                 E.p[:, ev - 1], E.ng[:, ev - 1],
-            ) if t >= 3 else jnp.zeros((R,))
+                to_is_medium=E.medium[:, ev - 1],
+            ) * _fdist(med, E.p[:, ev], E.p[:, ev - 1],
+                       E.medium[:, ev - 1])) if t >= 3 else jnp.zeros((R,))
             w = _mis_weight(cfg, scene, L, E, 0, t, pL_jn, dict())
         val = jnp.where(ok[:, None], contrib * w[:, None], 0.0)
         # ---- environment on escape (weight 1: the eye walk is the only
@@ -633,8 +796,10 @@ def _strategies(scene: Scene, cfg: BDPTConfig, L: SubpathSoA, E: SubpathSoA,
                         else L.delta[:, lv])
             ok = ok & ~l_deltab & ~E.delta[:, ev] & (dist2 > 1e-12)
 
-            cos_l = jnp.abs(jnp.sum(w_le * ngl, -1))
-            cos_e = jnp.abs(jnp.sum(w_le * nge, -1))
+            l_med = L.medium[:, lv]
+            e_med = E.medium[:, ev]
+            cos_l = jnp.where(l_med, 1.0, jnp.abs(jnp.sum(w_le * ngl, -1)))
+            cos_e = jnp.where(e_med, 1.0, jnp.abs(jnp.sum(w_le * nge, -1)))
             g = safe_div(cos_l * cos_e, dist2)
 
             if s == 1:
@@ -661,15 +826,16 @@ def _strategies(scene: Scene, cfg: BDPTConfig, L: SubpathSoA, E: SubpathSoA,
                 g = jnp.where(kind0 == EMITTER_AREA, g,
                               safe_div(cos_e, dist2))
             else:
-                f_l, _ = _bsdf_eval_pdf(
-                    scene, L.mat_id[:, lv], L.wi[:, lv], w_le, nl
+                f_l, _ = _edge_shading(
+                    scene, med, L.mat_id[:, lv], L.wi[:, lv], w_le, nl,
+                    l_med,
                 )
-            f_e, _ = _bsdf_eval_pdf(
-                scene, E.mat_id[:, ev], E.wi[:, ev], -w_le, ne
+            f_e, _ = _edge_shading(
+                scene, med, E.mat_id[:, ev], E.wi[:, ev], -w_le, ne, e_med
             )
             contrib = (
                 L.beta[:, lv] * f_l * f_e * E.beta[:, ev] * g[:, None]
-            )
+            ) * _edge_tr(med, dist)
             ok = ok & (luminance(contrib) > 0)
             sh_o = pl + w_le * (RAY_EPS * jnp.maximum(1.0, dist))[:, None]
             blocked = occluded(scene, sh_o, w_le, dist * (1.0 - 1e-3))
@@ -679,35 +845,46 @@ def _strategies(scene: Scene, cfg: BDPTConfig, L: SubpathSoA, E: SubpathSoA,
                 pL_jn = dict()
                 if s == 1:
                     pL_jn["s"] = _emission_dir_pdf_area(
-                        scene, L.emitter_id[:, 0], pl, ngl, pe, nge
-                    )
+                        scene, L.emitter_id[:, 0], pl, ngl, pe, nge,
+                        to_is_medium=e_med,
+                    ) * _fdist(med, pl, pe, e_med)
                 else:
-                    pdf_sa = _bsdf_pdf_sa(
-                        scene, L.mat_id[:, lv], L.wi[:, lv], w_le, nl
+                    _, pdf_sa = _edge_shading(
+                        scene, med, L.mat_id[:, lv], L.wi[:, lv], w_le,
+                        nl, l_med,
                     )
-                    pL_jn["s"] = _sa_to_area(pdf_sa, pl, pe, nge)
+                    pL_jn["s"] = _sa_to_area_med(
+                        pdf_sa, pl, pe, nge, e_med
+                    ) * _fdist(med, pl, pe, e_med)
                 if t >= 3:
-                    pdf_sa = _bsdf_pdf_sa(
-                        scene, E.mat_id[:, ev], -w_le, E.wi[:, ev], ne
+                    _, pdf_sa = _edge_shading(
+                        scene, med, E.mat_id[:, ev], -w_le, E.wi[:, ev],
+                        ne, e_med,
                     )
-                    pL_jn["s+1"] = _sa_to_area(
-                        pdf_sa, pe, E.p[:, ev - 1], E.ng[:, ev - 1]
-                    )
+                    pL_jn["s+1"] = _sa_to_area_med(
+                        pdf_sa, pe, E.p[:, ev - 1], E.ng[:, ev - 1],
+                        E.medium[:, ev - 1],
+                    ) * _fdist(med, pe, E.p[:, ev - 1], E.medium[:, ev - 1])
                 else:
                     pL_jn["s+1"] = jnp.zeros((R,))
 
                 pE_jn = dict()
-                pdf_sa = _bsdf_pdf_sa(
-                    scene, E.mat_id[:, ev], E.wi[:, ev], -w_le, ne
+                _, pdf_sa = _edge_shading(
+                    scene, med, E.mat_id[:, ev], E.wi[:, ev], -w_le, ne,
+                    e_med,
                 )
-                pE_jn["t"] = _sa_to_area(pdf_sa, pe, pl, ngl)
+                pE_jn["t"] = _sa_to_area_med(
+                    pdf_sa, pe, pl, ngl, l_med
+                ) * _fdist(med, pe, pl, l_med)
                 if s >= 2:
-                    pdf_sa = _bsdf_pdf_sa(
-                        scene, L.mat_id[:, lv], w_le, L.wi[:, lv], nl
+                    _, pdf_sa = _edge_shading(
+                        scene, med, L.mat_id[:, lv], w_le, L.wi[:, lv],
+                        nl, l_med,
                     )
-                    pE_jn["t+1"] = _sa_to_area(
-                        pdf_sa, pl, L.p[:, lv - 1], L.ng[:, lv - 1]
-                    )
+                    pE_jn["t+1"] = _sa_to_area_med(
+                        pdf_sa, pl, L.p[:, lv - 1], L.ng[:, lv - 1],
+                        L.medium[:, lv - 1],
+                    ) * _fdist(med, pl, L.p[:, lv - 1], L.medium[:, lv - 1])
                 else:
                     pE_jn["t+1"] = jnp.zeros((R,))
                 w = _mis_weight(cfg, scene, L, E, s, t, pL_jn, pE_jn)
@@ -735,7 +912,9 @@ def _strategies(scene: Scene, cfg: BDPTConfig, L: SubpathSoA, E: SubpathSoA,
                                                     cam_p)
             ok = L.valid[:, lv] & ~L.delta[:, lv] & inside & (dist2 > 1e-12)
 
-            cos_l = jnp.abs(jnp.sum(w_lc * L.ng[:, lv], -1))
+            l_med = L.medium[:, lv]
+            cos_l = jnp.where(
+                l_med, 1.0, jnp.abs(jnp.sum(w_lc * L.ng[:, lv], -1)))
             cam_fwd = scene.camera.to_world[:3, 2]
             cos_c = jnp.abs(jnp.sum(w_lc * cam_fwd, -1))
             g = safe_div(cos_l * cos_c, dist2)
@@ -744,10 +923,12 @@ def _strategies(scene: Scene, cfg: BDPTConfig, L: SubpathSoA, E: SubpathSoA,
                 front = jnp.sum(w_lc * L.ng[:, 0], -1) > 0
                 f_l = jnp.where(front[:, None], jnp.ones((R, 3)), 0.0)
             else:
-                f_l, _ = _bsdf_eval_pdf(
-                    scene, L.mat_id[:, lv], L.wi[:, lv], w_lc, L.ns[:, lv]
+                f_l, _ = _edge_shading(
+                    scene, med, L.mat_id[:, lv], L.wi[:, lv], w_lc,
+                    L.ns[:, lv], l_med,
                 )
-            contrib = L.beta[:, lv] * f_l * (g * we)[:, None]
+            contrib = (L.beta[:, lv] * f_l * (g * we)[:, None]
+                       * _edge_tr(med, dist))
             ok = ok & (luminance(contrib) > 0)
             sh_o = pl + w_lc * (RAY_EPS * jnp.maximum(1.0, dist))[:, None]
             blocked = occluded(scene, sh_o, w_lc, dist * (1.0 - 1e-3))
@@ -756,15 +937,18 @@ def _strategies(scene: Scene, cfg: BDPTConfig, L: SubpathSoA, E: SubpathSoA,
             if mis:
                 pE_jn = dict()
                 pdf_sa = sensor_pdf_dir(scene.camera, -w_lc)
-                pE_jn["t"] = _sa_to_area(pdf_sa, cam_p, pl, L.ng[:, lv])
+                pE_jn["t"] = _sa_to_area_med(
+                    pdf_sa, cam_p, pl, L.ng[:, lv], l_med
+                ) * _fdist(med, cam_p, pl, l_med)
                 if s >= 2:
-                    pdf_sa2 = _bsdf_pdf_sa(
-                        scene, L.mat_id[:, lv], w_lc, L.wi[:, lv],
-                        L.ns[:, lv]
+                    _, pdf_sa2 = _edge_shading(
+                        scene, med, L.mat_id[:, lv], w_lc, L.wi[:, lv],
+                        L.ns[:, lv], l_med,
                     )
-                    pE_jn["t+1"] = _sa_to_area(
-                        pdf_sa2, pl, L.p[:, lv - 1], L.ng[:, lv - 1]
-                    )
+                    pE_jn["t+1"] = _sa_to_area_med(
+                        pdf_sa2, pl, L.p[:, lv - 1], L.ng[:, lv - 1],
+                        L.medium[:, lv - 1],
+                    ) * _fdist(med, pl, L.p[:, lv - 1], L.medium[:, lv - 1])
                 else:
                     pE_jn["t+1"] = jnp.zeros((R,))
                 w = _mis_weight(cfg, scene, L, E, s, 1, dict(), pE_jn)
@@ -911,6 +1095,9 @@ def trace_mmlt(scene: Scene, cfg: BDPTConfig, u, depth) -> Splats:
     Eesc = _col(E.escaped, ev)
     Ehit_row = _col(E.emitter_id, ev)
     Ep0, Eng0 = _col(E.p, ev0), _col(E.ng, ev0)
+    med = _scene_med(scene) if cfg.medium else None
+    Lmed, Emed = _col(L.medium, lv), _col(E.medium, ev)
+    Lmed0, Emed0 = _col(L.medium, lv0), _col(E.medium, ev0)
 
     # ---- case s = 0: the eye path's vertex IS the emitter ---------------
     ok_hit = case_hit & Evalid & (Ehit_row >= 0)
@@ -925,8 +1112,8 @@ def trace_mmlt(scene: Scene, cfg: BDPTConfig, u, depth) -> Splats:
     dist2 = jnp.sum(dvec * dvec, -1)
     dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
     w_le = dvec / dist[..., None]
-    cos_l = jnp.abs(jnp.sum(w_le * Lng, -1))
-    cos_e = jnp.abs(jnp.sum(w_le * Eng, -1))
+    cos_l = jnp.where(Lmed, 1.0, jnp.abs(jnp.sum(w_le * Lng, -1)))
+    cos_e = jnp.where(Emed, 1.0, jnp.abs(jnp.sum(w_le * Eng, -1)))
     g = safe_div(cos_l * cos_e, dist2)
 
     # light-end "BSDF": emitter endpoint lobes for s=1, BSDF otherwise
@@ -942,7 +1129,8 @@ def trace_mmlt(scene: Scene, cfg: BDPTConfig, u, depth) -> Splats:
         jnp.where(kind0 == EMITTER_SPOT, fall,
                   jnp.where(kind0 == EMITTER_POINT, 1.0, 0.0)),
     )
-    f_l_bsdf, pdf_l_fwd_sa = _bsdf_eval_pdf(scene, Lmat, Lwi, w_le, Lns)
+    f_l_bsdf, pdf_l_fwd_sa = _edge_shading(scene, med, Lmat, Lwi, w_le,
+                                            Lns, Lmed)
     is_s1 = s_pick == 1
     f_l = jnp.where(is_s1[:, None], f_l_ep[:, None] * jnp.ones((R, 3)),
                     f_l_bsdf)
@@ -950,11 +1138,13 @@ def trace_mmlt(scene: Scene, cfg: BDPTConfig, u, depth) -> Splats:
                   safe_div(cos_e, dist2), g)
 
     # eye-end BSDF (t >= 2) or sensor importance (t = 1)
-    f_e_bsdf, pdf_e_fwd_sa = _bsdf_eval_pdf(scene, Emat, Ewi, -w_le, Ens)
+    f_e_bsdf, pdf_e_fwd_sa = _edge_shading(scene, med, Emat, Ewi, -w_le,
+                                           Ens, Emed)
     we, film_uv, inside = sensor_importance(scene.camera, -w_le, Ep)
     f_e = jnp.where(case_lt[:, None], we[:, None], f_e_bsdf)
 
-    contrib_conn = Lbeta * f_l * f_e * Ebeta * g[:, None]
+    contrib_conn = (Lbeta * f_l * f_e * Ebeta * g[:, None]
+                    * _edge_tr(med, dist))
 
     l_deltab = jnp.where(is_s1, False, Ldelta)
     ok_conn = (case_conn & Lvalid & Evalid & ~l_deltab & ~Edelta
@@ -972,29 +1162,36 @@ def trace_mmlt(scene: Scene, cfg: BDPTConfig, u, depth) -> Splats:
 
     # ---- junction pdfs for the MIS recursion ----------------------------
     # pL side (light chain crossing the junction toward the camera)
+    fd_conn_e = _fdist(med, Lp, Ep, Emed)
+    fd_conn_l = _fdist(med, Ep, Lp, Lmed)
     pL_s_hit = _emitter_pos_pdf(scene, Ehit_row)
-    pL_s_em = _emission_dir_pdf_area(scene, row0, Lp, Lng, Ep, Eng)
-    pL_s_bsdf = _sa_to_area(pdf_l_fwd_sa, Lp, Ep, Eng)
+    pL_s_em = _emission_dir_pdf_area(scene, row0, Lp, Lng, Ep, Eng,
+                                     to_is_medium=Emed) * fd_conn_e
+    pL_s_bsdf = _sa_to_area_med(pdf_l_fwd_sa, Lp, Ep, Eng, Emed) * fd_conn_e
     pL_s = jnp.where(case_hit, pL_s_hit,
                      jnp.where(is_s1, pL_s_em, pL_s_bsdf))
+    fd_eye_prev = _fdist(med, Ep, Ep0, Emed0)
     pL_s1_hit = _emission_dir_pdf_area(
-        scene, row_hit, Ep, Eng, Ep0, Eng0
-    )
-    pL_s1_bsdf = _sa_to_area(
-        _bsdf_pdf_sa(scene, Emat, -w_le, Ewi, Ens), Ep, Ep0, Eng0
-    )
+        scene, row_hit, Ep, Eng, Ep0, Eng0, to_is_medium=Emed0
+    ) * fd_eye_prev
+    pL_s1_bsdf = _sa_to_area_med(
+        _edge_shading(scene, med, Emat, -w_le, Ewi, Ens, Emed)[1],
+        Ep, Ep0, Eng0, Emed0,
+    ) * fd_eye_prev
     pL_s1 = jnp.where(t_pick >= 3,
                       jnp.where(case_hit, pL_s1_hit, pL_s1_bsdf), 0.0)
 
     # pE side (eye chain crossing the junction toward the light)
-    pE_t_sens = _sa_to_area(sensor_pdf_dir(scene.camera, -w_le), Ep, Lp, Lng)
-    pE_t_bsdf = _sa_to_area(pdf_e_fwd_sa, Ep, Lp, Lng)
+    pE_t_sens = _sa_to_area_med(
+        sensor_pdf_dir(scene.camera, -w_le), Ep, Lp, Lng, Lmed) * fd_conn_l
+    pE_t_bsdf = _sa_to_area_med(pdf_e_fwd_sa, Ep, Lp, Lng, Lmed) * fd_conn_l
     pE_t = jnp.where(case_lt, pE_t_sens, pE_t_bsdf)
     pE_t1 = jnp.where(
         s_pick >= 2,
-        _sa_to_area(
-            _bsdf_pdf_sa(scene, Lmat, w_le, Lwi, Lns), Lp, Lp0, Lng0
-        ),
+        _sa_to_area_med(
+            _edge_shading(scene, med, Lmat, w_le, Lwi, Lns, Lmed)[1],
+            Lp, Lp0, Lng0, Lmed0,
+        ) * _fdist(med, Lp, Lp0, Lmed0),
         0.0,
     )
 

@@ -67,7 +67,16 @@ def sample_distance(med: HomogeneousMedium, u_channel, u_dist, t_surface):
     w_scatter = tr * sigma_s / jnp.maximum(pdf_scatter, 1e-30)[..., None]
     w_escape = tr / jnp.maximum(pdf_escape, 1e-30)[..., None]
     weight = jnp.where(scattered[..., None], w_scatter, w_escape)
-    return dict(scattered=scattered, t=t, weight=weight)
+    return dict(scattered=scattered, t=t, weight=weight,
+                pdf_scatter=pdf_scatter, pdf_escape=pdf_escape)
+
+
+def distance_pdfs(med: HomogeneousMedium, dist):
+    """(pdf_scatter_density, pdf_escape_mass) of the channel-MIS distance
+    sampler at `dist` — the per-edge factors a volumetric path pdf carries
+    (used by the bidir MIS; ref: medium pdfs in vertex.cpp/edge.cpp)."""
+    tr = jnp.exp(-med.sigma_t * dist[..., None])
+    return (jnp.mean(med.sigma_t * tr, axis=-1), jnp.mean(tr, axis=-1))
 
 
 def sample_distance_lanes(sigma_t, albedo, u_channel, u_dist, t_surface):

@@ -34,6 +34,19 @@ def _thinlens(scene):
     return float(np.asarray(scene.camera.aperture_radius)) > 0.0
 
 
+def _bidir_medium(scene):
+    """True when the global medium participates in bidir walks (homogeneous
+    only; heterogeneous media stay unidirectional-volpath-only)."""
+    from drmlt_mitsuba_tpu.render.medium import HomogeneousMedium
+
+    if scene.medium is not None and not isinstance(scene.medium,
+                                                   HomogeneousMedium):
+        import warnings
+        warnings.warn("heterogeneous medium: bdpt/mmlt run surface-only "
+                      "(use volpath for heterogeneous transport)")
+    return isinstance(scene.medium, HomogeneousMedium)
+
+
 def build_trace(scene, settings, icfg):
     """Map an integrator config onto (trace_fn, n_dims, frozen, pinned,
     technique)."""
@@ -63,7 +76,7 @@ def build_trace(scene, settings, icfg):
     if technique == "bdpt":
         bcfg = BDPTConfig(max_depth=max_depth,
                           light_image=bool(icfg.get("lightImage", True)),
-                          thinlens=tl)
+                          thinlens=tl, medium=_bidir_medium(scene))
         n = bcfg.n_dims + bcfg.n_dims % 2
         trace = lambda u: trace_bdpt(scene, bcfg, u[:, : bcfg.n_dims])
         return trace, n, jnp.zeros((n,), bool), jnp.zeros((n,), bool), {}
@@ -74,7 +87,7 @@ def build_trace(scene, settings, icfg):
 
         bcfg = BDPTConfig(max_depth=max_depth,
                           light_image=bool(icfg.get("lightImage", True)),
-                          thinlens=tl)
+                          thinlens=tl, medium=_bidir_medium(scene))
         frozen, pinned, n = mmlt_masks(bcfg)
         trace = make_mmlt_trace(scene, bcfg)
         extras = dict(emitter_mask=mmlt_emitter_mask(bcfg, n),
@@ -129,7 +142,8 @@ def render(scene, settings, args, log):
     if itype == "bdpt":
         bcfg = BDPTConfig(max_depth=int(icfg.get("maxDepth", 5)),
                           light_image=bool(icfg.get("lightImage", True)),
-                          thinlens=_thinlens(scene))
+                          thinlens=_thinlens(scene),
+                          medium=_bidir_medium(scene))
         n_total = W * H * settings.spp
         chunk = 8192
         n_chunks = max(1, n_total // chunk)

@@ -1,0 +1,87 @@
+"""Media in the bidirectional layer (VERDICT round-1 missing item #3).
+
+Walks produce medium-scatter vertices (distance sampling per segment),
+connections use the phase function and edge transmittance, and all MIS
+pdfs carry the distance-sampling factors (ref: vertex.cpp:273
+EMediumInteraction, src/libbidir/edge.cpp).  Oracles: BDPT == volpath-PT
+on a foggy Cornell, and the fast selected-strategy MMLT == the dense
+sweep lane-for-lane in a medium.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drmlt_mitsuba_tpu.integrators.bidir import (
+    BDPTConfig, trace_bdpt, trace_mmlt, trace_mmlt_dense,
+)
+from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+from drmlt_mitsuba_tpu.integrators.path import render_pt
+from drmlt_mitsuba_tpu.render import film as filmlib
+from drmlt_mitsuba_tpu.render.medium import make_medium
+from drmlt_mitsuba_tpu.scene.builders import cornell_box
+
+W = H = 16
+
+
+def _fog_scene(g=0.0):
+    scene = cornell_box(W, H)
+    # mean free path ~ 700 units in a ~550-unit box: a light, visibly
+    # scattering haze that keeps depth-3 transport meaningful
+    return scene.replace(
+        medium=make_medium((0.0014, 0.0014, 0.0014), (0.8, 0.8, 0.8), g)
+    )
+
+
+def test_bdpt_fog_matches_volpath_pt():
+    scene = _fog_scene()
+    fc = filmlib.make_film_config(W, H, "box")
+    f = render_pt(scene, PathConfig(max_depth=3, rr_depth=100),
+                  jax.random.PRNGKey(0), 16384 * 24, fc, mode="accum")
+    pt = np.asarray(filmlib.develop(fc, f, mode="accum")).mean(axis=(0, 1))
+
+    bcfg = BDPTConfig(max_depth=3, medium=True)
+
+    @jax.jit
+    def run(key, film):
+        u = jax.random.uniform(key, (4096, bcfg.n_dims))
+        sp = trace_bdpt(scene, bcfg, u)
+        pos = sp.pos.reshape(-1, 2) * jnp.asarray([W, H], jnp.float32)
+        return filmlib.splat(fc, film, pos, sp.value.reshape(-1, 3),
+                             mode="splat")
+
+    film = filmlib.new_film(fc)
+    n = 24
+    for i in range(n):
+        film = run(jax.random.fold_in(jax.random.PRNGKey(3), i), film)
+    bd = np.asarray(
+        filmlib.develop(fc, film, mode="splat", scale=W * H / (n * 4096))
+    ).mean(axis=(0, 1))
+    np.testing.assert_allclose(bd, pt, rtol=0.1)
+
+
+def test_mmlt_selected_matches_dense_fog():
+    scene = _fog_scene(g=0.3)
+    cfg = BDPTConfig(max_depth=4, medium=True)
+    R = 2048
+    key = jax.random.PRNGKey(9)
+    u = jax.random.uniform(key, (R, 1 + cfg.n_dims))
+    depth = 1 + jax.random.randint(jax.random.fold_in(key, 1), (R,), 0,
+                                   cfg.max_depth)
+    a = trace_mmlt_dense(scene, cfg, u, depth)
+    b = trace_mmlt(scene, cfg, u, depth)
+    va, vb = np.asarray(a.value[:, 0]), np.asarray(b.value[:, 0])
+    rel = np.abs(va - vb) / (np.abs(va) + 1e-4)
+    bad = (rel > 1e-3).any(-1)
+    assert bad.sum() <= R // 1000, f"{bad.sum()} lanes, worst {rel.max()}"
+    np.testing.assert_allclose(va.mean(0), vb.mean(0), rtol=2e-3, atol=1e-5)
+
+
+def test_bdpt_fog_without_flag_is_surface_only():
+    """cfg.medium=False in a medium scene keeps the surface-only layout
+    (dims unchanged) and runs without error."""
+    scene = _fog_scene()
+    cfg_s = BDPTConfig(max_depth=3, medium=False)
+    assert cfg_s.n_dims == BDPTConfig(max_depth=3).n_dims
+    u = jax.random.uniform(jax.random.PRNGKey(1), (256, cfg_s.n_dims))
+    sp = trace_bdpt(scene, cfg_s, u)
+    assert np.all(np.isfinite(np.asarray(sp.value)))
