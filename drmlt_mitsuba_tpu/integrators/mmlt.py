@@ -65,12 +65,26 @@ def mmlt_lt_mask_fn(cfg: BDPTConfig):
     return lt
 
 
-def make_mmlt_trace(scene: Scene, cfg: BDPTConfig):
-    """trace(u) for MCMC: u = [depth, strategy, eye..., light...(, pad)]."""
+def make_mmlt_trace(scene: Scene, cfg: BDPTConfig, force_xla: bool = False):
+    """trace(u) for MCMC: u = [depth, strategy, eye..., light...(, pad)].
+
+    On TPU, eligible scenes run the whole trace (both walks + selected
+    connection + MIS + shadow ray) in one Pallas kernel
+    (ops/pallas/megammlt.py); everything else uses the XLA path."""
+    from drmlt_mitsuba_tpu.ops.intersect import _on_tpu
+    from drmlt_mitsuba_tpu.ops.pallas.megammlt import (
+        make_mega_mmlt, mega_mmlt_eligible,
+    )
+
     D = cfg.max_depth
     n_core = mmlt_n_dims(cfg)
+    use_mega = ((not force_xla) and _on_tpu()
+                and mega_mmlt_eligible(scene, cfg))
+    mega = make_mega_mmlt(scene, cfg) if use_mega else None
 
     def trace(u) -> Splats:
+        if mega is not None and u.shape[0] % 8 == 0:
+            return mega(u)
         depth = 1 + jnp.minimum(
             (u[:, 0] * D).astype(jnp.int32), D - 1
         )

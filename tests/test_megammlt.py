@@ -1,0 +1,64 @@
+"""MMLT megakernel == XLA trace_mmlt, lane for lane (interpret mode).
+
+The Pallas kernel (ops/pallas/megammlt.py) mirrors the selected-strategy
+MMLT evaluation exactly (same PSS consumption, warps, pdf conversions,
+MIS recursion); the XLA path is itself pinned to the dense all-strategy
+sweep, so this chain grounds the kernel in the reference semantics.
+"""
+import jax
+import numpy as np
+import pytest
+
+from drmlt_mitsuba_tpu.integrators.bidir import BDPTConfig
+from drmlt_mitsuba_tpu.integrators.mmlt import make_mmlt_trace, mmlt_n_dims
+from drmlt_mitsuba_tpu.ops.pallas.megammlt import (
+    make_mega_mmlt, mega_mmlt_eligible,
+)
+from drmlt_mitsuba_tpu.scene.builders import cornell_box
+
+R = 1024
+
+
+def _compare(scene, cfg, seed=0):
+    assert mega_mmlt_eligible(scene, cfg)
+    xla = make_mmlt_trace(scene, cfg)
+    mega = make_mega_mmlt(scene, cfg, interpret=True)
+    n = mmlt_n_dims(cfg)
+    u = jax.random.uniform(jax.random.PRNGKey(seed), (R, n))
+    a = xla(u)
+    b = mega(u)
+    va, vb = np.asarray(a.value[:, 0]), np.asarray(b.value[:, 0])
+    pa, pb = np.asarray(a.pos[:, 0]), np.asarray(b.pos[:, 0])
+    rel = np.abs(va - vb) / (np.abs(va) + 1e-4)
+    bad = (rel > 1e-3).any(-1)
+    assert bad.sum() <= R // 250, (
+        f"{bad.sum()} lanes diverge; worst {rel.max()}"
+    )
+    np.testing.assert_allclose(va.mean(0), vb.mean(0), rtol=5e-3, atol=1e-5)
+    lit = (np.abs(va) > 1e-7).any(-1) & ~bad
+    np.testing.assert_allclose(pa[lit], pb[lit], atol=1e-5)
+
+
+@pytest.mark.parametrize("tall", ["diffuse", "mirror", "roughconductor",
+                                  "glass"])
+def test_megammlt_matches_xla(tall):
+    scene = cornell_box(32, 32, tall_box_material=tall)
+    _compare(scene, BDPTConfig(max_depth=4))
+
+
+def test_megammlt_matches_xla_depth6():
+    scene = cornell_box(32, 32)
+    _compare(scene, BDPTConfig(max_depth=6), seed=2)
+
+
+def test_megammlt_no_light_image():
+    scene = cornell_box(32, 32)
+    _compare(scene, BDPTConfig(max_depth=4, light_image=False), seed=3)
+
+
+def test_megammlt_ineligible_cases():
+    scene = cornell_box(16, 16)
+    assert not mega_mmlt_eligible(scene, BDPTConfig(max_depth=4,
+                                                    thinlens=True))
+    assert not mega_mmlt_eligible(scene, BDPTConfig(max_depth=4,
+                                                    medium=True))
