@@ -199,7 +199,10 @@ def _walk(scene: Scene, o0, d0, beta0, pdf0_sa, src_p, src_ns, n_surface,
     ) else None
 
     def body(carry, ub):
+        from drmlt_mitsuba_tpu.integrators.path import apply_normal_map
+
         hit = intersect(scene, carry["o"], carry["d"])
+        hit_ns = apply_normal_map(scene, hit, hit.ns)
         wi_world = -carry["d"]
 
         if med is not None:
@@ -211,7 +214,7 @@ def _walk(scene: Scene, o0, d0, beta0, pdf0_sa, src_p, src_ns, n_surface,
             p_v = jnp.where(scat[:, None], p_med, hit.p)
             # medium vertices carry no surface frame; park the normals on
             # the incoming direction so frames stay finite
-            ns_v = jnp.where(scat[:, None], wi_world, hit.ns)
+            ns_v = jnp.where(scat[:, None], wi_world, hit_ns)
             ng_v = jnp.where(scat[:, None], wi_world, hit.ng)
             mat_v = jnp.where(scat, -1, hit.mat_id)
             em_v = jnp.where(scat, -1, hit.emitter_id)
@@ -224,7 +227,7 @@ def _walk(scene: Scene, o0, d0, beta0, pdf0_sa, src_p, src_ns, n_surface,
         else:
             scat = jnp.zeros((R,), bool)
             active = carry["active"] & hit.valid
-            p_v, ns_v, ng_v = hit.p, hit.ns, hit.ng
+            p_v, ns_v, ng_v = hit.p, hit_ns, hit.ng
             mat_v, em_v = hit.mat_id, hit.emitter_id
             beta_in = carry["beta"]
             pdf_area = _sa_to_area(

@@ -77,6 +77,52 @@ def _albedo(scene: Scene, hit):
     return jnp.where((tex_id >= 0)[..., None], val, base)
 
 
+def apply_normal_map(scene: Scene, hit, ns):
+    """Perturb the shading normal from the material's tangent-space normal
+    page (bumpmaps are baked to normal pages at load; ref:
+    src/bsdfs/{bumpmap,normalmap}.cpp).  Tangents follow the triangle's uv
+    parametrization; degenerate uvs fall back to the deterministic ONB."""
+    from drmlt_mitsuba_tpu.core.math import normalize as _norm
+
+    mat = scene.materials
+    if not mat.has_normalmap or scene.textures is None:
+        return ns
+    ntid = mat.normal_tex_id[hit.mat_id]
+    tex = scene.textures.data
+    n_pages, h, w, _ = tex.shape
+    uv = hit.tex_uv
+    x = jnp.clip(uv[..., 0] % 1.0, 0.0, 1.0) * (w - 1)
+    y = jnp.clip(uv[..., 1] % 1.0, 0.0, 1.0) * (h - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    ti = jnp.clip(ntid, 0, n_pages - 1)
+    val = ((tex[ti, y0, x0] * (1 - fx) + tex[ti, y0, x1] * fx) * (1 - fy)
+           + (tex[ti, y1, x0] * (1 - fx) + tex[ti, y1, x1] * fx) * fy)
+    n_ts = val * 2.0 - 1.0
+
+    tris = scene.tris
+    pi = jnp.clip(hit.prim, 0, tris.v0.shape[0] - 1)
+    duv1 = tris.uv1[pi] - tris.uv0[pi]
+    duv2 = tris.uv2[pi] - tris.uv0[pi]
+    det = duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0]
+    t_uv = tris.e1[pi] * duv2[..., 1:2] - tris.e2[pi] * duv1[..., 1:2]
+    t_fb = frame.to_world(ns, jnp.broadcast_to(
+        jnp.asarray([1.0, 0.0, 0.0]), ns.shape))
+    t = jnp.where((jnp.abs(det) > 1e-12)[..., None], t_uv, t_fb)
+    t = t - ns * jnp.sum(t * ns, -1, keepdims=True)
+    t_len = jnp.sqrt(jnp.maximum(jnp.sum(t * t, -1, keepdims=True), 1e-20))
+    t = jnp.where(t_len > 1e-9, t / t_len, t_fb)
+    b = jnp.cross(ns, t)
+    n_new = _norm(t * n_ts[..., 0:1] + b * n_ts[..., 1:2]
+                  + ns * jnp.maximum(n_ts[..., 2:3], 1e-3))
+    use = (ntid >= 0) & (hit.prim >= 0)
+    return jnp.where(use[..., None], n_new, ns)
+
+
 def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
     """Trace a batch of camera paths from primary samples u (R, cfg.n_dims).
 
@@ -228,7 +274,7 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
         # ---- local frame -------------------------------------------------
         # flip shading normal to the side of the incident ray (two-sided
         # shading; the BSDF kinds decide transmission themselves)
-        ns = hit.ns
+        ns = apply_normal_map(scene, hit, hit.ns)
         wi = frame.to_local(ns, wi_world)
         albedo = _albedo(scene, hit)
 

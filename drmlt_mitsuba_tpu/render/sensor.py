@@ -101,6 +101,20 @@ def sample_ray(camera: Camera, uv, u_aperture=None):
     # film plane at z=1 in camera space; +x right, +y up in camera space
     x = (2.0 * uv[..., 0] - 1.0) * camera.tan_half_fov_x
     y = (1.0 - 2.0 * uv[..., 1]) * camera.tan_half_fov_y
+    if camera.rdist:
+        # radial distortion (ref: src/sensors/perspective_rdist.cpp): the
+        # film carries DISTORTED plane coords p_d = p_u (1 + k0 r^2 +
+        # k1 r^4); invert by Newton on the radius
+        k0, k1 = camera.kc[0], camera.kc[1]
+        rd = jnp.sqrt(x * x + y * y)
+        ru = rd
+        for _ in range(4):
+            f = ru * (1.0 + k0 * ru * ru + k1 * ru ** 4) - rd
+            fp = 1.0 + 3.0 * k0 * ru * ru + 5.0 * k1 * ru ** 4
+            ru = ru - f / jnp.maximum(fp, 1e-6)
+        scale = jnp.where(rd > 1e-9, ru / jnp.maximum(rd, 1e-9), 1.0)
+        x = x * scale
+        y = y * scale
     d_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
 
     if u_aperture is not None:

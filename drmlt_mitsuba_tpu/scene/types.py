@@ -95,10 +95,14 @@ class MaterialTable:
     # transmissive crossing of a material with a row >= 0 switches the
     # lane's current medium (entering -> row, exiting -> exterior).
     interior_medium: jnp.ndarray | None = None   # (M,) int32
+    # tangent-space normal map page (bumpmaps are baked to normal maps at
+    # load; ref: src/bsdfs/{bumpmap,normalmap}.cpp); -1 = unperturbed
+    normal_tex_id: jnp.ndarray | None = None     # (M,) int32
     # static set of kinds present — lets the BSDF kernels skip absent lobes
     # at compile time (the SPMD answer to per-plugin virtual dispatch)
     kinds_present: tuple = struct.field(pytree_node=False, default=())
     has_mask: bool = struct.field(pytree_node=False, default=False)
+    has_normalmap: bool = struct.field(pytree_node=False, default=False)
     has_mixture: bool = struct.field(pytree_node=False, default=False)
     has_coating: bool = struct.field(pytree_node=False, default=False)
     # longest mix_other chain (N-way mixtures are chains of 2-way links);
@@ -169,6 +173,11 @@ class Camera:
     aperture_radius: jnp.ndarray  # scalar
     focus_distance: jnp.ndarray   # scalar
     kind: int = struct.field(pytree_node=False, default=0)
+    # radial distortion (ref: src/sensors/perspective_rdist.cpp): film
+    # coords are DISTORTED plane coords p_d = p_u * (1 + kc0 r^2 + kc1
+    # r^4); rdist is static so undistorted scenes compile no inversion
+    kc: jnp.ndarray | None = None  # (2,)
+    rdist: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass
@@ -328,6 +337,10 @@ def make_material_table(mats: list[dict]) -> MaterialTable:
         interior_medium=jnp.asarray(
             np.array([d.get("interior_medium", -1) for d in mats], np.int32)
         ) if any(d.get("interior_medium", -1) >= 0 for d in mats) else None,
+        has_normalmap=any(d.get("normal_tex", -1) >= 0 for d in mats),
+        normal_tex_id=jnp.asarray(
+            np.array([d.get("normal_tex", -1) for d in mats], np.int32)
+        ) if any(d.get("normal_tex", -1) >= 0 for d in mats) else None,
     )
     return MaterialTable(**fields)
 
@@ -524,9 +537,11 @@ def build_emitters(
 def make_camera(to_world, fov_x_deg: float, aspect: float,
                 aperture_radius: float = 0.0,
                 focus_distance: float = 1.0,
-                kind: int = CAMERA_PERSPECTIVE) -> Camera:
+                kind: int = CAMERA_PERSPECTIVE,
+                kc=None) -> Camera:
     tan_x = float(np.tan(np.deg2rad(fov_x_deg) / 2.0)) \
         if kind == CAMERA_PERSPECTIVE else float(fov_x_deg)
+    rdist = kc is not None and float(np.abs(np.asarray(kc)).sum()) > 0
     return Camera(
         to_world=jnp.asarray(to_world, jnp.float32),
         tan_half_fov_x=jnp.float32(tan_x),
@@ -534,4 +549,6 @@ def make_camera(to_world, fov_x_deg: float, aspect: float,
         aperture_radius=jnp.float32(aperture_radius),
         focus_distance=jnp.float32(focus_distance),
         kind=kind,
+        kc=jnp.asarray(kc, jnp.float32) if rdist else None,
+        rdist=rdist,
     )

@@ -11,15 +11,16 @@ Supported subset (SURVEY.md §2.6 minimum rebuild set):
              heightfield, instance/shapegroup
   bsdfs    : diffuse, roughdiffuse, conductor, roughconductor, dielectric,
              thindielectric, roughdielectric, plastic, roughplastic, phong,
-             ward, difftrans, mask/bumpmap/normalmap/twosided/mixturebsdf
-             (unwrap to nested), null
+             ward, difftrans, hk, null; modifiers mask/coating/mixturebsdf/
+             blendbsdf (real per-row wrappers), bumpmap/normalmap (baked
+             to tangent-space normal pages), twosided
   emitters : area, constant, point, spot, directional, envmap (image,
              importance sampled), sky/sun/sunsky (Preetham bake ->
              envmap, scene/sunsky.py)
   media    : homogeneous, heterogeneous (gridvolume .vol / constvolume)
   sensors  : perspective, thinlens, orthographic, spherical, radiancemeter,
-             telecentric, fluencemeter, irradiancemeter
-             (perspective_rdist falls back to perspective with a warning)
+             telecentric, fluencemeter, irradiancemeter, perspective_rdist
+             (kc radial distortion, Newton-inverted at ray gen)
   films    : hdrfilm, ldrfilm, mfilm; rfilters box/tent/gaussian/mitchell/
              catmullrom/lanczos
   samplers : independent/stratified/ldsampler/halton/hammersley/sobol (spp
@@ -162,8 +163,9 @@ def _resolve_ior(val):
     return float(val)
 
 
-def _parse_texture(tex_node, defaults, ctx, base_dir):
-    """Bake a <texture> element into a 256x256 atlas page; returns tex_id."""
+def _parse_texture(tex_node, defaults, ctx, base_dir, raw=False):
+    """Bake a <texture> element into a 256x256 atlas page; returns tex_id.
+    raw=True skips the sRGB->linear decode (normal/height data)."""
     ttype = _subst(tex_node.get("type"), defaults)
     props = _props(tex_node, defaults)
     size = 256
@@ -189,10 +191,54 @@ def _parse_texture(tex_node, defaults, ctx, base_dir):
             img = np.asarray(
                 Image.open(fpath).convert("RGB"), np.float32
             ) / 255.0
-            img = np.where(img <= 0.04045, img / 12.92,
-                           ((img + 0.055) / 1.055) ** 2.4)  # sRGB -> linear
+            if not raw:
+                img = np.where(img <= 0.04045, img / 12.92,
+                               ((img + 0.055) / 1.055) ** 2.4)  # sRGB->lin
         im = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
         page = np.asarray(im.resize((size, size)), np.float32) / 255.0
+    elif ttype == "gridtexture":
+        # grid lines of color1 on a color0 field (ref: src/textures/grid
+        # texture plugin): lines of `lineWidth` at integer uv multiples
+        c0 = props.get("color0", np.full(3, 0.4, np.float32))
+        c1 = props.get("color1", np.full(3, 0.2, np.float32))
+        lw = float(props.get("lineWidth", 0.01))
+        us = max(1e-6, float(props.get("uscale", 1.0)))
+        vs = max(1e-6, float(props.get("vscale", 1.0)))
+        uu = (np.arange(size) + 0.5) / size * us % 1.0
+        vv = (np.arange(size) + 0.5) / size * vs % 1.0
+        on_u = (uu < lw) | (uu > 1.0 - lw)
+        on_v = (vv < lw) | (vv > 1.0 - lw)
+        line = on_u[None, :] | on_v[:, None]
+        page = np.where(line[..., None], c1, c0).astype(np.float32)
+    elif ttype == "wireframe":
+        # edge highlight (ref: src/textures/wireframe.cpp draws mesh
+        # edges); in uv space approximate with triangle-diagonal lines
+        c_int = props.get("interiorColor", np.full(3, 0.5, np.float32))
+        c_edge = props.get("edgeColor", np.full(3, 0.1, np.float32))
+        lw = float(props.get("lineWidth", 0.01))
+        uu = (np.arange(size) + 0.5) / size % 1.0
+        vv = (np.arange(size) + 0.5) / size % 1.0
+        on_u = (uu < lw) | (uu > 1.0 - lw)
+        on_v = (vv < lw) | (vv > 1.0 - lw)
+        diag = np.abs(uu[None, :] + vv[:, None] - 1.0) < lw
+        line = on_u[None, :] | on_v[:, None] | diag
+        page = np.where(line[..., None], c_edge, c_int).astype(np.float32)
+    elif ttype == "scale":
+        # scale wrapper: nested texture (or constant) times `scale`
+        sc = np.asarray(props.get("scale", 1.0), np.float32) * np.ones(3)
+        inner = tex_node.find("texture")
+        if inner is not None:
+            tid = _parse_texture(inner, defaults, ctx, base_dir)
+            page = ctx["textures"][tid] * sc
+            ctx["textures"][tid] = page.astype(np.float32)
+            return tid
+        base_v = np.asarray(props.get("value", 1.0), np.float32) * np.ones(3)
+        page = np.broadcast_to(base_v * sc, (size, size, 3)).astype(
+            np.float32).copy()
+    elif ttype == "vertexcolors":
+        # per-vertex colors are not carried by the SoA mesh; flat gray
+        warnings.warn("vertexcolors texture approximated as constant 0.5")
+        page = np.full((size, size, 3), 0.5, np.float32)
     else:
         warnings.warn(f"unsupported texture '{ttype}', using constant 0.5")
         page = np.full((size, size, 3), 0.5, np.float32)
@@ -235,8 +281,28 @@ def _parse_bsdf(node, defaults, ctx, base_dir=""):
             if btype == "roughcoating":
                 warnings.warn("roughcoating treated as a smooth coating")
         elif btype in ("bumpmap", "normalmap"):
-            warnings.warn(f"{btype}: normal perturbation unsupported; "
-                          "using the nested bsdf unmodified")
+            # bake to a tangent-space normal page encoded as (n+1)/2
+            # (ref: src/bsdfs/{bumpmap,normalmap}.cpp)
+            tnode = node.find("texture")
+            if tnode is None:
+                warnings.warn(f"{btype} without a texture child; ignored")
+            else:
+                tid = _parse_texture(tnode, defaults, ctx, base_dir,
+                                     raw=True)
+                page = ctx["textures"][tid]
+                if btype == "bumpmap":
+                    h = page.mean(-1) * float(node_props.get("scale", 1.0))
+                    # central differences in texel units scaled to uv
+                    sz = h.shape[0]
+                    dhdu = (np.roll(h, -1, 1) - np.roll(h, 1, 1)) * sz * 0.5
+                    dhdv = (np.roll(h, -1, 0) - np.roll(h, 1, 0)) * sz * 0.5
+                    n = np.stack(
+                        [-dhdu, -dhdv, np.ones_like(h)], -1)
+                    n /= np.maximum(
+                        np.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+                    ctx["textures"][tid] = ((n + 1.0) * 0.5).astype(
+                        np.float32)
+                mods["normal_tex"] = tid
         else:   # mixturebsdf / blendbsdf
             kids = [("bsdf", c) if c.tag == "bsdf" else ("ref", c.get("id"))
                     for c in node if c.tag in ("bsdf", "ref")]
@@ -889,13 +955,16 @@ def load_scene_xml(path: str, defaults: dict | None = None):
     focus = 1.0
     if sensor is not None:
         stype_s = _subst(sensor.get("type"), defaults)
-        if stype_s == "perspective_rdist":
-            warnings.warn("perspective_rdist: radial distortion ignored, "
-                          "using perspective")
+        kc = None
         sensor_kind = {"perspective": 0, "thinlens": 0, "orthographic": 1,
                        "spherical": 2, "radiancemeter": 3, "telecentric": 4,
                        "fluencemeter": 5, "irradiancemeter": 6}.get(stype_s, 0)
         sprops = _props(sensor, defaults)
+        if stype_s == "perspective_rdist":
+            # ref: src/sensors/perspective_rdist.cpp — "kc" is a comma
+            # list of the two radial distortion coefficients
+            kcs = str(sprops.get("kc", "0, 0")).replace(",", " ").split()
+            kc = [float(v) for v in (kcs + ["0", "0"])[:2]]
         fov = float(sprops.get("fov", fov))
         fov_axis = sprops.get("fovAxis", "x")
         aperture = float(sprops.get("apertureRadius", 0.0))
@@ -1042,7 +1111,8 @@ def load_scene_xml(path: str, defaults: dict | None = None):
     aspect = settings.width / settings.height
     fov_arg = fov if sensor_kind == 0 else 1.0
     camera = st.make_camera(to_world, fov_arg, aspect, aperture, focus,
-                            kind=sensor_kind)
+                            kind=sensor_kind,
+                            kc=kc if sensor is not None else None)
     textures = None
     if ctx["textures"]:
         textures = st.TextureAtlas(
