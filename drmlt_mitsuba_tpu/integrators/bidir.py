@@ -318,7 +318,9 @@ def _walk(scene: Scene, o0, d0, beta0, pdf0_sa, src_p, src_ns, n_surface,
     out["pdf_rev"] = jnp.concatenate(
         [prev_revs[:, 1:], jnp.zeros((R, 1))], axis=1
     )
-    src_rev = prev_revs[:, 0]
+    # a zero-step walk (depth-1 light subpath in the grouped MMLT layout)
+    # has no vertex 1 to compute the endpoint's reverse pdf from
+    src_rev = prev_revs[:, 0] if n_surface > 0 else jnp.zeros((R,))
     return out, src_rev
 
 

@@ -1,0 +1,211 @@
+"""Depth-grouped MMLT: static per-depth chain batches.
+
+The MMLT depth dimension is PINNED — a chain never changes path depth —
+so the chain population factorizes into independent per-depth groups.
+The pooled encoding (integrators/mmlt.py) still carries every chain
+through max_depth-length subpath walks even though a depth-k chain only
+ever uses k of them.  Grouping chains by depth and compiling a depth-k
+trace per group cuts the walk work from O(max_depth) to O(k) per
+mutation; with luminance-proportional allocation the expected k is small
+(most transport is short paths), a multi-x end-to-end win.
+
+This mirrors the reference MORE closely than the pooled form: the
+reference allocates bootstrap budget per depth (drmlt.cpp:456-473),
+generates per-depth seeds (pathsampler.cpp:884-934), and each of its
+MMLT work units is a fixed-depth chain.
+
+Normalization: group k's chains target the depth-k restriction pi_k of
+the luminance with mass b_k = E[lum_k].  Each group accumulates into its
+OWN film and develops with scale b_k * npixels / (N_k * n_steps), so the
+integer rounding of the group sizes N_k cancels exactly (every group is
+normalized by its own mutation count); the final image is the sum.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from drmlt_mitsuba_tpu.integrators.bidir import BDPTConfig, trace_mmlt
+from drmlt_mitsuba_tpu.integrators.drmlt import (
+    DRMLTConfig, drmlt_mixture_step, drmlt_step,
+)
+from drmlt_mitsuba_tpu.integrators.mcmc import state_from_splats
+from drmlt_mitsuba_tpu.integrators.path import Splats
+from drmlt_mitsuba_tpu.render import film as filmlib
+from drmlt_mitsuba_tpu.scene.types import Scene
+
+
+def make_mmlt_trace_fixed(scene: Scene, k: int, light_image: bool = True,
+                          force_xla: bool = False):
+    """trace(u) for a depth-k group.
+
+    u = [strategy dim, eye dims(k)..., light dims(k)..., (pad)].  There is
+    no depth dim and no uniform-depth pmf factor (the pooled x max_depth):
+    luminance-proportional group ALLOCATION replaces the pmf.
+
+    Returns (trace, cfg_k, n_dims) with n_dims even-padded for orbital.
+    """
+    from drmlt_mitsuba_tpu.ops.intersect import _on_tpu
+    from drmlt_mitsuba_tpu.ops.pallas.megammlt import (
+        make_mega_mmlt, mega_mmlt_eligible,
+    )
+
+    cfg = BDPTConfig(max_depth=k, light_image=light_image)
+    n_core = 1 + cfg.eye_dims + cfg.light_dims
+    n_dims = n_core + (n_core % 2)
+
+    use_mega = ((not force_xla) and _on_tpu()
+                and mega_mmlt_eligible(scene, cfg))
+    mega = make_mega_mmlt(scene, cfg) if use_mega else None
+    u_depth = 1.0 - 0.5 / k   # depth dim value that selects depth == k
+
+    def trace(u) -> Splats:
+        if mega is not None and u.shape[0] % 8 == 0:
+            col = jnp.full((u.shape[0], 1), u_depth, u.dtype)
+            sp = mega(jnp.concatenate([col, u[:, :n_core]], axis=1))
+            inv = 1.0 / k   # undo the kernel's uniform-depth pmf factor
+            return Splats(pos=sp.pos, value=sp.value * inv, lum=sp.lum * inv)
+        depth = jnp.full((u.shape[0],), k, jnp.int32)
+        return trace_mmlt(scene, cfg, u[:, :n_core], depth)
+
+    return trace, cfg, n_dims
+
+
+def grouped_masks(cfg: BDPTConfig, n_dims: int):
+    """frozen mask for a depth-k group: the strategy dim (index 0) moves
+    only on large steps; there is no pinned dim."""
+    return jnp.zeros((n_dims,), bool).at[0].set(True)
+
+
+def grouped_emitter_mask(cfg: BDPTConfig, n_dims: int):
+    mask = jnp.zeros((n_dims,), bool)
+    start = 1 + cfg.eye_dims
+    return mask.at[start:start + cfg.light_dims].set(True)
+
+
+def grouped_lt_mask_fn(cfg: BDPTConfig):
+    k = cfg.max_depth
+
+    def lt(u):
+        s = jnp.minimum((u[:, 0] * (k + 1)).astype(jnp.int32), k)
+        return s == k   # t = k+1-s == 1
+    return lt
+
+
+def _group_bootstrap(trace, root_key, n_dims: int, n_boot: int,
+                     batch: int = 8192):
+    """Luminance pass only: returns (lums (n_total,), b_k, sampler) where
+    sampler(idx) regenerates candidate idx's u (the PathSeed contract)."""
+    n_batches = max(1, -(-n_boot // batch))
+    n_total = n_batches * batch
+
+    def sample_u(sample_idx):
+        return jax.random.uniform(
+            jax.random.fold_in(root_key, sample_idx), (n_dims,))
+
+    @jax.jit
+    def lum_pass():
+        def body(carry, i):
+            u = jax.vmap(sample_u)(i * batch + jnp.arange(batch))
+            sp = trace(u)
+            lum = jnp.where(jnp.isfinite(sp.lum) & (sp.lum >= 0), sp.lum, 0.0)
+            return carry + jnp.sum(lum), lum
+
+        total, lums = jax.lax.scan(body, jnp.float32(0.0),
+                                   jnp.arange(n_batches))
+        return lums.reshape(n_total), total / n_total
+
+    lums, b_k = lum_pass()
+    return lums, b_k, sample_u
+
+
+def _group_starts(trace, sample_u, lums, root_key, n_chains: int):
+    """cdf-inversion resample of n_chains starts proportional to lums."""
+    cdf = jnp.cumsum(lums)
+    u_pick = jax.random.uniform(
+        jax.random.fold_in(root_key, 0x5EED), (n_chains,)) * cdf[-1]
+    idx = jnp.clip(jnp.searchsorted(cdf, u_pick), 0, lums.shape[0] - 1)
+    u0 = jax.vmap(sample_u)(idx)
+    return state_from_splats(u0, trace(u0))
+
+
+def render_drmlt_mmlt_grouped(scene: Scene, bcfg: BDPTConfig,
+                              dcfg: DRMLTConfig, film_cfg, root_key,
+                              n_steps: int, average_luminance=None,
+                              force_xla: bool = False, min_group: int = 256):
+    """Full depth-grouped DRMLT-over-MMLT render.
+
+    Returns (image, aux) like drmlt.render_drmlt; aux adds per-group
+    sizes/b_k.  Ref: drmlt.cpp:393-611 (the process being beaten) with
+    the per-depth work-unit structure of pathsampler.cpp:884-934.
+    """
+    D = bcfg.max_depth
+    k_boot, k_run = jax.random.split(root_key)
+    n_boot_grp = max(8192, dcfg.n_bootstrap // D)
+
+    groups = []
+    for k in range(1, D + 1):
+        trace_k, cfg_k, n_k = make_mmlt_trace_fixed(
+            scene, k, bcfg.light_image, force_xla)
+        lums, b_k, sample_u = _group_bootstrap(
+            trace_k, jax.random.fold_in(k_boot, k), n_k, n_boot_grp)
+        groups.append(dict(k=k, trace=trace_k, cfg=cfg_k, n_dims=n_k,
+                           lums=lums, b=b_k, sample_u=sample_u))
+
+    b_ks = [float(g["b"]) for g in groups]     # one host sync at setup
+    b_total = sum(b_ks)
+    if average_luminance is not None and b_total > 0:
+        scale_b = float(average_luminance) / b_total
+        b_ks = [bk * scale_b for bk in b_ks]
+        b_total = float(average_luminance)
+
+    # luminance-proportional static group sizes (multiples of min_group)
+    sizes = []
+    for bk in b_ks:
+        if b_total <= 0 or bk <= 0:
+            sizes.append(0)
+            continue
+        raw = dcfg.n_chains * bk / b_total
+        sizes.append(max(min_group, int(round(raw / min_group)) * min_group))
+
+    img = jnp.zeros((film_cfg.height, film_cfg.width, 3))
+    accmap = filmlib.new_film(film_cfg) if dcfg.acceptance_map else None
+    all_stats = {}
+    step = drmlt_mixture_step if dcfg.use_mixture else drmlt_step
+
+    for g, n_k_chains, bk in zip(groups, sizes, b_ks):
+        if n_k_chains == 0:
+            continue
+        trace_k, cfg_k, n_dims = g["trace"], g["cfg"], g["n_dims"]
+        frozen = grouped_masks(cfg_k, n_dims)
+        emitter_mask = (grouped_emitter_mask(cfg_k, n_dims)
+                        if dcfg.fix_emitter_path else None)
+        lt_fn = grouped_lt_mask_fn(cfg_k) if dcfg.fix_emitter_path else None
+        state = _group_starts(trace_k, g["sample_u"], g["lums"],
+                              jax.random.fold_in(k_boot, 100 + g["k"]),
+                              n_k_chains)
+        film = filmlib.new_film(film_cfg)
+        key_g = jax.random.fold_in(k_run, g["k"])
+
+        @jax.jit
+        def run(state, film, accmap, key_g=key_g, trace_k=trace_k,
+                frozen=frozen, emitter_mask=emitter_mask, lt_fn=lt_fn):
+            def body(carry, i):
+                key = jax.random.fold_in(key_g, i)
+                if step is drmlt_step:
+                    return step(trace_k, dcfg, film_cfg, frozen, carry, key,
+                                emitter_mask=emitter_mask, lt_mask_fn=lt_fn)
+                return step(trace_k, dcfg, film_cfg, frozen, carry, key)
+
+            (state, film, accmap), stats = jax.lax.scan(
+                body, (state, film, accmap), jnp.arange(n_steps))
+            return state, film, accmap, stats
+
+        state, film, accmap, stats = run(state, film, accmap)
+        n_per_pixel = n_k_chains * n_steps / film_cfg.npixels
+        img = img + filmlib.develop(
+            film_cfg, film, mode="splat", scale=bk / n_per_pixel)[..., :3]
+        all_stats[g["k"]] = stats
+
+    return img, dict(b=b_total, b_k=b_ks, sizes=sizes, stats=all_stats,
+                     accmap=accmap)

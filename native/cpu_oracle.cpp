@@ -21,12 +21,14 @@
 //   cpu_oracle mlt  scene.bin out.raw <pssmlt|green|mira|orbital>
 //                   <seconds> <max_depth> [threads]
 // Prints one JSON line with timing + throughput.
+#include <algorithm>
 #include <atomic>
 #include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <functional>
 #include <string>
 #include <thread>
 #include <vector>
@@ -527,6 +529,358 @@ static Splat trace(const Scene& sc, const TraceCfg& cfg, const float* u) {
   return out;
 }
 
+// ------------------------------------------------- bidirectional / MMLT
+// Scalar mirror of integrators/bidir.py trace_mmlt (multiplexed MLT,
+// PathSampler::EMMLT in the reference): eye + light random walks carrying
+// forward/reverse AREA pdfs, ONE selected (s, t) connection, balance-
+// heuristic MIS via the ratio recursion.  Area emitters, surface-only
+// (the Cornell parity scene).  Serves as (a) the measured CPU anchor for
+// the flagship drmlt-mmlt benchmark and (b) an external mmlt image oracle
+// for tests/test_oracle_parity.py.
+static const int BD_MAXV = 24;  // max vertices per subpath (depth <= 23)
+
+struct PVert {
+  V3 p, ns, ng, wi, beta;
+  float pdf_fwd = 0, pdf_rev = 0;
+  bool delta = false;
+  int mat = -1, erow = -1;
+};
+
+static inline float sa_to_area(float pdf_sa, V3 p_from, V3 p_to, V3 n_to) {
+  V3 dd = p_to - p_from;
+  float d2 = dot(dd, dd);
+  if (d2 <= 1e-20f) return 0.0f;
+  V3 w = dd * (1.0f / std::sqrt(d2));
+  return pdf_sa * std::fabs(dot(w, n_to)) / d2;
+}
+static inline double pratio(float p_num, float p_den) {
+  return double(p_num > 0 ? p_num : 1.0f) / double(p_den > 0 ? p_den : 1.0f);
+}
+
+// raw f (no cosine) + solid-angle pdf for world directions; the frame is
+// oriented toward the incident direction (mirrors _bsdf_eval_pdf plus the
+// JAX same_side two-sided semantics)
+static void bsdf_eval_world(const Mat& m, V3 ns, V3 wi_w, V3 wo_w,
+                            V3& f, float& pdf) {
+  V3 nsh = ns;
+  if (m.two_sided && dot(nsh, wi_w) < 0) nsh = nsh * -1.0f;
+  V3 t, b;
+  basis(nsh, t, b);
+  V3 wi = {dot(wi_w, t), dot(wi_w, b), dot(wi_w, nsh)};
+  V3 wo = {dot(wo_w, t), dot(wo_w, b), dot(wo_w, nsh)};
+  V3 fc;
+  float p;
+  bsdf_eval(m, wi, wo, fc, p);
+  float aco = std::fmax(std::fabs(wo.z), 1e-9f);
+  f = fc * (1.0f / aco);
+  pdf = p;
+}
+
+// Walk up to n_surf surface vertices from a start ray (mirrors
+// bidir.py _walk): fills out[0..] with consecutive reached vertices and
+// returns their count.  u = 3 PSS dims per step (component, 2D); the last
+// reached vertex samples nothing.  *src_rev gets the reverse-chain area
+// pdf of the source endpoint (pdf of the endpoint from vertex 1).
+static int bd_walk(const Scene& sc, V3 o, V3 d, V3 beta, float pdf_sa,
+                   V3 prev_p, V3 prev_ns, int n_surf, const float* u,
+                   bool importance_mode, PVert* out, float* src_rev) {
+  *src_rev = 0;
+  for (int k = 0; k < n_surf; k++) {
+    Hit h = intersect(sc, o, d);
+    if (!h.valid) return k;
+    V3 p = o + d * h.t, ns, ng;
+    int mat_id, erow;
+    if (h.sph >= 0) {
+      const Sph& sp = sc.sphs[h.sph];
+      ng = ns = norm(p - sp.c);
+      mat_id = sp.mat;
+      erow = -1;
+    } else {
+      const Tri& tr = sc.tris[h.tri];
+      ns = norm(tr.n0 * (1 - h.b1 - h.b2) + tr.n1 * h.b1 + tr.n2 * h.b2);
+      ng = tr.ng;
+      mat_id = tr.mat;
+      erow = tr.erow;
+    }
+    const Mat& m = sc.mats[mat_id];
+    PVert& v = out[k];
+    v.p = p; v.ns = ns; v.ng = ng;
+    v.wi = d * -1.0f;
+    v.beta = beta;
+    v.pdf_fwd = sa_to_area(pdf_sa, prev_p, p, ng);
+    v.pdf_rev = 0;
+    v.delta = is_delta(m);
+    v.mat = mat_id;
+    v.erow = erow;
+    if (k + 1 >= n_surf) return k + 1;  // final vertex samples nothing
+    // continuation in the incident-oriented frame
+    V3 nsh = ns;
+    if (m.two_sided && dot(nsh, v.wi) < 0) nsh = nsh * -1.0f;
+    V3 tx, bx;
+    basis(nsh, tx, bx);
+    V3 wi = {dot(v.wi, tx), dot(v.wi, bx), dot(v.wi, nsh)};
+    BsdfSample bs = bsdf_sample(m, wi, u[3 * k], u[3 * k + 1], u[3 * k + 2]);
+    if (bs.pdf <= 0 || lum(bs.weight) <= 0) return k + 1;
+    V3 wo_w = tx * bs.wo.x + bx * bs.wo.y + nsh * bs.wo.z;
+    // reverse pdf of the previous vertex (sample wi from wo here);
+    // Dirac kinds eval to 0, matching the JAX pdf_rev semantics
+    {
+      V3 fr;
+      float rev_sa;
+      bsdf_eval(m, bs.wo, wi, fr, rev_sa);
+      float rev_area = sa_to_area(rev_sa, p, prev_p, prev_ns);
+      if (k == 0) *src_rev = rev_area;
+      else out[k - 1].pdf_rev = rev_area;
+    }
+    V3 beta_next = beta * bs.weight;
+    if (importance_mode) {  // shading-normal correction (Veach 5.17)
+      float num = std::fabs(dot(v.wi, ns)) * std::fabs(dot(wo_w, ng));
+      float den = std::fabs(dot(v.wi, ng)) * std::fabs(dot(wo_w, ns));
+      if (den > 0) beta_next = beta_next * (num / den);
+    }
+    if (lum(beta_next) <= 0) return k + 1;
+    o = p + wo_w * (1e-4f * std::fmax(1.0f, h.t));
+    d = wo_w;
+    beta = beta_next;
+    pdf_sa = bs.delta ? 1.0f : bs.pdf;  // delta: unit pdf in the chain
+    prev_p = p;
+    prev_ns = ns;
+  }
+  return n_surf;
+}
+
+struct Cam {
+  V3 o, left, up, fwd;
+  float thx, thy, A;
+};
+static Cam cam_of(const Scene& sc) {
+  const float* c = sc.cam;
+  Cam cm;
+  cm.o = {c[3], c[7], c[11]};
+  cm.left = {c[0], c[4], c[8]};
+  cm.up = {c[1], c[5], c[9]};
+  cm.fwd = {c[2], c[6], c[10]};
+  cm.thx = sc.thx;
+  cm.thy = sc.thy;
+  cm.A = 4.0f * sc.thx * sc.thy;
+  return cm;
+}
+// p(w) = 1/(A cos^3) for a uniform film point (bidir.py sensor_pdf_dir)
+static float sensor_pdf_dir_o(const Cam& cm, V3 d) {
+  float c = dot(d, cm.fwd);
+  return c > 1e-6f ? 1.0f / (cm.A * c * c * c) : 0.0f;
+}
+// We = 1/(A cos^4) + film uv for a direction leaving the camera
+static bool sensor_importance_o(const Cam& cm, V3 d, float& we,
+                                float& u, float& v) {
+  float c = dot(d, cm.fwd);
+  we = 0;
+  if (c <= 1e-6f) return false;
+  float inv = 1.0f / c;
+  float xc = dot(d, cm.left) * inv, yc = dot(d, cm.up) * inv;
+  u = (xc / cm.thx + 1.0f) * 0.5f;
+  v = (1.0f - yc / cm.thy) * 0.5f;
+  if (u < 0 || u >= 1 || v < 0 || v >= 1) return false;
+  we = 1.0f / (cm.A * c * c * c * c);
+  return true;
+}
+
+// area pdf at p_to of the emitter's cosine-lobe direction sampling
+static float emission_dir_pdf_area_o(const PVert& l, V3 p_to, V3 n_to) {
+  V3 dd = p_to - l.p;
+  float d2 = dot(dd, dd);
+  if (d2 <= 1e-20f) return 0;
+  V3 w = dd * (1.0f / std::sqrt(d2));
+  float cl = std::fmax(dot(w, l.ng), 0.0f);
+  return (cl / float(M_PI)) * std::fabs(dot(w, n_to)) / d2;
+}
+
+// PSS layout = integrators/mmlt.py: [depth(pinned), strategy(frozen),
+// eye dims, light dims, (pad to even)]
+static int mmlt_eye_dims(int D) { return 2 + 3 * (D - 1); }
+static int mmlt_light_dims(int D) { return 5 + 3 * (D >= 2 ? D - 2 : 0); }
+static int mmlt_dims(int D) {
+  int n = 2 + mmlt_eye_dims(D) + mmlt_light_dims(D);
+  return n + (n & 1);
+}
+
+static Splat trace_mmlt_o(const Scene& sc, const Cam& cm, int D,
+                          const float* u) {
+  Splat out{u[2], u[3], {0, 0, 0}};
+  if (sc.ems.empty()) return out;
+  int depth = 1 + std::min(int(u[0] * D), D - 1);
+  int n_strats = depth + 1;
+  int s = std::min(int(u[1] * n_strats), depth);
+  int t = depth + 1 - s;
+  const float* ue = u + 2;
+  const float* ul = u + 2 + mmlt_eye_dims(D);
+  const float scale = float(n_strats) * float(D);
+
+  // ---- eye subpath: camera endpoint + t-1 surface vertices -------------
+  PVert Ev[BD_MAXV], Lv[BD_MAXV];
+  Ev[0].p = cm.o;
+  Ev[0].ns = Ev[0].ng = cm.fwd;
+  Ev[0].wi = cm.fwd * -1.0f;
+  Ev[0].beta = {1, 1, 1};
+  Ev[0].pdf_fwd = 1;
+  Ev[0].pdf_rev = 0;
+  Ev[0].delta = true;  // positional Dirac
+  if (t >= 2) {
+    float x = (2 * ue[0] - 1) * cm.thx, y = (1 - 2 * ue[1]) * cm.thy;
+    V3 dl = norm({x, y, 1});
+    V3 d = norm(cm.left * dl.x + cm.up * dl.y + cm.fwd * dl.z);
+    float dummy;
+    int ne = 1 + bd_walk(sc, cm.o, d, {1, 1, 1}, sensor_pdf_dir_o(cm, d),
+                         cm.o, cm.fwd, t - 1, ue + 2, true, Ev + 1, &dummy);
+    if (ne < t) return out;  // walk died before the junction vertex
+  }
+
+  // ---- light subpath: emitter endpoint + s-1 bounce vertices -----------
+  if (s >= 1) {
+    float pick = ul[0] * sc.ems.back().cdf;
+    size_t ei = 0;
+    while (ei + 1 < sc.ems.size() && sc.ems[ei].cdf < pick) ei++;
+    const ERow& e = sc.ems[ei];
+    const Tri& lt = sc.tris[e.tri];
+    float tq = std::sqrt(std::fmax(1.0f - ul[1], 0.0f));
+    float b1 = 1.0f - tq, b2 = tq * ul[2];
+    V3 p0 = lt.v0 + lt.e1 * b1 + lt.e2 * b2;
+    V3 n0 = lt.ng;
+    float pdf_pos = e.pmf / std::fmax(e.area, 1e-20f);
+    Lv[0].p = p0;
+    Lv[0].ns = Lv[0].ng = Lv[0].wi = n0;
+    Lv[0].beta = e.rad * (1.0f / std::fmax(pdf_pos, 1e-20f));
+    Lv[0].pdf_fwd = pdf_pos;
+    Lv[0].pdf_rev = 0;
+    Lv[0].delta = false;
+    Lv[0].erow = int(ei);
+    if (s >= 2) {
+      float rr = std::sqrt(ul[3]);
+      float ph = 2 * float(M_PI) * ul[4];
+      V3 dloc = {rr * std::cos(ph), rr * std::sin(ph),
+                 std::sqrt(std::fmax(1 - ul[3], 0.0f))};
+      V3 d0 = to_world(n0, dloc);
+      float pdf_dir = std::fmax(dloc.z / float(M_PI), 1e-12f);
+      V3 beta1 = e.rad * (std::fmax(dloc.z, 0.0f) / (pdf_pos * pdf_dir));
+      float src_rev;
+      int nl = 1 + bd_walk(sc, p0 + d0 * 1e-3f, d0, beta1, pdf_dir, p0, n0,
+                           s - 1, ul + 5, false, Lv + 1, &src_rev);
+      Lv[0].pdf_rev = src_rev;
+      if (nl < s) return out;
+    }
+  }
+
+  // ---- selected strategy + junction pdfs --------------------------------
+  float pL_s = 0, pL_s1 = 0, pE_t = 0, pE_t1 = 0;
+  V3 contrib = {0, 0, 0};
+  float su = out.u, sv = out.v;
+
+  if (s == 0) {  // eye path's junction vertex IS the emitter
+    const PVert& E1 = Ev[t - 1];
+    if (E1.erow < 0) return out;
+    if (dot(E1.wi, E1.ng) <= 0) return out;  // one-sided emission
+    const ERow& eh = sc.ems[E1.erow];
+    contrib = E1.beta * eh.rad;
+    pL_s = eh.pmf / std::fmax(eh.area, 1e-20f);
+    if (t >= 3) pL_s1 = emission_dir_pdf_area_o(E1, Ev[t - 2].p, Ev[t - 2].ng);
+  } else {
+    const PVert& L1 = Lv[s - 1];
+    const PVert& E1 = Ev[t - 1];  // camera endpoint when t == 1
+    V3 dvec = E1.p - L1.p;
+    float d2 = dot(dvec, dvec);
+    if (d2 <= 1e-12f) return out;
+    float dist = std::sqrt(d2);
+    V3 w_le = dvec * (1.0f / dist);
+    if (t == 1) {  // light tracing
+      if (L1.delta) return out;
+      float we, fu, fv;
+      if (!sensor_importance_o(cm, w_le * -1.0f, we, fu, fv)) return out;
+      float cos_l = std::fabs(dot(w_le, L1.ng));
+      float cos_c = std::fabs(dot(w_le, cm.fwd));
+      float g = cos_l * cos_c / d2;
+      V3 f_l;
+      if (s == 1) {
+        f_l = dot(w_le, L1.ng) > 0 ? V3{1, 1, 1} : V3{0, 0, 0};
+      } else {
+        float pdum;
+        bsdf_eval_world(sc.mats[L1.mat], L1.ns, L1.wi, w_le, f_l, pdum);
+      }
+      contrib = L1.beta * f_l * (g * we);
+      if (lum(contrib) <= 0) return out;
+      V3 so = L1.p + w_le * (1e-4f * std::fmax(1.0f, dist));
+      if (occluded(sc, so, w_le, dist * (1 - 1e-3f))) return out;
+      pE_t = sa_to_area(sensor_pdf_dir_o(cm, w_le * -1.0f), E1.p, L1.p,
+                        L1.ng);
+      if (s >= 2) {
+        V3 fr;
+        float sa;
+        bsdf_eval_world(sc.mats[L1.mat], L1.ns, w_le, L1.wi, fr, sa);
+        pE_t1 = sa_to_area(sa, L1.p, Lv[s - 2].p, Lv[s - 2].ng);
+      }
+      su = fu;
+      sv = fv;
+    } else {  // general connection
+      if (E1.delta) return out;
+      if (s >= 2 && L1.delta) return out;
+      float cos_l = std::fabs(dot(w_le, L1.ng));
+      float cos_e = std::fabs(dot(w_le, E1.ng));
+      float g = cos_l * cos_e / d2;
+      V3 f_l;
+      float pdf_l_fwd_sa = 0;
+      if (s == 1) {  // area-emitter endpoint lobe (cos_l already in g)
+        f_l = dot(w_le, L1.ng) > 0 ? V3{1, 1, 1} : V3{0, 0, 0};
+      } else {
+        bsdf_eval_world(sc.mats[L1.mat], L1.ns, L1.wi, w_le, f_l,
+                        pdf_l_fwd_sa);
+      }
+      V3 f_e;
+      float pdf_e_fwd_sa;
+      bsdf_eval_world(sc.mats[E1.mat], E1.ns, E1.wi, w_le * -1.0f, f_e,
+                      pdf_e_fwd_sa);
+      contrib = L1.beta * f_l * f_e * E1.beta * g;
+      if (lum(contrib) <= 0) return out;
+      V3 so = L1.p + w_le * (1e-4f * std::fmax(1.0f, dist));
+      if (occluded(sc, so, w_le, dist * (1 - 1e-3f))) return out;
+      if (s == 1) pL_s = emission_dir_pdf_area_o(Lv[0], E1.p, E1.ng);
+      else pL_s = sa_to_area(pdf_l_fwd_sa, L1.p, E1.p, E1.ng);
+      if (t >= 3) {
+        V3 fr;
+        float sa;
+        bsdf_eval_world(sc.mats[E1.mat], E1.ns, w_le * -1.0f, E1.wi, fr, sa);
+        pL_s1 = sa_to_area(sa, E1.p, Ev[t - 2].p, Ev[t - 2].ng);
+      }
+      pE_t = sa_to_area(pdf_e_fwd_sa, E1.p, L1.p, L1.ng);
+      if (s >= 2) {
+        V3 fr;
+        float sa;
+        bsdf_eval_world(sc.mats[L1.mat], L1.ns, w_le, L1.wi, fr, sa);
+        pE_t1 = sa_to_area(sa, L1.p, Lv[s - 2].p, Lv[s - 2].ng);
+      }
+    }
+  }
+
+  // ---- balance-heuristic MIS (ratio recursion, bidir.py _mis_weight) ---
+  double sum_ri = 0, ri = 1;
+  for (int i = s - 1; i >= 0; i--) {  // junction -> light
+    float pE = (i == s - 1) ? pE_t : (i == s - 2) ? pE_t1 : Lv[i].pdf_rev;
+    ri *= pratio(pE, Lv[i].pdf_fwd);
+    bool d_lo = (i >= 2) ? Lv[i - 1].delta : false;
+    if (!(d_lo || Lv[i].delta)) sum_ri += ri;
+  }
+  double rj = 1;
+  for (int j = t - 1; j >= 1; j--) {  // junction -> camera
+    float pL = (j == t - 1) ? pL_s : (j == t - 2) ? pL_s1 : Ev[j].pdf_rev;
+    rj *= pratio(pL, Ev[j].pdf_fwd);
+    bool d_hi = (j - 1 >= 1) ? Ev[j - 1].delta : false;
+    if (!(Ev[j].delta || d_hi)) sum_ri += rj;
+  }
+  float w = float(1.0 / (1.0 + sum_ri));
+  out.u = su;
+  out.v = sv;
+  out.rgb = contrib * (w * scale);
+  return out;
+}
+
 // ---------------------------------------------------------------- film
 struct Film {
   int W, H;
@@ -593,42 +947,64 @@ static float wrap01(float y) {
 }
 
 // ---------------------------------------------------------------- MCMC
+typedef std::function<Splat(const float*)> TraceFn;
+
 struct MltResult {
   uint64_t mutations = 0;
   double b = 0;
   uint64_t boot = 0;
 };
 
-static void run_chain(const Scene& sc, const TraceCfg& cfg, const std::string& type,
-                      double seconds, uint64_t seed, Film& film, MltResult& res) {
-  const int D = n_dims(cfg);
+// MLT driver over an arbitrary trace(u) -> Splat.  mut_lo: first mutable
+// dim (dims below it are pinned EXCEPT frozen_dim, which resamples only on
+// large steps — the MMLT depth/strategy technique dims, integrators/mmlt.py).
+// One worker: bootstrap NBOOT candidates, resample n_sub chain starts
+// luminance-proportionally (the reference's per-work-unit seed pool —
+// pinned MMLT depth dims get their budget ∝ b_k this way, matching
+// drmlt.cpp's per-depth allocation), then round-robin mutations over the
+// chain pool until `seconds` elapse.
+static void run_chain(const Scene& sc, const TraceFn& tracef, int D,
+                      int mut_lo, int frozen_dim, const std::string& type,
+                      double seconds, uint64_t seed, Film& film,
+                      MltResult& res, int n_sub = 64) {
   Rng rng(seed);
-  std::vector<float> x(D), yv(D), zv(D), rv(D);
-  // bootstrap: sample candidates, track mean lum (b), keep max-lum start
-  const int NBOOT = 2000;
+  std::vector<float> yv(D), zv(D), rv(D);
+  // bootstrap: candidates + luminances for b and the start pool
+  const int NBOOT = 4000;
+  std::vector<float> cands(size_t(NBOOT) * D);
+  std::vector<float> lums(NBOOT);
   double bsum = 0;
-  double best = -1;
-  std::vector<float> cand(D);
   for (int i = 0; i < NBOOT; i++) {
-    for (int j = 0; j < D; j++) cand[j] = rng.uf();
-    Splat s = trace(sc, cfg, cand.data());
-    float L = lum(s.rgb);
-    bsum += L;
-    if (rng.uf() * std::fmax(bsum, 1e-30) < L || best < 0) {
-      // streaming luminance-proportional reservoir pick
-      x = cand;
-      best = L;
-    }
+    float* c = &cands[size_t(i) * D];
+    for (int j = 0; j < D; j++) c[j] = rng.uf();
+    lums[i] = lum(tracef(c).rgb);
+    bsum += lums[i];
   }
   res.b = bsum / NBOOT;
   res.boot = NBOOT;
-  Splat sx = trace(sc, cfg, x.data());
-  float Lx = lum(sx.rgb);
-  if (Lx <= 0) {  // fall back: keep sampling until non-zero
-    for (int tries = 0; tries < 10000 && Lx <= 0; tries++) {
-      for (int j = 0; j < D; j++) x[j] = rng.uf();
-      sx = trace(sc, cfg, x.data());
-      Lx = lum(sx.rgb);
+  // systematic resampling of n_sub starts ∝ luminance
+  std::vector<std::vector<float>> X(n_sub);
+  std::vector<Splat> SX(n_sub);
+  std::vector<float> LX(n_sub);
+  {
+    double step = bsum / n_sub;
+    double pos = (0.5 + rng.uf() * 0.5) * step;
+    double acc = 0;
+    int i = 0;
+    for (int c = 0; c < n_sub; c++) {
+      while (i < NBOOT - 1 && acc + lums[i] < pos) acc += lums[i++];
+      X[c].assign(cands.begin() + size_t(i) * D,
+                  cands.begin() + size_t(i + 1) * D);
+      pos += step;
+    }
+    for (int c = 0; c < n_sub; c++) {
+      SX[c] = tracef(X[c].data());
+      LX[c] = lum(SX[c].rgb);
+      for (int tries = 0; tries < 10000 && LX[c] <= 0; tries++) {
+        for (int j = 0; j < D; j++) X[c][j] = rng.uf();
+        SX[c] = tracef(X[c].data());
+        LX[c] = lum(SX[c].rgb);
+      }
     }
   }
   const float P_LARGE = 0.3f;
@@ -643,23 +1019,28 @@ static void run_chain(const Scene& sc, const TraceCfg& cfg, const std::string& t
                       std::chrono::steady_clock::now() - t0).count();
       if (el >= seconds) break;
     }
+    std::vector<float>& x = X[muts % n_sub];
+    Splat& sx = SX[muts % n_sub];
+    float& Lx = LX[muts % n_sub];
     muts++;
     bool large = rng.uf() < P_LARGE;
     // ---- stage 1 (bold) --------------------------------------------------
+    yv = x;  // pinned/frozen dims carry over
     if (large) {
-      for (int j = 0; j < D; j++) yv[j] = rng.uf();
+      for (int j = mut_lo; j < D; j++) yv[j] = rng.uf();
+      if (frozen_dim >= 0) yv[frozen_dim] = rng.uf();
     } else if (is_orbital) {
-      for (int j = 0; j + 1 < D; j += 2) {
+      for (int j = mut_lo; j + 1 < D; j += 2) {
         float dv = kelemen_sample(rng, S1 * KSCALE, S2 * KSCALE);
         float ang = rng.uf() * 2 * float(M_PI);
         yv[j] = wrap01(x[j] + dv * std::cos(ang));
         yv[j + 1] = wrap01(x[j + 1] + dv * std::sin(ang));
       }
-      if (D & 1) yv[D - 1] = x[D - 1];
     } else if (is_pssmlt || is_green || is_mira) {
-      for (int j = 0; j < D; j++) yv[j] = wrap01(x[j] + kelemen_sample(rng, S1, S2));
+      for (int j = mut_lo; j < D; j++)
+        yv[j] = wrap01(x[j] + kelemen_sample(rng, S1, S2));
     }
-    Splat sy = trace(sc, cfg, yv.data());
+    Splat sy = tracef(yv.data());
     float Ly = lum(sy.rgb);
     float a1 = Lx > 0 ? std::fmin(1.0f, Ly / Lx) : 1.0f;
     if (is_pssmlt) {
@@ -677,8 +1058,9 @@ static void run_chain(const Scene& sc, const TraceCfg& cfg, const std::string& t
     bool did2 = false;
     if (!acc1 && !large) {
       did2 = true;
+      zv = x;  // pinned/frozen dims carry over
       if (is_orbital) {
-        for (int j = 0; j + 1 < D; j += 2) {
+        for (int j = mut_lo; j + 1 < D; j += 2) {
           float dx = yv[j] - x[j], dy = yv[j + 1] - x[j + 1];
           float nrm = std::sqrt(std::fmax(dx * dx + dy * dy, 1e-30f));
           float mu = std::atan2(-dy, -dx);
@@ -686,17 +1068,18 @@ static void run_chain(const Scene& sc, const TraceCfg& cfg, const std::string& t
           zv[j] = wrap01(yv[j] + nrm * std::cos(th + mu));
           zv[j + 1] = wrap01(yv[j + 1] + nrm * std::sin(th + mu));
         }
-        if (D & 1) zv[D - 1] = x[D - 1];
       } else {
-        for (int j = 0; j < D; j++)
+        for (int j = mut_lo; j < D; j++)
           zv[j] = wrap01(x[j] + gauss_sample(rng, SCALE2 * SIGMA));
       }
-      sz = trace(sc, cfg, zv.data());
+      sz = tracef(zv.data());
       Lz = lum(sz.rgb);
       float lr = Lx > 0 ? Lz / Lx : 0.0f;
       if (is_green) {
-        for (int j = 0; j < D; j++) rv[j] = wrap01(zv[j] - (yv[j] - x[j]));
-        Splat sr = trace(sc, cfg, rv.data());
+        rv = x;
+        for (int j = mut_lo; j < D; j++)
+          rv[j] = wrap01(zv[j] - (yv[j] - x[j]));
+        Splat sr = tracef(rv.data());
         float Lr = lum(sr.rgb);
         float arev = Lz > 0 ? std::fmin(1.0f, Lr / Lz) : 1.0f;
         a2 = arev >= 1.0f ? 0.0f
@@ -704,7 +1087,7 @@ static void run_chain(const Scene& sc, const TraceCfg& cfg, const std::string& t
       } else if (is_mira) {
         float arev = Lz > 0 ? std::fmin(1.0f, Ly / Lz) : 1.0f;
         float lq = 0;
-        for (int j = 0; j < D; j++)
+        for (int j = mut_lo; j < D; j++)
           lq += kelemen_logpdf(zv[j] - yv[j], S1, S2) -
                 kelemen_logpdf(x[j] - yv[j], S1, S2);
         a2 = arev >= 1.0f ? 0.0f
@@ -781,12 +1164,28 @@ int main(int argc, char** argv) {
            "\"paths_per_sec\": %.0f, \"threads\": %d}\n",
            (unsigned long long)done, el, done / el, T);
   } else if (mode == "mlt") {
+    // cpu_oracle mlt scene.bin out.raw <type> <seconds> <max_depth>
+    //            [threads] [path|mmlt]
     const char* out = argv[3];
     std::string type = argc > 4 ? argv[4] : "orbital";
     double seconds = argc > 5 ? atof(argv[5]) : 5.0;
     TraceCfg cfg;
     cfg.max_depth = argc > 6 ? atoi(argv[6]) : 6;
     int T = argc > 7 ? atoi(argv[7]) : int(std::thread::hardware_concurrency());
+    std::string tech = argc > 8 ? argv[8] : "path";
+    Cam cm = cam_of(sc);
+    TraceFn tf;
+    int D, mut_lo = 0, frozen = -1;
+    if (tech == "mmlt") {
+      D = mmlt_dims(cfg.max_depth);
+      mut_lo = 2;   // dim 0 = depth (pinned), dim 1 = strategy (frozen)
+      frozen = 1;
+      int md = cfg.max_depth;
+      tf = [&sc, cm, md](const float* u) { return trace_mmlt_o(sc, cm, md, u); };
+    } else {
+      D = n_dims(cfg);
+      tf = [&sc, &cfg](const float* u) { return trace(sc, cfg, u); };
+    }
     std::vector<Film> films;
     films.reserve(T);
     for (int i = 0; i < T; i++) films.emplace_back(sc.W, sc.H);
@@ -795,7 +1194,8 @@ int main(int argc, char** argv) {
     std::vector<std::thread> ths;
     for (int ti = 0; ti < T; ti++)
       ths.emplace_back([&, ti] {
-        run_chain(sc, cfg, type, seconds, 0xBEEF + ti * 104729, films[ti], res[ti]);
+        run_chain(sc, tf, D, mut_lo, frozen, type, seconds,
+                  0xBEEF + ti * 104729, films[ti], res[ti]);
       });
     for (auto& t : ths) t.join();
     double el = std::chrono::duration<double>(
@@ -807,12 +1207,48 @@ int main(int argc, char** argv) {
     for (int i = 1; i < T; i++) films[0].add(films[i]);
     // splat film is normalized: each mutation contributes unit luminance
     films[0].write_raw(out, b * double(sc.W) * sc.H / double(muts));
-    printf("{\"mode\": \"mlt\", \"type\": \"%s\", \"mutations\": %llu, "
+    printf("{\"mode\": \"mlt\", \"type\": \"%s\", \"technique\": \"%s\", "
+           "\"mutations\": %llu, "
            "\"seconds\": %.3f, \"mutations_per_sec\": %.0f, "
            "\"mutations_per_sec_per_core\": %.0f, \"threads\": %d, "
            "\"b\": %.6g}\n",
-           type.c_str(), (unsigned long long)muts, el, muts / el,
-           muts / el / T, T, b);
+           type.c_str(), tech.c_str(), (unsigned long long)muts, el,
+           muts / el, muts / el / T, T, b);
+  } else if (mode == "mmltmc") {
+    // uniform-PSS Monte Carlo over the MMLT estimator (image parity):
+    // cpu_oracle mmltmc scene.bin out.raw <spp> <max_depth>
+    const char* out = argv[3];
+    long spp = argc > 4 ? atol(argv[4]) : 64;
+    int max_depth = argc > 5 ? atoi(argv[5]) : 6;
+    Cam cm = cam_of(sc);
+    int D = mmlt_dims(max_depth);
+    int T = int(std::thread::hardware_concurrency());
+    uint64_t total = uint64_t(spp) * sc.W * sc.H;
+    std::vector<Film> films;
+    films.reserve(T);
+    for (int i = 0; i < T; i++) films.emplace_back(sc.W, sc.H);
+    auto t0 = std::chrono::steady_clock::now();
+    std::vector<std::thread> ths;
+    for (int ti = 0; ti < T; ti++)
+      ths.emplace_back([&, ti] {
+        Rng rng(0x5151 + ti * 7919);
+        std::vector<float> u(D);
+        uint64_t n = total / T;
+        for (uint64_t i = 0; i < n; i++) {
+          for (auto& uu : u) uu = rng.uf();
+          Splat s = trace_mmlt_o(sc, cm, max_depth, u.data());
+          films[ti].splat(s.u, s.v, s.rgb, 1.0f);
+        }
+      });
+    for (auto& t : ths) t.join();
+    for (int i = 1; i < T; i++) films[0].add(films[i]);
+    double el = std::chrono::duration<double>(
+                    std::chrono::steady_clock::now() - t0).count();
+    uint64_t done = (total / T) * T;
+    films[0].write_raw(out, double(sc.W) * sc.H / double(done));
+    printf("{\"mode\": \"mmltmc\", \"samples\": %llu, \"seconds\": %.3f, "
+           "\"samples_per_sec\": %.0f, \"threads\": %d}\n",
+           (unsigned long long)done, el, done / el, T);
   } else {
     fprintf(stderr, "unknown mode %s\n", mode.c_str());
     return 2;

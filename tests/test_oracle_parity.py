@@ -116,6 +116,91 @@ def test_pt_glass_sphere_parity(tmp_path):
     assert np.all(rel < 0.03), rel
 
 
+def _oracle_mmltmc(scene_bin, out, spp, depth):
+    r = subprocess.run(
+        [ORACLE, "mmltmc", scene_bin, out, str(spp), str(depth)],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    return np.fromfile(out, np.float32).reshape(H, W, 3)
+
+
+def test_mmlt_image_parity(dumped, tmp_path):
+    """Cross-implementation parity for the FULL bidirectional MMLT
+    estimator: the oracle's scalar eye/light walks + selected-strategy
+    connection + ratio-recursion MIS (cpu_oracle.cpp trace_mmlt_o) vs the
+    JAX trace_mmlt, both driven by uniform PSS samples.  Each side uses
+    its own pdf family (VNDF vs Walter NDF sampling), which the balance
+    heuristic absorbs — the combined images must agree in expectation."""
+    import jax.numpy as jnp
+
+    from drmlt_mitsuba_tpu.integrators.bidir import BDPTConfig
+    from drmlt_mitsuba_tpu.integrators.mmlt import make_mmlt_trace, mmlt_masks
+    from drmlt_mitsuba_tpu.render import film as filmlib
+
+    scene, fc, scene_bin = dumped
+    depth, spp = 4, 384
+    b = _oracle_mmltmc(scene_bin, str(tmp_path / "m.raw"), spp, depth)
+
+    bcfg = BDPTConfig(max_depth=depth)
+    _, _, n_dims = mmlt_masks(bcfg)
+    trace = make_mmlt_trace(scene, bcfg, force_xla=True)
+    batch = 65536
+
+    @jax.jit
+    def run(key, film):
+        u = jax.random.uniform(key, (batch, n_dims))
+        sp = trace(u)
+        pos = sp.pos.reshape(-1, 2) * jnp.asarray([W, H], jnp.float32)
+        return filmlib.splat(fc, film, pos, sp.value.reshape(-1, 3),
+                             mode="splat")
+
+    n_batches = (W * H * spp) // batch
+    film = filmlib.new_film(fc)
+    for i in range(n_batches):
+        film = run(jax.random.fold_in(jax.random.PRNGKey(7), i), film)
+    a = np.asarray(filmlib.develop(
+        fc, film, mode="splat", scale=W * H / (n_batches * batch)))[..., :3]
+
+    rel = np.abs(a.mean(axis=(0, 1)) - b.mean(axis=(0, 1)))
+    rel /= np.maximum(b.mean(axis=(0, 1)), 1e-9)
+    assert np.all(rel < 0.03), rel
+    # per-pixel shape agreement (light-tracing splats land image-wide)
+    sym = (a - b) / (0.5 * (np.abs(a) + np.abs(b)) + 5e-2)
+    assert np.sqrt((sym ** 2).mean()) < 0.3
+
+
+def test_oracle_mmlt_vs_pt(dumped, tmp_path):
+    """Oracle-internal: the scalar MMLT estimator integrates to the same
+    image as the scalar path tracer (checks the MIS partition of unity
+    over every (s,t) strategy at every depth)."""
+    _, _, scene_bin = dumped
+    a = _oracle_pt(scene_bin, str(tmp_path / "p.raw"), SPP, 6)
+    b = _oracle_mmltmc(scene_bin, str(tmp_path / "m.raw"), SPP, 6)
+    rel = np.abs(a.mean(axis=(0, 1)) - b.mean(axis=(0, 1)))
+    rel /= np.maximum(a.mean(axis=(0, 1)), 1e-9)
+    assert np.all(rel < 0.02), rel
+
+
+def test_oracle_mmlt_chain_consistency(dumped, tmp_path):
+    """Oracle-internal: DRMLT(orbital) driving the mmlt technique (pinned
+    depth dim, frozen strategy dim, chain pool ∝ per-depth luminance)
+    integrates to the pt image.  Tolerance covers bootstrap-b noise (a
+    global scale) plus MCMC mixing error."""
+    _, _, scene_bin = dumped
+    a = _oracle_pt(scene_bin, str(tmp_path / "p.raw"), SPP, 6)
+    out = str(tmp_path / "c.raw")
+    r = subprocess.run(
+        [ORACLE, "mlt", scene_bin, out, "orbital", "10", "6", "4", "mmlt"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    c = np.fromfile(out, np.float32).reshape(H, W, 3)
+    rel = np.abs(a.mean(axis=(0, 1)) - c.mean(axis=(0, 1)))
+    rel /= np.maximum(a.mean(axis=(0, 1)), 1e-9)
+    assert np.all(rel < 0.06), rel
+
+
 def test_oracle_strategy_self_consistency(dumped, tmp_path):
     """Oracle's own NEE / BSDF / MIS estimators agree (sanity of the
     oracle itself)."""
