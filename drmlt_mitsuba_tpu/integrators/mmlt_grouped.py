@@ -132,7 +132,7 @@ def _group_starts(trace, sample_u, lums, root_key, n_chains: int):
 def render_drmlt_mmlt_grouped(scene: Scene, bcfg: BDPTConfig,
                               dcfg: DRMLTConfig, film_cfg, root_key,
                               n_steps: int, average_luminance=None,
-                              force_xla: bool = False, min_group: int = 256):
+                              force_xla: bool = False, min_group: int = 1024):
     """Full depth-grouped DRMLT-over-MMLT render.
 
     Returns (image, aux) like drmlt.render_drmlt; aux adds per-group

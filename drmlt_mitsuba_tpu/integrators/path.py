@@ -203,13 +203,27 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
             eps_t = jnp.where(scattered, md["t"], jnp.minimum(hit.t, 1e7))
         elif medium is not None:
             from drmlt_mitsuba_tpu.render.medium import (
-                HeterogeneousMedium, sample_distance, sample_distance_hetero,
+                HeterogeneousMedium, PHASE_MICROFLAKE, sample_distance,
+                sample_distance_hetero,
             )
 
             t_surf = jnp.where(hit.valid, hit.t, 1.0e7)
             if isinstance(medium, HeterogeneousMedium):
                 md = sample_distance_hetero(
                     medium, carry["o"], carry["d"],
+                    ub_b[:, OFF_MED_CHANNEL], ub_b[:, OFF_MED_DIST], t_surf,
+                )
+            elif getattr(medium, "phase_kind", 0) == PHASE_MICROFLAKE:
+                # directionally-varying extinction sigma_t * sigma(d)
+                # (constant along a straight ray => per-lane homogeneous)
+                from drmlt_mitsuba_tpu.render.medium import (
+                    sample_distance_lanes, sigma_dir,
+                )
+
+                sig_d = medium.sigma_t[None, :] * sigma_dir(
+                    medium, carry["d"])[:, None]
+                md = sample_distance_lanes(
+                    sig_d, jnp.broadcast_to(medium.albedo, sig_d.shape),
                     ub_b[:, OFF_MED_CHANNEL], ub_b[:, OFF_MED_DIST], t_surf,
                 )
             else:
@@ -286,20 +300,26 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
             )
             ds = sample_emitter_direct(scene, p_nee, ub_b[:, OFF_LIGHT_PICK:OFF_LIGHT_PICK + 3])
             wo_l = frame.to_local(ns, ds.d)
-            f_val, f_pdf = eval_bsdf(scene.materials, hit.mat_id, albedo, wi, wo_l)
+            f_val, f_pdf = eval_bsdf(scene.materials, hit.mat_id, albedo,
+                                     wi, wo_l, irawan=scene.irawan,
+                                     uv=hit.tex_uv)
             if any_media:
                 from drmlt_mitsuba_tpu.render.medium import (
-                    HeterogeneousMedium, eval_phase, hg_phase, transmittance,
-                    transmittance_hetero,
+                    HeterogeneousMedium, hg_phase, phase_eval_dir,
+                    phase_pdf_dir, transmittance, transmittance_hetero,
                 )
 
-                cos_ph = jnp.sum(carry["d"] * ds.d, axis=-1)
-                ph = (hg_phase(g_l, cos_ph) if lane_media
-                      else eval_phase(medium, cos_ph))
-                # phase "BSDF": value = pdf = HG (albedo already applied by
-                # the distance-sampling weight)
-                f_val = jnp.where(scattered[:, None], ph[:, None], f_val)
-                f_pdf = jnp.where(scattered, ph, f_pdf)
+                if lane_media:
+                    cos_ph = jnp.sum(carry["d"] * ds.d, axis=-1)
+                    ph_v = ph_pdf = hg_phase(g_l, cos_ph)
+                else:
+                    ph_v = phase_eval_dir(medium, -carry["d"], ds.d)
+                    ph_pdf = phase_pdf_dir(medium, -carry["d"], ds.d)
+                # phase "BSDF" (albedo already applied by the
+                # distance-sampling weight); pdf can differ from the value
+                # for kkay's uniform-sphere sampler
+                f_val = jnp.where(scattered[:, None], ph_v[:, None], f_val)
+                f_pdf = jnp.where(scattered, ph_pdf, f_pdf)
                 delta_mat = delta_mat & ~scattered
             nee_ok = (
                 active & ~delta_mat & (ds.pdf > 0)
@@ -327,7 +347,14 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
                         ub_b[:, OFF_MED_DIST],
                     )
                 else:
-                    contrib = contrib * transmittance(medium, ds.dist)
+                    from drmlt_mitsuba_tpu.render.medium import sigma_dir
+
+                    # sigma_dir = 1 except for microflake media, whose
+                    # extinction varies with the shadow-ray direction
+                    contrib = contrib * jnp.exp(
+                        -medium.sigma_t[None, :]
+                        * sigma_dir(medium, ds.d)[:, None]
+                        * ds.dist[:, None])
             sh_contrib = jnp.where(nee_ok[:, None], contrib, 0.0)
             sh_o = shadow_o
             sh_d = ds.d
@@ -342,25 +369,30 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
         bs = sample_bsdf(
             scene.materials, hit.mat_id, albedo, wi,
             ub_b[:, OFF_BSDF_CMP:OFF_BSDF_CMP + 3],
+            irawan=scene.irawan, uv=hit.tex_uv,
         )
         wo_world = frame.to_world(ns, bs.wo)
         bs_weight = bs.weight
         bs_pdf = bs.pdf
         bs_delta = bs.delta
         if any_media:
-            from drmlt_mitsuba_tpu.render.medium import sample_hg, sample_phase
-
-            wo_hg, pdf_hg = (
-                sample_hg(g_l, -carry["d"],
-                          ub_b[:, OFF_BSDF_U:OFF_BSDF_U + 2])
-                if lane_media else
-                sample_phase(medium, -carry["d"],
-                             ub_b[:, OFF_BSDF_U:OFF_BSDF_U + 2])
+            from drmlt_mitsuba_tpu.render.medium import (
+                phase_sample_dir, sample_hg,
             )
-            wo_world = jnp.where(scattered[:, None], wo_hg, wo_world)
-            # HG importance sampling: weight 1
-            bs_weight = jnp.where(scattered[:, None], 1.0, bs_weight)
-            bs_pdf = jnp.where(scattered, pdf_hg, bs_pdf)
+
+            if lane_media:
+                wo_ph, pdf_ph = sample_hg(
+                    g_l, -carry["d"], ub_b[:, OFF_BSDF_U:OFF_BSDF_U + 2])
+                w_ph = jnp.ones_like(pdf_ph)
+            else:
+                wo_ph, pdf_ph, val_ph = phase_sample_dir(
+                    medium, -carry["d"], ub_b[:, OFF_BSDF_U:OFF_BSDF_U + 2])
+                w_ph = val_ph / jnp.maximum(pdf_ph, 1e-20)
+            wo_world = jnp.where(scattered[:, None], wo_ph, wo_world)
+            # estimator weight value/pdf (1 for perfectly-sampled kinds)
+            bs_weight = jnp.where(
+                scattered[:, None], w_ph[:, None], bs_weight)
+            bs_pdf = jnp.where(scattered, pdf_ph, bs_pdf)
             bs_delta = jnp.where(scattered, False, bs_delta)
         tp = tp * bs_weight
         eta_scale = carry["eta_scale"] * bs.eta

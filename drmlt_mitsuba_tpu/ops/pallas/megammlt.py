@@ -701,9 +701,9 @@ def make_mega_mmlt(scene: Scene, cfg, interpret: bool = False):
     def trace(u):
         R = u.shape[0]
         R8 = R // 8
-        L = min(R8, 256)
-        while R8 % L:
-            L //= 2
+        # lane-dim block: a divisor of R8 that is a multiple of 128, else
+        # one whole-array block (Pallas requires %128 or == array dim)
+        L = 256 if R8 % 256 == 0 else (128 if R8 % 128 == 0 else R8)
         uT = u[:, :n_core].T.reshape(n_core, 8, R8)
         out = pl.pallas_call(
             kernel,

@@ -33,8 +33,8 @@ from drmlt_mitsuba_tpu.render.microfacet import (
 from drmlt_mitsuba_tpu.scene.types import (
     BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_DIFFUSE, BSDF_MIRROR, BSDF_NULL,
     BSDF_PHONG, BSDF_PLASTIC, BSDF_ROUGH_CONDUCTOR, BSDF_ROUGH_DIELECTRIC,
-    BSDF_DIFFTRANS, BSDF_HK, BSDF_ROUGH_DIFFUSE, BSDF_ROUGH_PLASTIC,
-    BSDF_THIN_DIELECTRIC,
+    BSDF_DIFFTRANS, BSDF_HK, BSDF_IRAWAN, BSDF_ROUGH_DIFFUSE,
+    BSDF_ROUGH_PLASTIC, BSDF_THIN_DIELECTRIC,
     BSDF_WARD, MaterialTable,
 )
 
@@ -42,14 +42,18 @@ ALL_KINDS = (
     BSDF_DIFFUSE, BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_ROUGH_CONDUCTOR,
     BSDF_PLASTIC, BSDF_ROUGH_PLASTIC, BSDF_THIN_DIELECTRIC,
     BSDF_ROUGH_DIELECTRIC, BSDF_MIRROR, BSDF_NULL, BSDF_PHONG, BSDF_WARD,
-    BSDF_ROUGH_DIFFUSE, BSDF_DIFFTRANS, BSDF_HK,
+    BSDF_ROUGH_DIFFUSE, BSDF_DIFFTRANS, BSDF_HK, BSDF_IRAWAN,
 )
 
 DELTA_KINDS = (BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_MIRROR, BSDF_NULL,
                BSDF_THIN_DIELECTRIC)
 
-# kinds grouped by which shared lobe machinery they need
-_DIFFUSE_LIKE = (BSDF_DIFFUSE,)
+# kinds grouped by which shared lobe machinery they need.  BSDF_IRAWAN
+# shares the diffuse machinery: without a uv-carrying caller it evaluates
+# as a diffuse surface with the average yarn kd (the reference shader's
+# own fallback, irawan.cpp:684-691); uv-aware callers overlay the full
+# cloth model via the `irawan=`/`uv=` arguments of eval/sample/pdf.
+_DIFFUSE_LIKE = (BSDF_DIFFUSE, BSDF_IRAWAN)
 _GGX_LIKE = (BSDF_ROUGH_CONDUCTOR,)
 _PLASTIC_LIKE = (BSDF_PLASTIC, BSDF_ROUGH_PLASTIC)
 _DIELECTRIC_LIKE = (BSDF_DIELECTRIC, BSDF_THIN_DIELECTRIC)
@@ -683,11 +687,43 @@ def _mixture_eval(table: MaterialTable, mat_id, albedo_tex, wi, wo):
     return val, pdf
 
 
-def eval_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, wo):
-    """(f * |cos wo|, pdf) for non-delta lobes; (0, 0) for Dirac kinds."""
+def _irawan_flip(wi, wo):
+    """Two-sided shading: mirror both directions into the upper hemisphere
+    when the incident is below (the table's two_sided convention; the
+    reference wraps irawan in a twosided adapter for the same effect)."""
+    sign = jnp.where(wi[..., 2:3] < 0, -1.0, 1.0)
+    flip = jnp.concatenate([jnp.ones_like(sign), jnp.ones_like(sign),
+                            sign], -1)
+    return wi * flip, wo * flip
+
+
+def _irawan_overlay(table: MaterialTable, mat_id, irawan, uv, wi, wo, val):
+    """Replace the diffuse fallback value with the full woven-cloth model
+    on BSDF_IRAWAN lanes (sampling pdf stays the cosine density both ways,
+    matching the reference's cosine sampler, irawan.cpp:330-360)."""
+    from drmlt_mitsuba_tpu.render.irawan import irawan_eval
+
+    kind = _mat(table, mat_id)[0]
+    sel = kind == BSDF_IRAWAN
+    wi_f, wo_f = _irawan_flip(wi, wo)
+    f_ir = irawan_eval(irawan, uv, wi_f, wo_f)
+    return jnp.where(sel[..., None], f_ir, val)
+
+
+def eval_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, wo,
+              irawan=None, uv=None):
+    """(f * |cos wo|, pdf) for non-delta lobes; (0, 0) for Dirac kinds.
+    `irawan`/`uv` activate the woven-cloth overlay on BSDF_IRAWAN lanes."""
     if not (table.has_mask or table.has_mixture or table.has_coating):
-        return _eval_core(table, mat_id, albedo_tex, wi, wo)
+        val, pdf = _eval_core(table, mat_id, albedo_tex, wi, wo)
+        if irawan is not None and uv is not None \
+                and _present(table, BSDF_IRAWAN):
+            val = _irawan_overlay(table, mat_id, irawan, uv, wi, wo, val)
+        return val, pdf
     val, pdf = _mixture_eval(table, mat_id, albedo_tex, wi, wo)
+    if irawan is not None and uv is not None \
+            and _present(table, BSDF_IRAWAN):
+        val = _irawan_overlay(table, mat_id, irawan, uv, wi, wo, val)
     cos_i, cos_o = wi[..., 2], wo[..., 2]
     if table.has_coating:
         coated, f_i, p_spec, e, sig = _coating_params(table, mat_id, cos_i)
@@ -706,10 +742,28 @@ def eval_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, wo):
     return val, pdf
 
 
-def sample_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, u3) -> BsdfSample:
-    """Sample wo from the BSDF; u3 = (component, u, v) uniforms (R, 3)."""
+def _irawan_sample_overlay(table, mat_id, irawan, uv, wi, s: BsdfSample):
+    """Fix up the cosine-sampled diffuse lanes: weight = f_ir / pdf."""
+    from drmlt_mitsuba_tpu.render.irawan import irawan_eval
+
+    kind = _mat(table, mat_id)[0]
+    sel = (kind == BSDF_IRAWAN) & ~s.delta
+    wi_f, wo_f = _irawan_flip(wi, s.wo)
+    f_ir = irawan_eval(irawan, uv, wi_f, wo_f)
+    w_ir = f_ir / jnp.maximum(s.pdf, 1e-9)[..., None]
+    return s.replace(weight=jnp.where(sel[..., None], w_ir, s.weight))
+
+
+def sample_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, u3,
+                irawan=None, uv=None) -> BsdfSample:
+    """Sample wo from the BSDF; u3 = (component, u, v) uniforms (R, 3).
+    `irawan`/`uv` activate the woven-cloth overlay on BSDF_IRAWAN lanes."""
     if not (table.has_mask or table.has_mixture or table.has_coating):
-        return _sample_core(table, mat_id, albedo_tex, wi, u3)
+        s = _sample_core(table, mat_id, albedo_tex, wi, u3)
+        if irawan is not None and uv is not None \
+                and _present(table, BSDF_IRAWAN):
+            s = _irawan_sample_overlay(table, mat_id, irawan, uv, wi, s)
+        return s
     from drmlt_mitsuba_tpu.ops.gather import onehot_gather
 
     uc = u3[..., 0]
@@ -798,8 +852,12 @@ def sample_bsdf(table: MaterialTable, mat_id, albedo_tex, wi, u3) -> BsdfSample:
         delta = jnp.where(pick_null, True, delta)
         eta_out = jnp.where(pick_null, 1.0, eta_out)
 
-    return BsdfSample(wo=wo, weight=weight, pdf=pdf, delta=delta,
-                      eta=eta_out)
+    s = BsdfSample(wo=wo, weight=weight, pdf=pdf, delta=delta,
+                   eta=eta_out)
+    if irawan is not None and uv is not None \
+            and _present(table, BSDF_IRAWAN):
+        s = _irawan_sample_overlay(table, mat_id, irawan, uv, wi, s)
+    return s
 
 
 def is_delta_kind(table: MaterialTable, mat_id):

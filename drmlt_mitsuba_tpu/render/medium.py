@@ -19,6 +19,9 @@ from drmlt_mitsuba_tpu.core.math import safe_div
 
 PHASE_HG = 0
 PHASE_RAYLEIGH = 1
+PHASE_KKAY = 2         # Kajiya-Kay fiber phase (ref: src/phase/kkay.cpp)
+PHASE_MICROFLAKE = 3   # SGGX microflake (ref: src/phase/microflake.cpp)
+PHASE_MIXTURE = 4      # weighted lobes (ref: src/phase/mixturephase.cpp)
 
 
 @struct.dataclass
@@ -27,15 +30,51 @@ class HomogeneousMedium:
     albedo: jnp.ndarray    # (3,) single-scattering albedo sigma_s/sigma_t
     g: jnp.ndarray         # scalar HG asymmetry
     phase_kind: int = struct.field(pytree_node=False, default=PHASE_HG)
+    # kkay: (4,) [ks, kd, exponent, normalization]; microflake: (3,3) SGGX S
+    ph_params: jnp.ndarray | None = None
+    fiber: jnp.ndarray | None = None      # (3,) fiber orientation
+    mix_w: jnp.ndarray | None = None      # (K,) mixture weights (sum 1)
+    mix_g: jnp.ndarray | None = None      # (K,) per-component g
+    mix_kinds: tuple = struct.field(pytree_node=False, default=())
 
 
-def make_medium(sigma_t, albedo, g=0.0,
-                phase_kind: int = PHASE_HG) -> HomogeneousMedium:
+def make_medium(sigma_t, albedo, g=0.0, phase_kind: int = PHASE_HG,
+                fiber=(0.0, 0.0, 1.0), kkay=(0.4, 0.2, 4.0), stddev=0.3,
+                mixture=None) -> HomogeneousMedium:
+    """mixture: list of (kind_str 'hg'|'rayleigh'|'isotropic', g, weight)."""
+    from drmlt_mitsuba_tpu.render import phase as ph
+
+    fiber_v = jnp.asarray(fiber, jnp.float32).reshape(3)
+    fiber_v = fiber_v / jnp.maximum(jnp.linalg.norm(fiber_v), 1e-12)
+    ph_params = None
+    mix_w = mix_g = None
+    mix_kinds = ()
+    if phase_kind == PHASE_KKAY:
+        ks, kd, expo = kkay
+        ph_params = jnp.asarray(
+            [ks, kd, expo, ph.kkay_normalization(float(expo))], jnp.float32)
+    elif phase_kind == PHASE_MICROFLAKE:
+        ph_params = ph.sggx_fiber_S(fiber_v, jnp.float32(stddev))
+    elif phase_kind == PHASE_MIXTURE:
+        kinds, gs, ws = [], [], []
+        for kind_s, g_k, w_k in mixture:
+            kinds.append(PHASE_RAYLEIGH if kind_s == "rayleigh" else PHASE_HG)
+            gs.append(0.0 if kind_s == "isotropic" else float(g_k))
+            ws.append(float(w_k))
+        tot = sum(ws)
+        mix_kinds = tuple(kinds)
+        mix_g = jnp.asarray(gs, jnp.float32)
+        mix_w = jnp.asarray([w / tot for w in ws], jnp.float32)
     return HomogeneousMedium(
         sigma_t=jnp.asarray(sigma_t, jnp.float32).reshape(3),
         albedo=jnp.asarray(albedo, jnp.float32).reshape(3),
         g=jnp.float32(g),
         phase_kind=phase_kind,
+        ph_params=ph_params,
+        fiber=fiber_v,
+        mix_w=mix_w,
+        mix_g=mix_g,
+        mix_kinds=mix_kinds,
     )
 
 
@@ -135,15 +174,104 @@ def sample_rayleigh(wi, u2):
 
 
 def eval_phase(med, cos_theta):
-    """Phase value for the medium's configured phase function (static
-    switch on phase_kind)."""
-    if getattr(med, "phase_kind", PHASE_HG) == PHASE_RAYLEIGH:
+    """Phase value for isotropic-in-azimuth kinds (HG/Rayleigh/mixture);
+    anisotropic kinds need phase_eval_dir."""
+    k = getattr(med, "phase_kind", PHASE_HG)
+    if k == PHASE_RAYLEIGH:
         return rayleigh_phase(cos_theta)
+    if k == PHASE_MIXTURE:
+        return _mixture_eval(med, cos_theta)
     return hg_phase(med.g, cos_theta)
 
 
+def _mixture_eval(med, cos_theta):
+    val = jnp.zeros(jnp.shape(cos_theta))
+    for i, kind in enumerate(med.mix_kinds):
+        p = (rayleigh_phase(cos_theta) if kind == PHASE_RAYLEIGH
+             else hg_phase(med.mix_g[i], cos_theta))
+        val = val + med.mix_w[i] * p
+    return val
+
+
+def phase_eval_dir(med, wi, wo):
+    """Generalized phase value; wi/wo world directions pointing AWAY from
+    the event (wi toward the previous vertex)."""
+    from drmlt_mitsuba_tpu.render import phase as ph
+
+    k = getattr(med, "phase_kind", PHASE_HG)
+    if k == PHASE_KKAY:
+        ks, kd, expo, norm = (med.ph_params[0], med.ph_params[1],
+                              med.ph_params[2], med.ph_params[3])
+        return ph.kkay_eval(med.fiber, ks, kd, expo, norm, wi, wo)
+    if k == PHASE_MICROFLAKE:
+        return ph.sggx_eval(med.ph_params, wi, wo)
+    return eval_phase(med, jnp.sum(-wi * wo, -1))
+
+
+def phase_pdf_dir(med, wi, wo):
+    """Sampling pdf of phase_sample_dir for direction wo."""
+    k = getattr(med, "phase_kind", PHASE_HG)
+    if k == PHASE_KKAY:  # uniform-sphere sampling (ref kkay.cpp)
+        return jnp.full(wo.shape[:-1], 1.0 / (4.0 * jnp.pi))
+    return phase_eval_dir(med, wi, wo)
+
+
+def phase_sample_dir(med, wi, u2):
+    """Generalized direction sampling.  Returns (wo, pdf, value); the
+    estimator weight is value/pdf (1 for HG/Rayleigh/microflake)."""
+    from drmlt_mitsuba_tpu.core import frame
+    from drmlt_mitsuba_tpu.render import phase as ph
+
+    k = getattr(med, "phase_kind", PHASE_HG)
+    if k == PHASE_KKAY:
+        ks, kd, expo, norm = (med.ph_params[0], med.ph_params[1],
+                              med.ph_params[2], med.ph_params[3])
+        return ph.kkay_sample(med.fiber, ks, kd, expo, norm, wi, u2)
+    if k == PHASE_MICROFLAKE:
+        wo, pdf = ph.sggx_sample(med.ph_params, wi, u2)
+        return wo, pdf, pdf
+    if k == PHASE_MIXTURE:
+        # component selection folded into u2[...,0] (rescaled remainder);
+        # pdf/value = full mixture density (one-sample balance heuristic,
+        # ref mixturephase.cpp:150-176)
+        cdf = jnp.cumsum(med.mix_w)
+        u0 = u2[..., 0]
+        wo = None
+        for i, kind in enumerate(med.mix_kinds):
+            lo = cdf[i] - med.mix_w[i]
+            sel = (u0 >= lo) & (u0 < cdf[i]) if i + 1 < len(med.mix_kinds) \
+                else (u0 >= lo)
+            u0_r = jnp.clip((u0 - lo) / jnp.maximum(med.mix_w[i], 1e-12),
+                            0.0, 1.0 - 1e-7)
+            u_i = jnp.stack([u0_r, u2[..., 1]], -1)
+            wo_i, _ = (sample_rayleigh(wi, u_i) if kind == PHASE_RAYLEIGH
+                       else sample_hg(med.mix_g[i], wi, u_i))
+            wo = wo_i if wo is None else jnp.where(sel[..., None], wo_i, wo)
+        val = _mixture_eval(med, jnp.sum(-wi * wo, -1))
+        return wo, val, val
+    if k == PHASE_RAYLEIGH:
+        wo, pdf = sample_rayleigh(wi, u2)
+        return wo, pdf, pdf
+    wo, pdf = sample_hg(med.g, wi, u2)
+    return wo, pdf, pdf
+
+
+def sigma_dir(med, d):
+    """Directional extinction multiplier along ray direction d: the SGGX
+    projected flake area sqrt(d^T S d) for microflake media (ref:
+    microflake.cpp sigmaDir / needsDirectionallyVaryingCoefficients);
+    1 for all other phase kinds.  Symmetric in +-d, so one value serves a
+    whole straight ray segment."""
+    from drmlt_mitsuba_tpu.render import phase as ph
+
+    if getattr(med, "phase_kind", PHASE_HG) == PHASE_MICROFLAKE:
+        return ph.sggx_sigma(med.ph_params, d)
+    return jnp.ones(d.shape[:-1])
+
+
 def sample_phase(med, wi, u2):
-    """Direction sampling for the medium's phase function; weight 1."""
+    """Direction sampling for the medium's phase function; weight 1.
+    (Legacy 2-tuple API; HG/Rayleigh only.)"""
     if getattr(med, "phase_kind", PHASE_HG) == PHASE_RAYLEIGH:
         return sample_rayleigh(wi, u2)
     return sample_hg(med.g, wi, u2)

@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from drmlt_mitsuba_tpu.render.sobol import ld02, sobol
+
 PRIMES = np.array([2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47,
                    53, 59, 61, 67, 71, 73, 79, 83, 89, 97, 101, 103, 107,
                    109, 113, 127, 131], np.int64)
@@ -78,8 +80,12 @@ def make_sampler(kind: str):
         if kind in ("independent",):
             return jax.random.uniform(jax.random.fold_in(key, start),
                                       (n, n_dims))
-        if kind in ("halton", "ldsampler", "sobol"):
+        if kind == "halton":
             return halton(key, idx, n_dims)
+        if kind == "sobol":
+            return sobol(key, idx, n_dims)
+        if kind == "ldsampler":
+            return ld02(key, idx, n_dims)
         if kind == "hammersley":
             return hammersley(key, idx, n_total, n_dims)
         if kind == "stratified":

@@ -34,6 +34,7 @@ BSDF_WARD = 11
 BSDF_ROUGH_DIFFUSE = 12   # Oren-Nayar
 BSDF_DIFFTRANS = 13       # diffuse transmitter (ref: src/bsdfs/difftrans.cpp)
 BSDF_HK = 14              # Hanrahan-Krueger single-scattering slab
+BSDF_IRAWAN = 15          # Irawan woven cloth (render/irawan.py)
 #                           (ref: src/bsdfs/hk.cpp); field mapping:
 #                           spec_refl=sigmaS, spec_trans=sigmaA,
 #                           roughness=thickness, k[0]=phase g
@@ -221,6 +222,10 @@ class Scene:
     # MaterialTable.interior_medium; lane-tracked medium id -1 = exterior
     # (the global `medium` above, or vacuum).  Presence is static.
     media: "MediumTable | None" = None
+    # woven-cloth weave pattern shared by all BSDF_IRAWAN materials
+    # (render/irawan.py IrawanPattern; ref: src/bsdfs/irawan.cpp).
+    # Presence is static: trace functions specialize on it.
+    irawan: object | None = None
 
 
 @struct.dataclass

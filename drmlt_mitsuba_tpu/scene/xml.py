@@ -357,6 +357,31 @@ def _parse_bsdf(node, defaults, ctx, base_dir=""):
         "mirror": st.BSDF_MIRROR,
     }
     kind = kind_map.get(btype)
+    if btype == "irawan":
+        # woven cloth (ref: src/bsdfs/irawan.cpp): parse the .wft weave,
+        # stash the packed pattern on the scene (one pattern per scene —
+        # it parameterizes every BSDF_IRAWAN row), fall back to the
+        # average yarn kd as the diffuse albedo for uv-less callers
+        from drmlt_mitsuba_tpu.render.irawan import build_pattern, parse_wft
+
+        fname = props.get("filename")
+        fpath = fname if os.path.isabs(fname) else os.path.join(base_dir,
+                                                                fname)
+        with open(fpath) as f:
+            spec = parse_wft(f.read(), props)
+        pat = build_pattern(spec,
+                            repeat_u=float(props.get("repeatU", 1.0)),
+                            repeat_v=float(props.get("repeatV", 1.0)))
+        if ctx.get("irawan") is not None:
+            warnings.warn("multiple irawan bsdfs: the last weave pattern "
+                          "wins (one pattern per scene)")
+        ctx["irawan"] = pat
+        kd_avg = np.asarray(pat.yarn_kd).mean(axis=0)
+        mat = dict(kind=st.BSDF_IRAWAN, two_sided=True, tex_id=-1,
+                   albedo=kd_avg.astype(np.float32))
+        mat.update(mods)
+        ctx["materials"].append(mat)
+        return len(ctx["materials"]) - 1
     if kind is None:
         warnings.warn(f"unsupported bsdf '{btype}', using diffuse")
         kind = st.BSDF_DIFFUSE
@@ -703,6 +728,74 @@ def load_scene_xml(path: str, defaults: dict | None = None):
             v2, _ = _apply_transform(m, v, None)
             meshes.append((v2, np.asarray(f, np.int32), None, None,
                            mat_idx, radiance))
+        elif stype == "deformable":
+            # keyframe-animated mesh (ref: src/shapes/deformable.cpp).
+            # The reference interpolates per-ray via a space-time kd-tree;
+            # this design has no shutter dimension, so the keyframes are
+            # interpolated ONCE at a fixed render time ($time, default the
+            # keyframe midpoint) into a static mesh — scenes load and
+            # render, without motion-blur smear (documented in PARITY.md).
+            tstr = str(props.get("times", "0 1"))
+            times = [float(x) for x in
+                     tstr.replace(",", " ").replace(";", " ").split()]
+            frames = []
+            for child in sh.findall("shape"):
+                ctype = _subst(child.get("type"), defaults)
+                cprops = _props(child, defaults)
+                if ctype not in ("obj", "ply", "serialized"):
+                    warnings.warn(
+                        f"deformable keyframe '{ctype}' unsupported")
+                    continue
+                fname = cprops.get("filename")
+                fpath = fname if os.path.isabs(fname) else os.path.join(
+                    base, fname)
+                frames.append(load_mesh(fpath, cprops.get("shapeIndex", 0)))
+            if len(frames) < 1:
+                warnings.warn("deformable without keyframes, skipped")
+                continue
+            t_render = float(defaults.get(
+                "time", 0.5 * (times[0] + times[-1]) if times else 0.0))
+            times = times[: len(frames)] or [0.0]
+            idx = int(np.clip(np.searchsorted(times, t_render) - 1, 0,
+                              max(len(frames) - 2, 0)))
+            if len(frames) == 1:
+                v, f, nvec, uv = frames[0]
+            else:
+                t0, t1 = times[idx], times[idx + 1]
+                alpha = 0.0 if t1 == t0 else float(
+                    np.clip((t_render - t0) / (t1 - t0), 0.0, 1.0))
+                v0, f, n0, uv = frames[idx]
+                v1, _, n1, _ = frames[idx + 1]
+                v = ((1.0 - alpha) * v0 + alpha * v1).astype(np.float32)
+                nvec = None
+                if n0 is not None and n1 is not None and len(n0) == len(n1):
+                    nvec = (1.0 - alpha) * n0 + alpha * n1
+                    nvec = (nvec / np.maximum(np.linalg.norm(
+                        nvec, axis=-1, keepdims=True), 1e-12)).astype(
+                        np.float32)
+            v, nvec = _apply_transform(m, v, nvec)
+            meshes.append((v, f, nvec, uv, mat_idx, radiance))
+        elif stype == "hair":
+            from drmlt_mitsuba_tpu.scene.hair import (
+                load_hair, simplify_fibers, tessellate_hair,
+            )
+
+            fname = props.get("filename")
+            fpath = fname if os.path.isabs(fname) else os.path.join(base,
+                                                                    fname)
+            hv, hf = load_hair(fpath)
+            hv, hf = simplify_fibers(
+                hv, hf, float(props.get("angleThreshold", 1.0)))
+            radius = float(props.get("radius", 0.025))
+            # world-space radius follows the transform's scale
+            # (hair.cpp:633); ring tessellation happens post-transform so
+            # the tube cross-section stays circular under anisotropy
+            hv4 = np.concatenate([hv, np.ones((len(hv), 1), np.float32)], 1)
+            hv_w = (hv4 @ m.T)[:, :3].astype(np.float32)
+            radius *= float(np.linalg.norm(m[:3, 2]))
+            v, f, nrm = tessellate_hair(hv_w, hf, radius,
+                                        sides=int(props.get("sides", 3)))
+            meshes.append((v, f, nrm, None, mat_idx, radiance))
         elif stype == "heightfield":
             from PIL import Image
 
@@ -888,15 +981,51 @@ def load_scene_xml(path: str, defaults: dict | None = None):
         props = _props(md, defaults)
         g = 0.0
         phase_kind = 0
+        phase_kw = {}
         ph = md.find("phase")
         if ph is not None:
-            ptype = _subst(ph.get("type"), defaults)
-            if ptype == "hg":
-                g = float(_props(ph, defaults).get("g", 0.0))
-            elif ptype == "rayleigh":
-                from drmlt_mitsuba_tpu.render.medium import PHASE_RAYLEIGH
+            from drmlt_mitsuba_tpu.render.medium import (
+                PHASE_KKAY, PHASE_MICROFLAKE, PHASE_MIXTURE, PHASE_RAYLEIGH,
+            )
 
+            ptype = _subst(ph.get("type"), defaults)
+            pprops = _props(ph, defaults)
+            if ptype == "hg":
+                g = float(pprops.get("g", 0.0))
+            elif ptype == "rayleigh":
                 phase_kind = PHASE_RAYLEIGH
+            elif ptype == "kkay":
+                phase_kind = PHASE_KKAY
+                phase_kw["kkay"] = (float(pprops.get("ks", 0.4)),
+                                    float(pprops.get("kd", 0.2)),
+                                    float(pprops.get("exponent", 4.0)))
+                phase_kw["fiber"] = np.asarray(
+                    pprops.get("orientation", (0.0, 0.0, 1.0)), np.float32)
+            elif ptype == "microflake":
+                phase_kind = PHASE_MICROFLAKE
+                phase_kw["stddev"] = float(pprops.get("stddev", 0.3))
+                phase_kw["fiber"] = np.asarray(
+                    pprops.get("orientation", (0.0, 0.0, 1.0)), np.float32)
+            elif ptype == "mixturephase":
+                phase_kind = PHASE_MIXTURE
+                wstr = str(pprops.get("weights", ""))
+                ws = [float(w) for w in wstr.replace(",", " ").split()]
+                comps = []
+                for i, sub in enumerate(ph.findall("phase")):
+                    stype = _subst(sub.get("type"), defaults)
+                    sprops = _props(sub, defaults)
+                    w_i = ws[i] if i < len(ws) else 1.0
+                    if stype == "rayleigh":
+                        comps.append(("rayleigh", 0.0, w_i))
+                    elif stype == "hg":
+                        comps.append(("hg", float(sprops.get("g", 0.0)), w_i))
+                    else:
+                        if stype != "isotropic":
+                            warnings.warn(
+                                f"mixturephase component '{stype}' "
+                                "approximated as isotropic")
+                        comps.append(("isotropic", 0.0, w_i))
+                phase_kw["mixture"] = comps
             elif ptype != "isotropic":
                 warnings.warn(f"phase '{ptype}' approximated as isotropic")
         sigma_t, albedo = _medium_coeffs(props)
@@ -943,7 +1072,7 @@ def load_scene_xml(path: str, defaults: dict | None = None):
                 warnings.warn(
                     f"medium '{mtype}' approximated as homogeneous")
             medium = make_medium(sigma_t, albedo, g,
-                                 phase_kind=phase_kind)
+                                 phase_kind=phase_kind, **phase_kw)
         break
 
     sensor = root.find("sensor")
@@ -1124,5 +1253,6 @@ def load_scene_xml(path: str, defaults: dict | None = None):
         emitters=emitters, camera=camera, textures=textures,
         medium=medium,
         media=st.make_medium_table(ctx["media"]) if ctx["media"] else None,
+        irawan=ctx.get("irawan"),
     )
     return scene, settings
