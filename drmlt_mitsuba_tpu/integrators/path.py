@@ -51,30 +51,41 @@ class Splats:
 
 
 def _albedo(scene: Scene, hit):
-    """Textured albedo lookup (bilinear) with constant fallback."""
+    """Textured albedo lookup (bilinear) with constant fallback; tex_id -2
+    interpolates the mesh's per-vertex colors (vertexcolors texture)."""
     mat = scene.materials
     base = mat.albedo[hit.mat_id]
-    if scene.textures is None:
-        return base
     tex_id = mat.tex_id[hit.mat_id]
-    tex = scene.textures.data  # (N, H, W, 3)
-    n, h, w, _ = tex.shape
-    uv = hit.tex_uv
-    x = jnp.clip(uv[..., 0] % 1.0, 0.0, 1.0) * (w - 1)
-    y = jnp.clip(uv[..., 1] % 1.0, 0.0, 1.0) * (h - 1)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
-    ti = jnp.clip(tex_id, 0, n - 1)
-    c00 = tex[ti, y0, x0]
-    c01 = tex[ti, y0, x1]
-    c10 = tex[ti, y1, x0]
-    c11 = tex[ti, y1, x1]
-    val = (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (c10 * (1 - fx) + c11 * fx) * fy
-    return jnp.where((tex_id >= 0)[..., None], val, base)
+    if scene.textures is not None:
+        tex = scene.textures.data  # (N, H, W, 3)
+        n, h, w, _ = tex.shape
+        uv = hit.tex_uv
+        x = jnp.clip(uv[..., 0] % 1.0, 0.0, 1.0) * (w - 1)
+        y = jnp.clip(uv[..., 1] % 1.0, 0.0, 1.0) * (h - 1)
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        fx = (x - x0)[..., None]
+        fy = (y - y0)[..., None]
+        ti = jnp.clip(tex_id, 0, n - 1)
+        c00 = tex[ti, y0, x0]
+        c01 = tex[ti, y0, x1]
+        c10 = tex[ti, y1, x0]
+        c11 = tex[ti, y1, x1]
+        val = ((c00 * (1 - fx) + c01 * fx) * (1 - fy)
+               + (c10 * (1 - fx) + c11 * fx) * fy)
+        base = jnp.where((tex_id >= 0)[..., None], val, base)
+    if scene.vcolors is not None:
+        prim = jnp.clip(hit.prim, 0, scene.vcolors.shape[0] - 1)
+        vc = scene.vcolors[prim]           # (R, 3 corners, 3)
+        b1, b2 = hit.uv[..., 0], hit.uv[..., 1]
+        w0 = 1.0 - b1 - b2
+        col = (w0[..., None] * vc[..., 0, :] + b1[..., None] * vc[..., 1, :]
+               + b2[..., None] * vc[..., 2, :])
+        sel = (tex_id == -2) & (hit.prim >= 0)
+        base = jnp.where(sel[..., None], col, base)
+    return base
 
 
 def apply_normal_map(scene: Scene, hit, ns):

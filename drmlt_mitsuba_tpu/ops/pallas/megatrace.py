@@ -307,6 +307,10 @@ def mega_eligible(scene: Scene, cfg) -> bool:
             return False
         if scene.textures is not None:
             return False
+        if getattr(scene, "vcolors", None) is not None:
+            return False   # per-vertex colors need the wavefront albedo
+        if getattr(scene, "irawan", None) is not None:
+            return False   # woven cloth needs the uv-aware wavefront
         em = scene.emitters
         if em.env_image is not None:
             return False

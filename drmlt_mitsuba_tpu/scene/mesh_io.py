@@ -96,7 +96,7 @@ _PLY_TYPES = {
 }
 
 
-def load_ply(path: str):
+def load_ply(path: str, want_colors: bool = False):
     """PLY, ascii or binary little/big endian; vertex props x/y/z/nx/ny/nz/
     u/v(or s/t), face vertex_indices lists."""
     with open(path, "rb") as f:
@@ -121,7 +121,7 @@ def load_ply(path: str):
             else:
                 elements[-1][2].append((tok[2], tok[1]))  # (name, type)
 
-    verts = norms = uvs = None
+    verts = norms = uvs = vcolors = None
     faces = []
 
     if fmt == "ascii":
@@ -134,7 +134,8 @@ def load_ply(path: str):
                 )
                 li += count
                 cols = [p[0] for p in props]
-                verts, norms, uvs = _extract_vertex_cols(rows, cols)
+                verts, norms, uvs, vcolors = _extract_vertex_cols(rows,
+                                                                   cols)
             elif name == "face":
                 for i in range(count):
                     tok = [int(x) for x in lines[li + i].split()]
@@ -156,7 +157,8 @@ def load_ply(path: str):
                 rows = np.stack(
                     [arr[c].astype(np.float64) for c in cols], axis=1
                 )
-                verts, norms, uvs = _extract_vertex_cols(rows, cols)
+                verts, norms, uvs, vcolors = _extract_vertex_cols(rows,
+                                                                   cols)
             elif name == "face":
                 for _ in range(count):
                     (ct, it) = (props[0][1], props[0][2])
@@ -171,9 +173,13 @@ def load_ply(path: str):
             else:
                 raise ValueError(f"unsupported PLY element {name}")
 
-    return (np.asarray(verts, np.float32), np.asarray(faces, np.int32),
-            None if norms is None else np.asarray(norms, np.float32),
-            None if uvs is None else np.asarray(uvs, np.float32))
+    out = (np.asarray(verts, np.float32), np.asarray(faces, np.int32),
+           None if norms is None else np.asarray(norms, np.float32),
+           None if uvs is None else np.asarray(uvs, np.float32))
+    if want_colors:
+        return out + (None if vcolors is None
+                      else np.asarray(vcolors, np.float32),)
+    return out
 
 
 def _extract_vertex_cols(rows, cols):
@@ -190,7 +196,14 @@ def _extract_vertex_cols(rows, cols):
     u = col("u", "s", "texture_u")
     uvs = (np.stack([u, col("v", "t", "texture_v")], axis=1)
            if u is not None else None)
-    return verts, norms, uvs
+    r = col("red", "r", "diffuse_red")
+    colors = None
+    if r is not None:
+        colors = np.stack([r, col("green", "g", "diffuse_green"),
+                           col("blue", "b", "diffuse_blue")], axis=1)
+        if colors.max() > 1.5:   # uchar-encoded 0-255 colors
+            colors = colors / 255.0
+    return verts, norms, uvs, colors
 
 
 # ---------------------------------------------------------------------------
@@ -206,7 +219,8 @@ _E_SINGLE = 0x1000
 _E_DOUBLE = 0x2000
 
 
-def load_serialized(path: str, shape_index: int = 0):
+def load_serialized(path: str, shape_index: int = 0,
+                    want_colors: bool = False):
     """Mitsuba 0.x .serialized mesh container (zlib-deflated per shape;
     trailing uint64 offset table + uint32 count)."""
     with open(path, "rb") as f:
@@ -240,13 +254,27 @@ def load_serialized(path: str, shape_index: int = 0):
     verts = take(vcount * 3).reshape(vcount, 3)
     norms = take(vcount * 3).reshape(vcount, 3) if flags & _E_HAS_NORMALS else None
     uvs = take(vcount * 2).reshape(vcount, 2) if flags & _E_HAS_TEXCOORDS else None
-    if flags & _E_HAS_COLORS:
-        take(vcount * 3)
+    vcolors = (take(vcount * 3).reshape(vcount, 3)
+               if flags & _E_HAS_COLORS else None)
     faces = np.frombuffer(stream, np.uint32, count=tcount * 3,
                           offset=off).reshape(tcount, 3).astype(np.int32)
     if flags & _E_FACE_NORMALS:
         norms = None
+    if want_colors:
+        return verts, faces, norms, uvs, vcolors
     return verts, faces, norms, uvs
+
+
+def load_mesh_ex(path: str, shape_index: int = 0):
+    """Like load_mesh but also returns per-vertex colors (or None) —
+    the data source of the vertexcolors texture (ref:
+    src/textures/vertexcolors.cpp reads TriMesh vertex colors)."""
+    p = path.lower()
+    if p.endswith(".ply"):
+        return load_ply(path, want_colors=True)
+    if p.endswith(".serialized"):
+        return load_serialized(path, shape_index, want_colors=True)
+    return load_mesh(path, shape_index) + (None,)
 
 
 def load_mesh(path: str, shape_index: int = 0):

@@ -226,6 +226,9 @@ class Scene:
     # (render/irawan.py IrawanPattern; ref: src/bsdfs/irawan.cpp).
     # Presence is static: trace functions specialize on it.
     irawan: object | None = None
+    # (T, 3, 3) per-corner vertex colors for the vertexcolors texture
+    # (materials with tex_id == -2; ref: src/textures/vertexcolors.cpp)
+    vcolors: jnp.ndarray | None = None
 
 
 @struct.dataclass

@@ -34,6 +34,7 @@ import re
 import warnings
 import xml.etree.ElementTree as ET
 
+import jax.numpy as jnp
 import numpy as np
 
 from drmlt_mitsuba_tpu.scene import types as st
@@ -236,9 +237,11 @@ def _parse_texture(tex_node, defaults, ctx, base_dir, raw=False):
         page = np.broadcast_to(base_v * sc, (size, size, 3)).astype(
             np.float32).copy()
     elif ttype == "vertexcolors":
-        # per-vertex colors are not carried by the SoA mesh; flat gray
-        warnings.warn("vertexcolors texture approximated as constant 0.5")
-        page = np.full((size, size, 3), 0.5, np.float32)
+        # sentinel tex id: the albedo lookup interpolates the mesh's
+        # per-vertex colors barycentrically (Scene.vcolors; ref:
+        # src/textures/vertexcolors.cpp reading TriMesh colors)
+        ctx["want_vcolors"] = True
+        return -2
     else:
         warnings.warn(f"unsupported texture '{ttype}', using constant 0.5")
         page = np.full((size, size, 3), 0.5, np.float32)
@@ -603,6 +606,7 @@ def load_scene_xml(path: str, defaults: dict | None = None):
 
     ctx = dict(materials=[], mat_by_id={}, textures=[], groups={})
     meshes = []     # (v, f, n, uv, mat_idx, emitter_radiance|None)
+    mesh_vcolors = {}   # mesh list index -> (V, 3) per-vertex colors
     spheres = []    # (center, radius, mat_idx, radiance|None)
     env_radiance = np.zeros(3, np.float32)
     env_img = None
@@ -675,12 +679,17 @@ def load_scene_xml(path: str, defaults: dict | None = None):
             radiance = _props(em, defaults).get("radiance", np.ones(3, np.float32))
 
         if stype in ("obj", "ply", "serialized"):
+            from drmlt_mitsuba_tpu.scene.mesh_io import load_mesh_ex
+
             fname = props.get("filename")
             fpath = fname if os.path.isabs(fname) else os.path.join(base, fname)
-            v, f, n, uv = load_mesh(fpath, props.get("shapeIndex", 0))
+            v, f, n, uv, vcol = load_mesh_ex(fpath,
+                                             props.get("shapeIndex", 0))
             if props.get("faceNormals"):
                 n = None
             v, n = _apply_transform(m, v, n)
+            if vcol is not None:
+                mesh_vcolors[len(meshes)] = vcol
             meshes.append((v, f, n, uv, mat_idx, radiance))
         elif stype == "rectangle":
             v, f, n, uv = _unit_rect()
@@ -1180,6 +1189,15 @@ def load_scene_xml(path: str, defaults: dict | None = None):
             uv if uv is not None else np.zeros((len(v), 2), np.float32)
             for (v, uv) in zip(all_v, all_uv)
         ])
+    vcolors_tri = None
+    if ctx.get("want_vcolors") and mesh_vcolors:
+        vc = np.concatenate([
+            mesh_vcolors.get(i, np.full((len(v), 3), 0.5, np.float32))
+            for i, (v, *_rest) in enumerate(meshes)
+        ]) if meshes else np.full((len(verts), 3), 0.5, np.float32)
+        vcolors_tri = np.stack(
+            [vc[faces[:, 0]], vc[faces[:, 1]], vc[faces[:, 2]]], axis=1
+        ).astype(np.float32)   # (T, 3 corners, 3)
 
     tris = st.build_triangles(
         verts, faces, np.concatenate(all_mat), np.concatenate(all_emid),
@@ -1254,5 +1272,6 @@ def load_scene_xml(path: str, defaults: dict | None = None):
         medium=medium,
         media=st.make_medium_table(ctx["media"]) if ctx["media"] else None,
         irawan=ctx.get("irawan"),
+        vcolors=None if vcolors_tri is None else jnp.asarray(vcolors_tri),
     )
     return scene, settings
