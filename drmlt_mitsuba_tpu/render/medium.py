@@ -321,17 +321,43 @@ class HeterogeneousMedium:
     albedo: jnp.ndarray         # (3,)
     g: jnp.ndarray              # scalar
     majorant: jnp.ndarray       # scalar: max density
+    # optional per-voxel single-scattering albedo (ref: heterogeneous.cpp
+    # 'albedo' volume data source); None = the constant `albedo` above
+    albedo_grid: jnp.ndarray | None = None   # (D, H, W, 3)
+    # phase function (same fields as HomogeneousMedium; constant fiber —
+    # per-voxel orientation volumes are not supported)
+    phase_kind: int = struct.field(pytree_node=False, default=PHASE_HG)
+    ph_params: jnp.ndarray | None = None
+    fiber: jnp.ndarray | None = None
+    mix_w: jnp.ndarray | None = None
+    mix_g: jnp.ndarray | None = None
+    mix_kinds: tuple = struct.field(pytree_node=False, default=())
 
 
-def make_hetero_medium(density, world_to_grid, sigma_t, albedo, g=0.0):
+def make_hetero_medium(density, world_to_grid, sigma_t, albedo, g=0.0,
+                       albedo_grid=None, phase_kind: int = PHASE_HG,
+                       fiber=(0.0, 0.0, 1.0), kkay=(0.4, 0.2, 4.0),
+                       stddev=0.3, mixture=None):
     density = jnp.asarray(density, jnp.float32)
+    # reuse the homogeneous constructor for the packed phase params
+    ph = make_medium(sigma_t, albedo, g, phase_kind=phase_kind,
+                     fiber=fiber, kkay=kkay, stddev=stddev,
+                     mixture=mixture)
     return HeterogeneousMedium(
         density=density,
         world_to_grid=jnp.asarray(world_to_grid, jnp.float32),
-        sigma_t=jnp.asarray(sigma_t, jnp.float32).reshape(3),
-        albedo=jnp.asarray(albedo, jnp.float32).reshape(3),
-        g=jnp.float32(g),
+        sigma_t=ph.sigma_t,
+        albedo=ph.albedo,
+        g=ph.g,
         majorant=jnp.max(density),
+        albedo_grid=(None if albedo_grid is None
+                     else jnp.asarray(albedo_grid, jnp.float32)),
+        phase_kind=phase_kind,
+        ph_params=ph.ph_params,
+        fiber=ph.fiber,
+        mix_w=ph.mix_w,
+        mix_g=ph.mix_g,
+        mix_kinds=ph.mix_kinds,
     )
 
 
@@ -363,6 +389,38 @@ def _grid_density(med: HeterogeneousMedium, p_world):
     return jnp.where(inside, c, 0.0)
 
 
+def _grid_albedo(med: HeterogeneousMedium, p_world):
+    """Per-voxel single-scattering albedo (trilinear); falls back to the
+    constant albedo when no albedo grid is attached."""
+    from drmlt_mitsuba_tpu.core.transform import apply_point
+
+    if med.albedo_grid is None:
+        return jnp.broadcast_to(med.albedo, p_world.shape[:-1] + (3,))
+    g = med.albedo_grid
+    D, H, W, _ = g.shape
+    q = apply_point(med.world_to_grid, p_world)
+    x = jnp.clip(q[..., 0], 0.0, 1.0 - 1e-6) * (W - 1)
+    y = jnp.clip(q[..., 1], 0.0, 1.0 - 1e-6) * (H - 1)
+    z = jnp.clip(q[..., 2], 0.0, 1.0 - 1e-6) * (D - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    z0 = jnp.floor(z).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    z1 = jnp.minimum(z0 + 1, D - 1)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    fz = (z - z0)[..., None]
+    c = (
+        (g[z0, y0, x0] * (1 - fx) + g[z0, y0, x1] * fx) * (1 - fy)
+        + (g[z0, y1, x0] * (1 - fx) + g[z0, y1, x1] * fx) * fy
+    ) * (1 - fz) + (
+        (g[z1, y0, x0] * (1 - fx) + g[z1, y0, x1] * fx) * (1 - fy)
+        + (g[z1, y1, x0] * (1 - fx) + g[z1, y1, x1] * fx) * fy
+    ) * fz
+    return c
+
+
 _WOODCOCK_STEPS = 64
 
 
@@ -391,6 +449,9 @@ def sample_distance_hetero(med: HeterogeneousMedium, o, d, u_channel,
     )
 
     max_sig = jnp.max(med.sigma_t)
+    # microflake media: extinction varies with the (fixed) ray direction;
+    # sigma(d) <= 1 so the direction-independent majorant still bounds
+    sdir = sigma_dir(med, d)                          # (R,), 1 unless SGGX
 
     def body(i, carry):
         t, done, scattered, w, key = carry
@@ -402,7 +463,7 @@ def sample_distance_hetero(med: HeterogeneousMedium, o, d, u_channel,
         exited = t_new >= t_surface
         p = o + t_new[:, None] * d
         dens = _grid_density(med, p)
-        sig_local = dens * max_sig                    # collision channel
+        sig_local = dens * max_sig * sdir             # collision channel
         real = (jax.vmap(lambda k: jax.random.uniform(k))(k2)
                 < sig_local / sig_bar)
         newly_scattered = ~done & ~exited & real
@@ -410,7 +471,7 @@ def sample_distance_hetero(med: HeterogeneousMedium, o, d, u_channel,
         # per-channel factor (sig_bar - dens*sigma_c)/(sig_bar - sig_local)
         # so chromatic sigma_t is exact, not max-channel grey
         null = ~done & ~exited & ~real
-        null_num = sig_bar - dens[:, None] * med.sigma_t[None, :]
+        null_num = sig_bar - (dens * sdir)[:, None] * med.sigma_t[None, :]
         null_den = jnp.maximum(sig_bar - sig_local, 1e-12)[:, None]
         w = jnp.where(null[:, None], w * null_num / null_den, w)
         newly_done = ~done & (exited | real)
@@ -430,9 +491,12 @@ def sample_distance_hetero(med: HeterogeneousMedium, o, d, u_channel,
     t = jnp.where(scattered, jnp.minimum(t, t_surface * (1 - 1e-6)),
                   t_surface)
     # real collision: per-channel factor (dens*sigma_c/sig_bar)/(sig_local/
-    # sig_bar) = sigma_c/max_sig (density cancels), times albedo
-    scatter_fac = med.albedo * med.sigma_t / jnp.maximum(max_sig, 1e-20)
-    weight = w * jnp.where(scattered[:, None], scatter_fac[None, :], 1.0)
+    # sig_bar) = sigma_c/max_sig (density cancels), times the albedo at
+    # the scatter point (per-voxel when an albedo grid is attached)
+    p_scat = o + t[:, None] * d
+    alb = _grid_albedo(med, p_scat)
+    scatter_fac = alb * (med.sigma_t / jnp.maximum(max_sig, 1e-20))[None, :]
+    weight = w * jnp.where(scattered[:, None], scatter_fac, 1.0)
     return dict(scattered=scattered, t=t, weight=weight)
 
 
@@ -449,6 +513,8 @@ def transmittance_hetero(med: HeterogeneousMedium, o, d, dist, u_seed,
         jax.random.PRNGKey(4321), seeds
     )
 
+    sdir = sigma_dir(med, d)                          # (R,), 1 unless SGGX
+
     def body(i, carry):
         t, tr, key = carry
         k1, key = jax.vmap(lambda k: tuple(jax.random.split(k)))(key)
@@ -461,7 +527,8 @@ def transmittance_hetero(med: HeterogeneousMedium, o, d, dist, u_seed,
         dens = _grid_density(med, p)
         # per-channel ratio against the shared majorant => chromatic
         # sigma_t transmittance is exact in expectation
-        ratio = 1.0 - dens[:, None] * med.sigma_t[None, :] / sig_bar
+        ratio = 1.0 - (dens * sdir)[:, None] * med.sigma_t[None, :] \
+            / sig_bar
         tr = jnp.where(inside[:, None], tr * jnp.maximum(ratio, 0.0), tr)
         return t, tr, key
 

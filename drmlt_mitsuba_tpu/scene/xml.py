@@ -541,6 +541,25 @@ def read_vol(path: str):
     return np.ascontiguousarray(data), bb[:3].copy(), bb[3:].copy()
 
 
+def read_vol_rgb(path: str):
+    """Like read_vol but keeps all channels, broadcast to 3 (the albedo /
+    orientation volume layouts of the reference gridvolume)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:3] != b"VOL":
+        raise ValueError(f"{path}: not a VOL file")
+    enc, xr, yr, zr, ch = np.frombuffer(raw[4:24], np.int32)
+    bb = np.frombuffer(raw[24:48], np.float32)
+    if enc != 1:
+        raise ValueError(f"{path}: only float32 encoding supported")
+    data = np.frombuffer(raw[48:48 + 4 * xr * yr * zr * ch], np.float32)
+    data = data.reshape(zr, yr, xr, ch)
+    if ch == 1:
+        data = np.repeat(data, 3, axis=-1)
+    return (np.ascontiguousarray(data[..., :3]), bb[:3].copy(),
+            bb[3:].copy())
+
+
 def write_vol(path: str, density, bb_min, bb_max):
     """Write a float32 single-channel .vol grid (inverse of read_vol)."""
     density = np.asarray(density, np.float32)
@@ -1042,11 +1061,30 @@ def load_scene_xml(path: str, defaults: dict | None = None):
             from drmlt_mitsuba_tpu.render.medium import make_hetero_medium
 
             density, w2g = None, None
+            albedo_grid = None
             for vol in md.findall("volume"):
-                if _subst(vol.get("name"), defaults) != "density":
-                    continue
+                vname = _subst(vol.get("name"), defaults)
                 vtype = _subst(vol.get("type"), defaults)
                 vprops = _props(vol, defaults)
+                if vname == "albedo":
+                    if vtype == "gridvolume":
+                        fname = vprops["filename"]
+                        fpath = fname if os.path.isabs(fname) else \
+                            os.path.join(base, fname)
+                        albedo_grid, _, _ = read_vol_rgb(fpath)
+                    elif vtype == "constvolume":
+                        albedo = np.broadcast_to(np.asarray(
+                            vprops.get("value", 1.0), np.float32), (3,))
+                    else:
+                        warnings.warn(
+                            f"unsupported albedo volume '{vtype}'")
+                    continue
+                if vname != "density":
+                    if vname == "orientation":
+                        warnings.warn(
+                            "orientation volumes are not supported; use a "
+                            "constant 'orientation' on the phase instead")
+                    continue
                 if vtype == "gridvolume":
                     fname = vprops["filename"]
                     fpath = fname if os.path.isabs(fname) else os.path.join(
@@ -1073,7 +1111,9 @@ def load_scene_xml(path: str, defaults: dict | None = None):
                 warnings.warn("heterogeneous medium without density volume, "
                               "skipped")
                 continue
-            medium = make_hetero_medium(density, w2g, sigma_t, albedo, g)
+            medium = make_hetero_medium(density, w2g, sigma_t, albedo, g,
+                                        albedo_grid=albedo_grid,
+                                        phase_kind=phase_kind, **phase_kw)
         else:
             from drmlt_mitsuba_tpu.render.medium import make_medium
 

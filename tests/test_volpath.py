@@ -297,3 +297,91 @@ def test_exotic_phases_render():
         base.replace(medium=make_medium(sig, [0.6] * 3, 0.0)),
         cfg, u).lum.mean())
     assert l_flake > 0.95 * l_iso, (l_flake, l_iso)
+
+
+class TestHeteroExtensions:
+    """Per-voxel albedo grids + exotic phases in grid media (ref:
+    heterogeneous.cpp albedo volume / phase dispatch)."""
+
+    def _grid(self, **kw):
+        from drmlt_mitsuba_tpu.render.medium import make_hetero_medium
+        from drmlt_mitsuba_tpu.scene.builders import cornell_box
+
+        # grid spans [-900, 900]^3: covers the camera AND the box
+        w2g = np.eye(4, dtype=np.float32) / 1800.0
+        w2g[:3, 3] = 0.5
+        w2g[3, 3] = 1.0
+        med = make_hetero_medium(np.ones((4, 4, 4), np.float32), w2g,
+                                 [2e-3] * 3, [0.6] * 3, **kw)
+        return cornell_box(16, 16).replace(medium=med)
+
+    def test_constant_albedo_grid_matches_scalar(self):
+        from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+        from drmlt_mitsuba_tpu.integrators.path import trace_paths
+
+        cfg = PathConfig(max_depth=4, rr_depth=100)
+        u = jax.random.uniform(jax.random.PRNGKey(8), (32768, cfg.n_dims))
+        s_scalar = self._grid()
+        s_grid = self._grid(
+            albedo_grid=np.full((4, 4, 4, 3), 0.6, np.float32))
+        l0 = float(trace_paths(s_scalar, cfg, u).lum.mean())
+        l1 = float(trace_paths(s_grid, cfg, u).lum.mean())
+        np.testing.assert_allclose(l1, l0, rtol=1e-5)
+
+    def test_varying_albedo_grid_between_bounds(self):
+        from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+        from drmlt_mitsuba_tpu.integrators.path import trace_paths
+
+        cfg = PathConfig(max_depth=4, rr_depth=100)
+        u = jax.random.uniform(jax.random.PRNGKey(9), (32768, cfg.n_dims))
+        lo = float(trace_paths(self._grid(
+            albedo_grid=np.full((4, 4, 4, 3), 0.0, np.float32)),
+            cfg, u).lum.mean())
+        hi = float(trace_paths(self._grid(
+            albedo_grid=np.full((4, 4, 4, 3), 1.0, np.float32)),
+            cfg, u).lum.mean())
+        half = float(trace_paths(self._grid(
+            albedo_grid=np.full((4, 4, 4, 3), 0.5, np.float32)),
+            cfg, u).lum.mean())
+        assert lo < half < hi, (lo, half, hi)
+
+    def test_rayleigh_grid_matches_homogeneous(self):
+        from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+        from drmlt_mitsuba_tpu.integrators.path import trace_paths
+        from drmlt_mitsuba_tpu.render.medium import (
+            PHASE_RAYLEIGH, make_medium,
+        )
+        from drmlt_mitsuba_tpu.scene.builders import cornell_box
+
+        cfg = PathConfig(max_depth=4, rr_depth=100)
+        u = jax.random.uniform(jax.random.PRNGKey(10), (65536, cfg.n_dims))
+        het = self._grid(phase_kind=PHASE_RAYLEIGH)
+        hom = cornell_box(16, 16).replace(medium=make_medium(
+            [2e-3] * 3, [0.6] * 3, phase_kind=PHASE_RAYLEIGH))
+        lh = trace_paths(het, cfg, u).lum
+        lo = trace_paths(hom, cfg, u).lum
+        se = float(lh.std() + lo.std()) / np.sqrt(lh.shape[0])
+        assert abs(float(lh.mean() - lo.mean())) < 4.0 * se
+
+    def test_microflake_grid_directional_transmittance(self):
+        from drmlt_mitsuba_tpu.render.medium import (
+            PHASE_MICROFLAKE, transmittance_hetero,
+        )
+
+        scene = self._grid(phase_kind=PHASE_MICROFLAKE,
+                           fiber=(0.0, 0.0, 1.0), stddev=0.1)
+        med = scene.medium.replace(sigma_t=jnp.full(3, 5e-3))
+        R = 20000
+        o = jnp.zeros((R, 3)) + jnp.asarray([278.0, 273.0, 100.0])
+        u = jax.random.uniform(jax.random.PRNGKey(3), (R,))
+        dist = jnp.full((R,), 300.0)
+        d_along = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (R, 1))
+        d_across = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (R, 1))
+        tr_along = float(transmittance_hetero(med, o, d_along, dist,
+                                              u).mean())
+        tr_across = float(transmittance_hetero(med, o, d_across, dist,
+                                               u).mean())
+        # extinction along the fiber is ~eps; across it the full sigma_t
+        assert tr_along > tr_across + 0.2, (tr_along, tr_across)
+        np.testing.assert_allclose(tr_across, np.exp(-5e-3 * 300.0),
+                                   rtol=0.05)
