@@ -186,8 +186,8 @@ def _walk(scene: Scene, o0, d0, beta0, pdf0_sa, src_p, src_ns, n_surface,
     the MIS ratio recursion stays exact in volumetric scenes.
     """
     from drmlt_mitsuba_tpu.render.medium import (
-        HomogeneousMedium, distance_pdfs, hg_phase, sample_distance,
-        sample_hg,
+        HomogeneousMedium, distance_pdfs, phase_pdf_dir, phase_sample_dir,
+        sample_distance,
     )
 
     R = o0.shape[0]
@@ -262,13 +262,17 @@ def _walk(scene: Scene, o0, d0, beta0, pdf0_sa, src_p, src_ns, n_surface,
         )
         bs_weight, bs_pdf, bs_delta = bs.weight, bs.pdf, bs.delta
         if med is not None:
-            wo_ph, pdf_ph = sample_hg(med.g, wi_world, ub[:, 1:3])
+            wo_ph, pdf_ph, val_ph = phase_sample_dir(med, wi_world,
+                                                     ub[:, 1:3])
+            w_ph = val_ph / jnp.maximum(pdf_ph, 1e-20)
             wo_world = jnp.where(scat[:, None], wo_ph, wo_world)
-            bs_weight = jnp.where(scat[:, None], 1.0, bs_weight)
+            bs_weight = jnp.where(scat[:, None], w_ph[:, None], bs_weight)
             bs_pdf = jnp.where(scat, pdf_ph, bs_pdf)
             bs_delta = jnp.where(scat, False, bs_delta)
-            # HG is symmetric in the in/out angle: reverse dir pdf = fwd
-            pdf_rev_sa = jnp.where(scat, pdf_ph, pdf_rev_sa)
+            # reverse-direction pdf (equals fwd for the angle-symmetric
+            # kinds; differs for microflake's sigma(wi) normalization)
+            pdf_rev_ph = phase_pdf_dir(med, wo_world, wi_world)
+            pdf_rev_sa = jnp.where(scat, pdf_rev_ph, pdf_rev_sa)
         prev_rev = _sa_to_area_med(pdf_rev_sa, p_v, carry["prev_p"],
                                    carry["prev_ns"], carry["prev_med"])
         if med is not None:
@@ -694,16 +698,21 @@ def _scene_med(scene):
 
 def _edge_shading(scene, med, mat_id, wi_world, w_out, ns, is_med):
     """(f, pdf_sa) at a vertex toward w_out: the BSDF, or the phase
-    function at medium vertices (value == pdf; sigma_s/albedo are already
-    folded into beta by the distance-sampling weight)."""
+    function at medium vertices (sigma_s/albedo are already folded into
+    beta by the distance-sampling weight).  Any configured phase kind
+    evaluates through the generalized dispatch (value and sampling pdf
+    can differ, e.g. kkay's uniform-sphere sampler)."""
     f_b, pdf_b = _bsdf_eval_pdf(scene, mat_id, wi_world, w_out, ns)
     if med is None:
         return f_b, pdf_b
-    from drmlt_mitsuba_tpu.render.medium import hg_phase
+    from drmlt_mitsuba_tpu.render.medium import (
+        phase_eval_dir, phase_pdf_dir,
+    )
 
-    ph = hg_phase(med.g, jnp.sum(-wi_world * w_out, -1))
-    return (jnp.where(is_med[:, None], ph[:, None], f_b),
-            jnp.where(is_med, ph, pdf_b))
+    ph_v = phase_eval_dir(med, wi_world, w_out)
+    ph_p = phase_pdf_dir(med, wi_world, w_out)
+    return (jnp.where(is_med[:, None], ph_v[:, None], f_b),
+            jnp.where(is_med, ph_p, pdf_b))
 
 
 def _fdist(med, p_a, p_b, b_is_med):
@@ -720,12 +729,18 @@ def _fdist(med, p_a, p_b, b_is_med):
     return jnp.where(b_is_med, r_scat, r_esc)
 
 
-def _edge_tr(med, dist):
+def _edge_tr(med, dist, d=None):
     """Connection-edge transmittance (ref: src/libbidir/edge.cpp
-    evalTransmittance); 1 without a medium."""
+    evalTransmittance); 1 without a medium.  `d` (unit edge direction)
+    activates the directional extinction of microflake media."""
     if med is None:
         return 1.0
-    return jnp.exp(-med.sigma_t * dist[..., None])
+    sig = med.sigma_t
+    if d is not None:
+        from drmlt_mitsuba_tpu.render.medium import sigma_dir
+
+        sig = sig[None, :] * sigma_dir(med, d)[:, None]
+    return jnp.exp(-sig * dist[..., None])
 
 
 def _strategies(scene: Scene, cfg: BDPTConfig, L: SubpathSoA, E: SubpathSoA,
@@ -840,7 +855,7 @@ def _strategies(scene: Scene, cfg: BDPTConfig, L: SubpathSoA, E: SubpathSoA,
             )
             contrib = (
                 L.beta[:, lv] * f_l * f_e * E.beta[:, ev] * g[:, None]
-            ) * _edge_tr(med, dist)
+            ) * _edge_tr(med, dist, w_le)
             ok = ok & (luminance(contrib) > 0)
             sh_o = pl + w_le * (RAY_EPS * jnp.maximum(1.0, dist))[:, None]
             blocked = occluded(scene, sh_o, w_le, dist * (1.0 - 1e-3))
@@ -933,7 +948,7 @@ def _strategies(scene: Scene, cfg: BDPTConfig, L: SubpathSoA, E: SubpathSoA,
                     L.ns[:, lv], l_med,
                 )
             contrib = (L.beta[:, lv] * f_l * (g * we)[:, None]
-                       * _edge_tr(med, dist))
+                       * _edge_tr(med, dist, w_lc))
             ok = ok & (luminance(contrib) > 0)
             sh_o = pl + w_lc * (RAY_EPS * jnp.maximum(1.0, dist))[:, None]
             blocked = occluded(scene, sh_o, w_lc, dist * (1.0 - 1e-3))
@@ -1149,7 +1164,7 @@ def trace_mmlt(scene: Scene, cfg: BDPTConfig, u, depth) -> Splats:
     f_e = jnp.where(case_lt[:, None], we[:, None], f_e_bsdf)
 
     contrib_conn = (Lbeta * f_l * f_e * Ebeta * g[:, None]
-                    * _edge_tr(med, dist))
+                    * _edge_tr(med, dist, w_le))
 
     l_deltab = jnp.where(is_s1, False, Ldelta)
     ok_conn = (case_conn & Lvalid & Evalid & ~l_deltab & ~Edelta

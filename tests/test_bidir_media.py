@@ -85,3 +85,71 @@ def test_bdpt_fog_without_flag_is_surface_only():
     u = jax.random.uniform(jax.random.PRNGKey(1), (256, cfg_s.n_dims))
     sp = trace_bdpt(scene, cfg_s, u)
     assert np.all(np.isfinite(np.asarray(sp.value)))
+
+
+def test_bdpt_rayleigh_fog_matches_volpath_pt():
+    """BDPT in a Rayleigh-phase fog agrees with unidirectional volpath —
+    the generalized phase dispatch (eval/pdf/sample + reverse pdfs) in
+    the bidirectional layer."""
+    from drmlt_mitsuba_tpu.render.medium import PHASE_RAYLEIGH
+
+    scene = cornell_box(W, H).replace(
+        medium=make_medium((0.0014,) * 3, (0.8,) * 3,
+                           phase_kind=PHASE_RAYLEIGH))
+    fc = filmlib.make_film_config(W, H, "box")
+    f = render_pt(scene, PathConfig(max_depth=3, rr_depth=100),
+                  jax.random.PRNGKey(1), 16384 * 24, fc, mode="accum")
+    pt = np.asarray(filmlib.develop(fc, f, mode="accum")).mean(axis=(0, 1))
+
+    bcfg = BDPTConfig(max_depth=3, medium=True)
+
+    @jax.jit
+    def run(key, film):
+        u = jax.random.uniform(key, (4096, bcfg.n_dims))
+        sp = trace_bdpt(scene, bcfg, u)
+        pos = sp.pos.reshape(-1, 2) * jnp.asarray([W, H], jnp.float32)
+        return filmlib.splat(fc, film, pos, sp.value.reshape(-1, 3),
+                             mode="splat")
+
+    film = filmlib.new_film(fc)
+    n = 24
+    for i in range(n):
+        film = run(jax.random.fold_in(jax.random.PRNGKey(5), i), film)
+    bd = np.asarray(
+        filmlib.develop(fc, film, mode="splat", scale=W * H / (n * 4096))
+    ).mean(axis=(0, 1))
+    np.testing.assert_allclose(bd, pt, rtol=0.1)
+
+
+def test_bdpt_mixture_fog_matches_volpath_pt():
+    """Same consistency oracle with a 2-component mixturephase."""
+    from drmlt_mitsuba_tpu.render.medium import PHASE_MIXTURE
+
+    scene = cornell_box(W, H).replace(
+        medium=make_medium((0.0014,) * 3, (0.8,) * 3,
+                           phase_kind=PHASE_MIXTURE,
+                           mixture=[("hg", 0.5, 0.6),
+                                    ("rayleigh", 0.0, 0.4)]))
+    fc = filmlib.make_film_config(W, H, "box")
+    f = render_pt(scene, PathConfig(max_depth=3, rr_depth=100),
+                  jax.random.PRNGKey(2), 16384 * 24, fc, mode="accum")
+    pt = np.asarray(filmlib.develop(fc, f, mode="accum")).mean(axis=(0, 1))
+
+    bcfg = BDPTConfig(max_depth=3, medium=True)
+
+    @jax.jit
+    def run(key, film):
+        u = jax.random.uniform(key, (4096, bcfg.n_dims))
+        sp = trace_bdpt(scene, bcfg, u)
+        pos = sp.pos.reshape(-1, 2) * jnp.asarray([W, H], jnp.float32)
+        return filmlib.splat(fc, film, pos, sp.value.reshape(-1, 3),
+                             mode="splat")
+
+    film = filmlib.new_film(fc)
+    n = 24
+    for i in range(n):
+        film = run(jax.random.fold_in(jax.random.PRNGKey(6), i), film)
+    bd = np.asarray(
+        filmlib.develop(fc, film, mode="splat", scale=W * H / (n * 4096))
+    ).mean(axis=(0, 1))
+    np.testing.assert_allclose(bd, pt, rtol=0.1)
