@@ -176,15 +176,51 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
         from drmlt_mitsuba_tpu.ops.gather import onehot_gather, pack_rows
         from drmlt_mitsuba_tpu.render.medium import HomogeneousMedium
 
+        from drmlt_mitsuba_tpu.render.medium import (
+            PHASE_KKAY, PHASE_MICROFLAKE, PHASE_MIXTURE,
+        )
+
+        ext_kind = 0
+        ext_fiber = jnp.asarray([0.0, 0.0, 1.0])
+        ext_pha = jnp.zeros(4)
         if isinstance(medium, HomogeneousMedium):
             ext = (medium.sigma_t, medium.albedo, jnp.reshape(medium.g, (1,)))
+            ext_kind = getattr(medium, "phase_kind", 0)
+            if ext_kind == PHASE_MIXTURE:
+                # mixture exterior + interior media: fall back to HG
+                ext_kind = 0
+            if medium.fiber is not None:
+                ext_fiber = medium.fiber
+            if ext_kind == PHASE_KKAY:
+                ext_pha = medium.ph_params
+            elif ext_kind == PHASE_MICROFLAKE:
+                # recover stddev from the S matrix: eps^2 = f^T S f
+                eps2 = jnp.einsum("i,ij,j->", ext_fiber, medium.ph_params,
+                                  ext_fiber)
+                ext_pha = jnp.concatenate(
+                    [jnp.sqrt(jnp.maximum(eps2, 1e-12))[None]
+                     / jnp.sqrt(2.0), jnp.zeros(3)])
         else:   # vacuum exterior (heterogeneous globals are not lane-mixed)
             ext = (jnp.zeros(3), jnp.ones(3), jnp.zeros(1))
+        mt = scene.media
+        med_kind = (mt.phase_kind if mt.phase_kind is not None
+                    else jnp.zeros(mt.g.shape, jnp.int32))
+        med_fiber = (mt.fiber if mt.fiber is not None
+                     else jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                           mt.sigma_t.shape))
+        med_pha = (mt.ph_a if mt.ph_a is not None
+                   else jnp.zeros(mt.g.shape + (4,)))
         med_packed = pack_rows(
-            jnp.concatenate([ext[0][None], scene.media.sigma_t]),
-            jnp.concatenate([ext[1][None], scene.media.albedo]),
-            jnp.concatenate([ext[2], scene.media.g]),
+            jnp.concatenate([ext[0][None], mt.sigma_t]),
+            jnp.concatenate([ext[1][None], mt.albedo]),
+            jnp.concatenate([ext[2], mt.g]),
+            jnp.concatenate([jnp.asarray([ext_kind], jnp.float32),
+                             med_kind.astype(jnp.float32)]),
+            jnp.concatenate([ext_fiber[None], med_fiber]),
+            jnp.concatenate([ext_pha[None], med_pha]),
         )
+        lane_kinds = tuple(sorted(
+            set(getattr(mt, "kinds_present", (0,))) | {int(ext_kind)}))
         carry["med"] = jnp.full((R,), -1, jnp.int32)
     any_media = lane_media or medium is not None
 
@@ -199,11 +235,18 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
 
         # ---- participating medium: distance sampling (volpath) -----------
         if lane_media:
-            from drmlt_mitsuba_tpu.render.medium import sample_distance_lanes
+            from drmlt_mitsuba_tpu.render.medium import (
+                sample_distance_lanes, sigma_dir_lanes,
+            )
 
             t_surf = jnp.where(hit.valid, hit.t, 1.0e7)
             mrow = onehot_gather(med_packed, carry["med"] + 1)
             sig_l, alb_l, g_l = mrow[:, 0:3], mrow[:, 3:6], mrow[:, 6]
+            kind_l = mrow[:, 7].astype(jnp.int32)
+            fiber_l, pha_l = mrow[:, 8:11], mrow[:, 11:15]
+            # microflake rows: directional extinction along this ray
+            sig_l = sig_l * sigma_dir_lanes(
+                lane_kinds, kind_l, fiber_l, pha_l, carry["d"])[:, None]
             md = sample_distance_lanes(
                 sig_l, alb_l, ub_b[:, OFF_MED_CHANNEL],
                 ub_b[:, OFF_MED_DIST], t_surf,
@@ -321,8 +364,16 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
                 )
 
                 if lane_media:
-                    cos_ph = jnp.sum(carry["d"] * ds.d, axis=-1)
-                    ph_v = ph_pdf = hg_phase(g_l, cos_ph)
+                    from drmlt_mitsuba_tpu.render.medium import (
+                        phase_eval_lanes, phase_pdf_lanes,
+                    )
+
+                    ph_v = phase_eval_lanes(lane_kinds, kind_l, g_l,
+                                            fiber_l, pha_l, -carry["d"],
+                                            ds.d)
+                    ph_pdf = phase_pdf_lanes(lane_kinds, kind_l, g_l,
+                                             fiber_l, pha_l, -carry["d"],
+                                             ds.d)
                 else:
                     ph_v = phase_eval_dir(medium, -carry["d"], ds.d)
                     ph_pdf = phase_pdf_dir(medium, -carry["d"], ds.d)
@@ -344,13 +395,16 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
             contrib = tp * f_val * ds.radiance * (w_nee / jnp.maximum(ds.pdf, 1e-20))[:, None]
             if lane_media:
                 from drmlt_mitsuba_tpu.render.medium import (
-                    transmittance_lanes,
+                    sigma_dir_lanes, transmittance_lanes,
                 )
 
                 # shadow ray attenuated by the lane's CURRENT medium (the
                 # fused occlusion sweep blocks any boundary crossing, so
-                # the segment stays inside one medium)
-                contrib = contrib * transmittance_lanes(sig_l, ds.dist)
+                # the segment stays inside one medium); microflake rows
+                # re-project sigma along the shadow direction
+                sig_sh = mrow[:, 0:3] * sigma_dir_lanes(
+                    lane_kinds, kind_l, fiber_l, pha_l, ds.d)[:, None]
+                contrib = contrib * transmittance_lanes(sig_sh, ds.dist)
             elif medium is not None:
                 if isinstance(medium, HeterogeneousMedium):
                     contrib = contrib * transmittance_hetero(
@@ -392,9 +446,14 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
             )
 
             if lane_media:
-                wo_ph, pdf_ph = sample_hg(
-                    g_l, -carry["d"], ub_b[:, OFF_BSDF_U:OFF_BSDF_U + 2])
-                w_ph = jnp.ones_like(pdf_ph)
+                from drmlt_mitsuba_tpu.render.medium import (
+                    phase_sample_lanes,
+                )
+
+                wo_ph, pdf_ph, val_ph = phase_sample_lanes(
+                    lane_kinds, kind_l, g_l, fiber_l, pha_l, -carry["d"],
+                    ub_b[:, OFF_BSDF_U:OFF_BSDF_U + 2])
+                w_ph = val_ph / jnp.maximum(pdf_ph, 1e-20)
             else:
                 wo_ph, pdf_ph, val_ph = phase_sample_dir(
                     medium, -carry["d"], ub_b[:, OFF_BSDF_U:OFF_BSDF_U + 2])

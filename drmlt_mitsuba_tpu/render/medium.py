@@ -277,6 +277,81 @@ def sample_phase(med, wi, u2):
     return sample_hg(med.g, wi, u2)
 
 
+# ---- per-lane phase dispatch for the interior-media table --------------
+# (scene.media rows can mix phase kinds; like the BSDF table, only the
+# statically-present kinds compile — kinds_present gates each branch)
+
+def phase_eval_lanes(kinds_present, kind_l, g_l, fiber_l, ph_a_l, wi, wo):
+    """Per-lane phase value; wi/wo world directions away from the event."""
+    from drmlt_mitsuba_tpu.render import phase as ph
+
+    cos_t = jnp.sum(-wi * wo, -1)
+    val = hg_phase(g_l, cos_t)
+    if PHASE_RAYLEIGH in kinds_present:
+        val = jnp.where(kind_l == PHASE_RAYLEIGH, rayleigh_phase(cos_t),
+                        val)
+    if PHASE_KKAY in kinds_present:
+        v = ph.kkay_eval(fiber_l, ph_a_l[:, 0], ph_a_l[:, 1],
+                         ph_a_l[:, 2], ph_a_l[:, 3], wi, wo)
+        val = jnp.where(kind_l == PHASE_KKAY, v, val)
+    if PHASE_MICROFLAKE in kinds_present:
+        S = ph.sggx_fiber_S(fiber_l, ph_a_l[:, 0])
+        val = jnp.where(kind_l == PHASE_MICROFLAKE,
+                        ph.sggx_eval(S, wi, wo), val)
+    return val
+
+
+def phase_pdf_lanes(kinds_present, kind_l, g_l, fiber_l, ph_a_l, wi, wo):
+    pdf = phase_eval_lanes(kinds_present, kind_l, g_l, fiber_l, ph_a_l,
+                           wi, wo)
+    if PHASE_KKAY in kinds_present:   # uniform-sphere sampler
+        pdf = jnp.where(kind_l == PHASE_KKAY, 1.0 / (4.0 * jnp.pi), pdf)
+    return pdf
+
+
+def phase_sample_lanes(kinds_present, kind_l, g_l, fiber_l, ph_a_l, wi,
+                       u2):
+    """Per-lane direction sampling: (wo, pdf, value)."""
+    from drmlt_mitsuba_tpu.render import phase as ph
+
+    wo, pdf = sample_hg(g_l, wi, u2)
+    val = pdf
+    if PHASE_RAYLEIGH in kinds_present:
+        wo_r, p_r = sample_rayleigh(wi, u2)
+        sel = kind_l == PHASE_RAYLEIGH
+        wo = jnp.where(sel[:, None], wo_r, wo)
+        pdf = jnp.where(sel, p_r, pdf)
+        val = jnp.where(sel, p_r, val)
+    if PHASE_KKAY in kinds_present:
+        wo_k, p_k, v_k = ph.kkay_sample(fiber_l, ph_a_l[:, 0],
+                                        ph_a_l[:, 1], ph_a_l[:, 2],
+                                        ph_a_l[:, 3], wi, u2)
+        sel = kind_l == PHASE_KKAY
+        wo = jnp.where(sel[:, None], wo_k, wo)
+        pdf = jnp.where(sel, p_k, pdf)
+        val = jnp.where(sel, v_k, val)
+    if PHASE_MICROFLAKE in kinds_present:
+        S = ph.sggx_fiber_S(fiber_l, ph_a_l[:, 0])
+        wo_m, p_m = ph.sggx_sample(S, wi, u2)
+        sel = kind_l == PHASE_MICROFLAKE
+        wo = jnp.where(sel[:, None], wo_m, wo)
+        pdf = jnp.where(sel, p_m, pdf)
+        val = jnp.where(sel, p_m, val)
+    return wo, pdf, val
+
+
+def sigma_dir_lanes(kinds_present, kind_l, fiber_l, ph_a_l, d):
+    """Per-lane directional-extinction multiplier (1 except microflake)."""
+    from drmlt_mitsuba_tpu.render import phase as ph
+
+    out = jnp.ones(d.shape[:-1])
+    if PHASE_MICROFLAKE in kinds_present:
+        S = ph.sggx_fiber_S(fiber_l, ph_a_l[:, 0])
+        out = jnp.where(kind_l == PHASE_MICROFLAKE, ph.sggx_sigma(S, d),
+                        out)
+    return out
+
+
 def sample_hg(g, wi, u2):
     """Sample a direction from HG around -wi (forward scattering for g>0).
 

@@ -84,25 +84,34 @@ def kkay_sample(fiber, ks, kd, exponent, norm, wi, u2):
 
 def sggx_fiber_S(fiber, stddev):
     """S matrix for a fiber microflake distribution: eps^2 along the fiber,
-    1 across it.  fiber (3,), stddev scalar -> (3,3)."""
-    f = fiber / jnp.maximum(jnp.linalg.norm(fiber), 1e-12)
-    eps = jnp.clip(stddev * jnp.sqrt(2.0), 1e-3, 1.0)
-    eye = jnp.eye(3)
-    ff = f[:, None] * f[None, :]
-    return eps * eps * ff + (eye - ff)
+    1 across it.  fiber (..., 3), stddev scalar or (...,) ->
+    (..., 3, 3) (per-lane S batches supported)."""
+    f = fiber / jnp.maximum(
+        jnp.linalg.norm(fiber, axis=-1, keepdims=True), 1e-12)
+    eps = jnp.clip(jnp.asarray(stddev) * jnp.sqrt(2.0), 1e-3, 1.0)
+    eye = jnp.broadcast_to(jnp.eye(3), f.shape[:-1] + (3, 3))
+    ff = f[..., :, None] * f[..., None, :]
+    return (eps * eps)[..., None, None] * ff + (eye - ff)
+
+
+def _sq(S, a, b):
+    """a^T S b for shared (3,3) or per-lane (R,3,3) S."""
+    if S.ndim == 3:
+        return jnp.einsum("ri,rij,rj->r", a, S, b)
+    return jnp.einsum("ri,ij,rj->r", a, S, b)
 
 
 def sggx_sigma(S, w):
-    """Projected flake area sigma(w) = sqrt(w^T S w).  w (R,3)."""
-    return jnp.sqrt(jnp.maximum(
-        jnp.einsum("ri,ij,rj->r", w, S, w), 1e-16))
+    """Projected flake area sigma(w) = sqrt(w^T S w).  w (R,3); S may be
+    shared (3,3) or per-lane (R,3,3)."""
+    return jnp.sqrt(jnp.maximum(_sq(S, w, w), 1e-16))
 
 
 def sggx_D(S, m):
     """Flake normal density D(m) = 1/(pi sqrt|S| (m^T S^-1 m)^2)."""
     det = jnp.linalg.det(S)
     S_inv = jnp.linalg.inv(S)
-    q = jnp.einsum("ri,ij,rj->r", m, S_inv, m)
+    q = _sq(S_inv, m, m)
     return 1.0 / (jnp.pi * jnp.sqrt(jnp.maximum(det, 1e-20))
                   * jnp.maximum(q, 1e-12) ** 2)
 
@@ -119,7 +128,7 @@ def sggx_sample_vndf(S, wi, u2):
 
     # orthonormal basis (wk, wj, wi)
     wk, wj = frame.coordinate_system(wi)
-    Sw = lambda a, b: jnp.einsum("ri,ij,rj->r", a, S, b)
+    Sw = lambda a, b: _sq(S, a, b)
     S_kk, S_jj, S_ii = Sw(wk, wk), Sw(wj, wj), Sw(wi, wi)
     S_kj, S_ki, S_ji = Sw(wk, wj), Sw(wk, wi), Sw(wj, wi)
 

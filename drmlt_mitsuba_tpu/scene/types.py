@@ -233,16 +233,24 @@ class Scene:
 
 @struct.dataclass
 class MediumTable:
-    """Homogeneous interior media as SoA rows (HG phase, per-row g).
+    """Homogeneous interior media as SoA rows.
 
     The lane-parallel volpath gathers a row per path (current-medium id)
-    instead of dispatching to per-shape Medium objects."""
+    instead of dispatching to per-shape Medium objects.  Per-row phase
+    kinds (HG/Rayleigh/kkay/microflake) evaluate branchlessly over the
+    statically-present kind set, like the BSDF table."""
     sigma_t: jnp.ndarray   # (K, 3) extinction
     albedo: jnp.ndarray    # (K, 3) single-scattering albedo
     g: jnp.ndarray         # (K,) HG asymmetry
+    phase_kind: jnp.ndarray | None = None  # (K,) int32 (medium.PHASE_*)
+    fiber: jnp.ndarray | None = None       # (K, 3) orientation
+    ph_a: jnp.ndarray | None = None        # (K, 4) kkay [ks,kd,exp,norm]
+    #   or sggx [stddev,0,0,0]
+    kinds_present: tuple = struct.field(pytree_node=False, default=(0,))
 
 
 def make_medium_table(rows: list[dict]) -> "MediumTable":
+    kinds = [int(r.get("phase_kind", 0)) for r in rows]
     return MediumTable(
         sigma_t=jnp.asarray(
             np.stack([np.broadcast_to(np.asarray(r["sigma_t"], np.float32),
@@ -252,6 +260,14 @@ def make_medium_table(rows: list[dict]) -> "MediumTable":
                                       (3,)) for r in rows])),
         g=jnp.asarray(np.asarray([float(r.get("g", 0.0)) for r in rows],
                                  np.float32)),
+        phase_kind=jnp.asarray(kinds, jnp.int32),
+        fiber=jnp.asarray(
+            np.stack([np.asarray(r.get("fiber", (0.0, 0.0, 1.0)),
+                                 np.float32) for r in rows])),
+        ph_a=jnp.asarray(
+            np.stack([np.asarray(r.get("ph_a", (0.0,) * 4), np.float32)
+                      for r in rows])),
+        kinds_present=tuple(sorted(set(kinds))),
     )
 
 

@@ -592,16 +592,43 @@ def _medium_coeffs(props):
 
 
 def _interior_medium_row(md, defaults, ctx):
-    """Parse a shape-interior medium into a MediumTable row (homogeneous,
-    HG/isotropic phase); returns its row index."""
+    """Parse a shape-interior medium into a MediumTable row (homogeneous;
+    HG/Rayleigh/kkay/microflake phase per row); returns its row index."""
+    from drmlt_mitsuba_tpu.render.medium import (
+        PHASE_KKAY, PHASE_MICROFLAKE, PHASE_RAYLEIGH,
+    )
+
     mtype = _subst(md.get("type"), defaults)
     props = _props(md, defaults)
     g = 0.0
+    phase_kind = 0
+    fiber = np.asarray([0.0, 0.0, 1.0], np.float32)
+    ph_a = np.zeros(4, np.float32)
     ph = md.find("phase")
     if ph is not None:
         ptype = _subst(ph.get("type"), defaults)
+        pprops = _props(ph, defaults)
         if ptype == "hg":
-            g = float(_props(ph, defaults).get("g", 0.0))
+            g = float(pprops.get("g", 0.0))
+        elif ptype == "rayleigh":
+            phase_kind = PHASE_RAYLEIGH
+        elif ptype == "kkay":
+            from drmlt_mitsuba_tpu.render.phase import kkay_normalization
+
+            phase_kind = PHASE_KKAY
+            expo = float(pprops.get("exponent", 4.0))
+            ph_a = np.asarray(
+                [float(pprops.get("ks", 0.4)),
+                 float(pprops.get("kd", 0.2)), expo,
+                 kkay_normalization(expo)], np.float32)
+            fiber = np.asarray(
+                pprops.get("orientation", (0.0, 0.0, 1.0)), np.float32)
+        elif ptype == "microflake":
+            phase_kind = PHASE_MICROFLAKE
+            ph_a = np.asarray(
+                [float(pprops.get("stddev", 0.3)), 0, 0, 0], np.float32)
+            fiber = np.asarray(
+                pprops.get("orientation", (0.0, 0.0, 1.0)), np.float32)
         elif ptype != "isotropic":
             warnings.warn(
                 f"interior phase '{ptype}' approximated as isotropic")
@@ -609,7 +636,9 @@ def _interior_medium_row(md, defaults, ctx):
         warnings.warn(
             f"interior medium '{mtype}' approximated as homogeneous")
     sigma_t, albedo = _medium_coeffs(props)
-    ctx["media"].append(dict(sigma_t=sigma_t, albedo=albedo, g=g))
+    ctx["media"].append(dict(sigma_t=sigma_t, albedo=albedo, g=g,
+                             phase_kind=phase_kind, fiber=fiber,
+                             ph_a=ph_a))
     return len(ctx["media"]) - 1
 
 

@@ -156,3 +156,86 @@ def test_nee_inside_medium(tmp_path):
         trace_paths(scene, cfg_no, u[:, :cfg_no.n_dims]).value).mean()
     assert np.isfinite(a) and np.isfinite(b)
     np.testing.assert_allclose(a, b, rtol=0.08)
+
+
+class TestInteriorPhaseKinds:
+    """Per-row phase kinds in the interior-media table (lane-parallel
+    dispatch over the statically-present kind set)."""
+
+    def test_rayleigh_row_energy(self, tmp_path):
+        """Rayleigh interior fog: finite, positive, and close to the
+        isotropic fog (same extinction; the lobe only redistributes)."""
+        iso = _scene(tmp_path, "1.5,1.5,1.5", "0.7,0.7,0.7")
+        ray = _scene(tmp_path, "1.5,1.5,1.5", "0.7,0.7,0.7",
+                     phase='<phase type="rayleigh"/>')
+        assert int(np.asarray(ray.media.phase_kind)[0]) == 1
+        cfg = PathConfig(max_depth=16, rr_depth=100, use_nee=False)
+        u = jax.random.uniform(jax.random.PRNGKey(3), (16384, cfg.n_dims))
+        l_iso = float(trace_paths(iso, cfg, u).value[:, 0, :].mean())
+        l_ray = float(trace_paths(ray, cfg, u).value[:, 0, :].mean())
+        assert np.isfinite(l_ray) and l_ray > 0
+        assert abs(l_iso - l_ray) / l_iso < 0.1, (l_iso, l_ray)
+
+    def test_kkay_row_absorbs(self, tmp_path):
+        """kkay (ks+kd < 1) loses energy per scatter: darker than the
+        lossless isotropic fog in the furnace geometry."""
+        iso = _scene(tmp_path, "1.5,1.5,1.5", "1,1,1")
+        kkay = _scene(tmp_path, "1.5,1.5,1.5", "1,1,1",
+                      phase='<phase type="kkay">'
+                            '<float name="ks" value="0.4"/>'
+                            '<float name="kd" value="0.2"/>'
+                            '</phase>')
+        assert int(np.asarray(kkay.media.phase_kind)[0]) == 2
+        cfg = PathConfig(max_depth=16, rr_depth=100, use_nee=False)
+        u = jax.random.uniform(jax.random.PRNGKey(4), (16384, cfg.n_dims))
+        l_iso = float(trace_paths(iso, cfg, u).value[:, 0, :].mean())
+        l_k = float(trace_paths(kkay, cfg, u).value[:, 0, :].mean())
+        assert np.isfinite(l_k) and 0 < l_k < 0.9 * l_iso, (l_k, l_iso)
+
+    def test_mixed_kind_rows_compile_and_render(self, tmp_path):
+        """Two interior media with DIFFERENT phase kinds (HG + microflake)
+        in one scene: the masked per-lane dispatch handles mixed lanes."""
+        f = tmp_path / "mixed.xml"
+        f.write_text("""<scene version="0.6.0">
+          <sensor type="perspective">
+            <float name="fov" value="25"/>
+            <transform name="toWorld">
+              <lookat origin="0,0,8" target="0,0,0" up="0,1,0"/>
+            </transform>
+            <film type="hdrfilm">
+              <integer name="width" value="8"/>
+              <integer name="height" value="8"/>
+            </film>
+          </sensor>
+          <shape type="cube">
+            <transform name="toWorld"><translate x="-1.2"/></transform>
+            <bsdf type="null"/>
+            <medium name="interior" type="homogeneous">
+              <rgb name="sigmaT" value="1.2"/>
+              <rgb name="albedo" value="0.8"/>
+              <phase type="hg"><float name="g" value="0.4"/></phase>
+            </medium>
+          </shape>
+          <shape type="cube">
+            <transform name="toWorld"><translate x="1.2"/></transform>
+            <bsdf type="null"/>
+            <medium name="interior" type="homogeneous">
+              <rgb name="sigmaT" value="1.2"/>
+              <rgb name="albedo" value="0.8"/>
+              <phase type="microflake">
+                <float name="stddev" value="0.2"/>
+                <vector name="orientation" x="0" y="1" z="0"/>
+              </phase>
+            </medium>
+          </shape>
+          <emitter type="constant">
+            <spectrum name="radiance" value="1"/>
+          </emitter>
+        </scene>""")
+        scene, _ = load_scene_xml(str(f))
+        assert sorted(np.asarray(scene.media.phase_kind).tolist()) == [0, 3]
+        cfg = PathConfig(max_depth=12, rr_depth=100, use_nee=False)
+        u = jax.random.uniform(jax.random.PRNGKey(5), (8192, cfg.n_dims))
+        vals = trace_paths(scene, cfg, u).value[:, 0, :]
+        assert bool(jnp.isfinite(vals).all())
+        assert float(vals.mean()) > 0
