@@ -374,6 +374,20 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
                     ph_pdf = phase_pdf_lanes(lane_kinds, kind_l, g_l,
                                              fiber_l, pha_l, -carry["d"],
                                              ds.d)
+                elif (isinstance(medium, HeterogeneousMedium)
+                        and medium.orient_grid is not None):
+                    # per-voxel fiber orientation at the scatter point
+                    from drmlt_mitsuba_tpu.render.medium import (
+                        hetero_phase_ctx, phase_eval_lanes,
+                        phase_pdf_lanes,
+                    )
+
+                    hk, hg_, hf, hp = hetero_phase_ctx(medium, p_med)
+                    hkinds = (medium.phase_kind,)
+                    ph_v = phase_eval_lanes(hkinds, hk, hg_, hf, hp,
+                                            -carry["d"], ds.d)
+                    ph_pdf = phase_pdf_lanes(hkinds, hk, hg_, hf, hp,
+                                             -carry["d"], ds.d)
                 else:
                     ph_v = phase_eval_dir(medium, -carry["d"], ds.d)
                     ph_pdf = phase_pdf_dir(medium, -carry["d"], ds.d)
@@ -455,8 +469,24 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
                     ub_b[:, OFF_BSDF_U:OFF_BSDF_U + 2])
                 w_ph = val_ph / jnp.maximum(pdf_ph, 1e-20)
             else:
-                wo_ph, pdf_ph, val_ph = phase_sample_dir(
-                    medium, -carry["d"], ub_b[:, OFF_BSDF_U:OFF_BSDF_U + 2])
+                from drmlt_mitsuba_tpu.render.medium import (
+                    HeterogeneousMedium as _Het,
+                )
+
+                if (isinstance(medium, _Het)
+                        and medium.orient_grid is not None):
+                    from drmlt_mitsuba_tpu.render.medium import (
+                        hetero_phase_ctx, phase_sample_lanes,
+                    )
+
+                    hk, hg_, hf, hp = hetero_phase_ctx(medium, p_med)
+                    wo_ph, pdf_ph, val_ph = phase_sample_lanes(
+                        (medium.phase_kind,), hk, hg_, hf, hp,
+                        -carry["d"], ub_b[:, OFF_BSDF_U:OFF_BSDF_U + 2])
+                else:
+                    wo_ph, pdf_ph, val_ph = phase_sample_dir(
+                        medium, -carry["d"],
+                        ub_b[:, OFF_BSDF_U:OFF_BSDF_U + 2])
                 w_ph = val_ph / jnp.maximum(pdf_ph, 1e-20)
             wo_world = jnp.where(scattered[:, None], wo_ph, wo_world)
             # estimator weight value/pdf (1 for perfectly-sampled kinds)

@@ -399,18 +399,24 @@ class HeterogeneousMedium:
     # optional per-voxel single-scattering albedo (ref: heterogeneous.cpp
     # 'albedo' volume data source); None = the constant `albedo` above
     albedo_grid: jnp.ndarray | None = None   # (D, H, W, 3)
-    # phase function (same fields as HomogeneousMedium; constant fiber —
-    # per-voxel orientation volumes are not supported)
+    # optional per-voxel fiber orientation (ref: heterogeneous.cpp
+    # 'orientation' volume); None = the constant `fiber` below.  Only
+    # meaningful for kkay/microflake phase kinds.
+    orient_grid: jnp.ndarray | None = None   # (D, H, W, 3)
+    # phase function (same fields as HomogeneousMedium)
     phase_kind: int = struct.field(pytree_node=False, default=PHASE_HG)
     ph_params: jnp.ndarray | None = None
     fiber: jnp.ndarray | None = None
     mix_w: jnp.ndarray | None = None
     mix_g: jnp.ndarray | None = None
     mix_kinds: tuple = struct.field(pytree_node=False, default=())
+    # (4,) lanes-API parameters: kkay [ks,kd,exp,norm] / sggx [stddev,...]
+    ph_a: jnp.ndarray | None = None
 
 
 def make_hetero_medium(density, world_to_grid, sigma_t, albedo, g=0.0,
-                       albedo_grid=None, phase_kind: int = PHASE_HG,
+                       albedo_grid=None, orient_grid=None,
+                       phase_kind: int = PHASE_HG,
                        fiber=(0.0, 0.0, 1.0), kkay=(0.4, 0.2, 4.0),
                        stddev=0.3, mixture=None):
     density = jnp.asarray(density, jnp.float32)
@@ -427,12 +433,17 @@ def make_hetero_medium(density, world_to_grid, sigma_t, albedo, g=0.0,
         majorant=jnp.max(density),
         albedo_grid=(None if albedo_grid is None
                      else jnp.asarray(albedo_grid, jnp.float32)),
+        orient_grid=(None if orient_grid is None
+                     else jnp.asarray(orient_grid, jnp.float32)),
         phase_kind=phase_kind,
         ph_params=ph.ph_params,
         fiber=ph.fiber,
         mix_w=ph.mix_w,
         mix_g=ph.mix_g,
         mix_kinds=ph.mix_kinds,
+        ph_a=(ph.ph_params if phase_kind == PHASE_KKAY
+              else jnp.asarray([stddev, 0.0, 0.0, 0.0], jnp.float32)
+              if phase_kind == PHASE_MICROFLAKE else None),
     )
 
 
@@ -467,13 +478,41 @@ def _grid_density(med: HeterogeneousMedium, p_world):
 def _grid_albedo(med: HeterogeneousMedium, p_world):
     """Per-voxel single-scattering albedo (trilinear); falls back to the
     constant albedo when no albedo grid is attached."""
-    from drmlt_mitsuba_tpu.core.transform import apply_point
-
     if med.albedo_grid is None:
         return jnp.broadcast_to(med.albedo, p_world.shape[:-1] + (3,))
-    g = med.albedo_grid
+    return _grid_rgb(med.albedo_grid, med.world_to_grid, p_world)
+
+
+def hetero_fiber(med: HeterogeneousMedium, p_world):
+    """Per-voxel fiber orientation (unit), falling back to the constant
+    fiber where the orientation volume is (near-)zero or absent (ref:
+    heterogeneous.cpp 'orientation' volume lookup)."""
+    base = med.fiber if med.fiber is not None else jnp.asarray(
+        [0.0, 0.0, 1.0])
+    if med.orient_grid is None:
+        return jnp.broadcast_to(base, p_world.shape[:-1] + (3,))
+    v = _grid_rgb(med.orient_grid, med.world_to_grid, p_world)
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return jnp.where(n > 1e-6, v / jnp.maximum(n, 1e-12),
+                     jnp.broadcast_to(base, v.shape))
+
+
+def hetero_phase_ctx(med: HeterogeneousMedium, p_world):
+    """Per-lane (kind, g, fiber, ph_a) arrays for the lanes phase API."""
+    R = p_world.shape[0]
+    kind_l = jnp.full((R,), med.phase_kind, jnp.int32)
+    g_l = jnp.broadcast_to(med.g, (R,))
+    fiber_l = hetero_fiber(med, p_world)
+    pha = med.ph_a if med.ph_a is not None else jnp.zeros(4)
+    return kind_l, g_l, fiber_l, jnp.broadcast_to(pha, (R, 4))
+
+
+def _grid_rgb(g, world_to_grid, p_world):
+    """Trilinear 3-channel grid lookup."""
+    from drmlt_mitsuba_tpu.core.transform import apply_point
+
     D, H, W, _ = g.shape
-    q = apply_point(med.world_to_grid, p_world)
+    q = apply_point(world_to_grid, p_world)
     x = jnp.clip(q[..., 0], 0.0, 1.0 - 1e-6) * (W - 1)
     y = jnp.clip(q[..., 1], 0.0, 1.0 - 1e-6) * (H - 1)
     z = jnp.clip(q[..., 2], 0.0, 1.0 - 1e-6) * (D - 1)
@@ -525,8 +564,20 @@ def sample_distance_hetero(med: HeterogeneousMedium, o, d, u_channel,
 
     max_sig = jnp.max(med.sigma_t)
     # microflake media: extinction varies with the (fixed) ray direction;
-    # sigma(d) <= 1 so the direction-independent majorant still bounds
-    sdir = sigma_dir(med, d)                          # (R,), 1 unless SGGX
+    # sigma(d) <= 1 so the direction-independent majorant still bounds.
+    # With an orientation volume the projected area also varies along the
+    # ray, so it is re-evaluated at every tentative collision.
+    per_voxel_dir = (med.orient_grid is not None
+                     and med.phase_kind == PHASE_MICROFLAKE)
+    sdir = jnp.ones(d.shape[:-1]) if per_voxel_dir else sigma_dir(med, d)
+
+    def _sdir_at(p):
+        if not per_voxel_dir:
+            return sdir
+        from drmlt_mitsuba_tpu.render import phase as phmod
+
+        S = phmod.sggx_fiber_S(hetero_fiber(med, p), med.ph_a[0])
+        return phmod.sggx_sigma(S, d)
 
     def body(i, carry):
         t, done, scattered, w, key = carry
@@ -538,6 +589,7 @@ def sample_distance_hetero(med: HeterogeneousMedium, o, d, u_channel,
         exited = t_new >= t_surface
         p = o + t_new[:, None] * d
         dens = _grid_density(med, p)
+        sdir = _sdir_at(p)
         sig_local = dens * max_sig * sdir             # collision channel
         real = (jax.vmap(lambda k: jax.random.uniform(k))(k2)
                 < sig_local / sig_bar)
@@ -588,7 +640,9 @@ def transmittance_hetero(med: HeterogeneousMedium, o, d, dist, u_seed,
         jax.random.PRNGKey(4321), seeds
     )
 
-    sdir = sigma_dir(med, d)                          # (R,), 1 unless SGGX
+    per_voxel_dir = (med.orient_grid is not None
+                     and med.phase_kind == PHASE_MICROFLAKE)
+    sdir0 = jnp.ones(d.shape[:-1]) if per_voxel_dir else sigma_dir(med, d)
 
     def body(i, carry):
         t, tr, key = carry
@@ -600,6 +654,13 @@ def transmittance_hetero(med: HeterogeneousMedium, o, d, dist, u_seed,
         inside = t < dist
         p = o + t[:, None] * d
         dens = _grid_density(med, p)
+        if per_voxel_dir:
+            from drmlt_mitsuba_tpu.render import phase as phmod
+
+            S = phmod.sggx_fiber_S(hetero_fiber(med, p), med.ph_a[0])
+            sdir = phmod.sggx_sigma(S, d)
+        else:
+            sdir = sdir0
         # per-channel ratio against the shared majorant => chromatic
         # sigma_t transmittance is exact in expectation
         ratio = 1.0 - (dens * sdir)[:, None] * med.sigma_t[None, :] \

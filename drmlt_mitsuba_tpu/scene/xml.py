@@ -1091,6 +1091,7 @@ def load_scene_xml(path: str, defaults: dict | None = None):
 
             density, w2g = None, None
             albedo_grid = None
+            orient_grid = None
             for vol in md.findall("volume"):
                 vname = _subst(vol.get("name"), defaults)
                 vtype = _subst(vol.get("type"), defaults)
@@ -1108,11 +1109,21 @@ def load_scene_xml(path: str, defaults: dict | None = None):
                         warnings.warn(
                             f"unsupported albedo volume '{vtype}'")
                     continue
-                if vname != "density":
-                    if vname == "orientation":
+                if vname == "orientation":
+                    if vtype == "gridvolume":
+                        fname = vprops["filename"]
+                        fpath = fname if os.path.isabs(fname) else \
+                            os.path.join(base, fname)
+                        orient_grid, _, _ = read_vol_rgb(fpath)
+                    elif vtype == "constvolume":
+                        phase_kw["fiber"] = np.asarray(
+                            vprops.get("value", (0.0, 0.0, 1.0)),
+                            np.float32)
+                    else:
                         warnings.warn(
-                            "orientation volumes are not supported; use a "
-                            "constant 'orientation' on the phase instead")
+                            f"unsupported orientation volume '{vtype}'")
+                    continue
+                if vname != "density":
                     continue
                 if vtype == "gridvolume":
                     fname = vprops["filename"]
@@ -1142,6 +1153,7 @@ def load_scene_xml(path: str, defaults: dict | None = None):
                 continue
             medium = make_hetero_medium(density, w2g, sigma_t, albedo, g,
                                         albedo_grid=albedo_grid,
+                                        orient_grid=orient_grid,
                                         phase_kind=phase_kind, **phase_kw)
         else:
             from drmlt_mitsuba_tpu.render.medium import make_medium

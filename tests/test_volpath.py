@@ -385,3 +385,115 @@ class TestHeteroExtensions:
         assert tr_along > tr_across + 0.2, (tr_along, tr_across)
         np.testing.assert_allclose(tr_across, np.exp(-5e-3 * 300.0),
                                    rtol=0.05)
+
+
+class TestOrientationVolumes:
+    """Per-voxel fiber orientation grids for anisotropic phases (ref:
+    heterogeneous.cpp 'orientation' volume)."""
+
+    def _scene(self, **kw):
+        from drmlt_mitsuba_tpu.render.medium import make_hetero_medium
+        from drmlt_mitsuba_tpu.scene.builders import cornell_box
+
+        w2g = np.eye(4, dtype=np.float32) / 1800.0
+        w2g[:3, 3] = 0.5
+        w2g[3, 3] = 1.0
+        med = make_hetero_medium(np.ones((4, 4, 4), np.float32), w2g,
+                                 [5e-3] * 3, [0.6] * 3, **kw)
+        return cornell_box(16, 16).replace(medium=med)
+
+    def test_constant_grid_matches_constant_fiber(self):
+        """An orientation grid filled with one direction must reproduce
+        the constant-fiber medium exactly (same RNG stream)."""
+        from drmlt_mitsuba_tpu.render.medium import (
+            PHASE_MICROFLAKE, transmittance_hetero,
+        )
+
+        kw = dict(phase_kind=PHASE_MICROFLAKE, stddev=0.15)
+        m_const = self._scene(fiber=(0.0, 0.0, 1.0), **kw).medium
+        og = np.broadcast_to(np.asarray([0, 0, 1], np.float32),
+                             (4, 4, 4, 3)).copy()
+        m_grid = self._scene(fiber=(1.0, 0.0, 0.0), orient_grid=og,
+                             **kw).medium
+        R = 4096
+        o = jnp.zeros((R, 3)) + jnp.asarray([278.0, 273.0, 100.0])
+        d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (R, 1))
+        u = jax.random.uniform(jax.random.PRNGKey(0), (R,))
+        dist = jnp.full((R,), 300.0)
+        t0 = np.asarray(transmittance_hetero(m_const, o, d, dist, u))
+        t1 = np.asarray(transmittance_hetero(m_grid, o, d, dist, u))
+        np.testing.assert_allclose(t1, t0, rtol=1e-5)
+
+    def test_varying_orientation_changes_extinction(self):
+        """Fibers along +z on one side, along +x on the other: a +z ray
+        sees far less extinction where it travels along the fibers."""
+        from drmlt_mitsuba_tpu.render.medium import (
+            PHASE_MICROFLAKE, transmittance_hetero,
+        )
+
+        og = np.zeros((4, 4, 4, 3), np.float32)
+        og[:, :, :2, 2] = 1.0   # x < center: fibers along z
+        og[:, :, 2:, 0] = 1.0   # x >= center: fibers along x
+        scene = self._scene(phase_kind=PHASE_MICROFLAKE, stddev=0.1,
+                            orient_grid=og)
+        med = scene.medium
+        R = 4096
+        u = jax.random.uniform(jax.random.PRNGKey(1), (R,))
+        dist = jnp.full((R,), 400.0)
+        d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (R, 1))
+        # two ray bundles on either side of the split (x in grid coords)
+        o_left = jnp.zeros((R, 3)) + jnp.asarray([-600.0, 0.0, -200.0])
+        o_right = jnp.zeros((R, 3)) + jnp.asarray([600.0, 0.0, -200.0])
+        t_l = float(np.asarray(transmittance_hetero(
+            med, o_left, d, dist, u)).mean())
+        t_r = float(np.asarray(transmittance_hetero(
+            med, o_right, d, dist, u)).mean())
+        # left region: ray ALONG fibers -> tiny projected area -> bright
+        assert t_l > t_r + 0.2, (t_l, t_r)
+
+    def test_xml_orientation_gridvolume(self, tmp_path):
+        from drmlt_mitsuba_tpu.scene.xml import load_scene_xml, write_vol
+
+        dpath = tmp_path / "d.vol"
+        write_vol(str(dpath), np.ones((2, 2, 2), np.float32),
+                  np.full(3, -10.0, np.float32),
+                  np.full(3, 10.0, np.float32))
+        # 3-channel orientation volume
+        opath = tmp_path / "o.vol"
+        ori = np.zeros((2, 2, 2, 3), np.float32)
+        ori[..., 1] = 1.0
+        import struct as _s
+        with open(opath, "wb") as f:
+            f.write(b"VOL\x03")
+            f.write(np.asarray([1, 2, 2, 2, 3], np.int32).tobytes())
+            f.write(np.asarray([-10, -10, -10, 10, 10, 10],
+                               np.float32).tobytes())
+            f.write(ori.astype(np.float32).tobytes())
+        xml = f"""<scene version="0.6.0">
+          <sensor type="perspective">
+            <film type="hdrfilm">
+              <integer name="width" value="4"/>
+              <integer name="height" value="4"/>
+            </film>
+          </sensor>
+          <medium type="heterogeneous" id="fog">
+            <volume name="density" type="gridvolume">
+              <string name="filename" value="{dpath}"/>
+            </volume>
+            <volume name="orientation" type="gridvolume">
+              <string name="filename" value="{opath}"/>
+            </volume>
+            <phase type="microflake"><float name="stddev" value="0.2"/></phase>
+            <rgb name="sigmaT" value="0.4"/>
+          </medium>
+          <shape type="rectangle">
+            <emitter type="area"><rgb name="radiance" value="1"/></emitter>
+          </shape>
+        </scene>"""
+        xf = tmp_path / "s.xml"
+        xf.write_text(xml)
+        scene, _ = load_scene_xml(str(xf))
+        assert scene.medium.orient_grid is not None
+        assert scene.medium.orient_grid.shape == (2, 2, 2, 3)
+        np.testing.assert_allclose(
+            np.asarray(scene.medium.orient_grid)[0, 0, 0], [0, 1, 0])
