@@ -129,6 +129,9 @@ class SubpathSoA:
     # medium-scatter vertices (ref: EMediumInteraction, vertex.cpp:273):
     # shading is the phase function, geometry terms drop the local cosine
     medium: jnp.ndarray   # (R, V)
+    # texture coordinates at surface vertices (drives textured albedos and
+    # the irawan cloth model in connections; zero at endpoints/media)
+    uv: jnp.ndarray | None = None   # (R, V, 2)
 
 
 def _sa_to_area(pdf_sa, p_from, p_to, n_to):
@@ -139,12 +142,39 @@ def _sa_to_area(pdf_sa, p_from, p_to, n_to):
     return pdf_sa * safe_div(cos_to, dist2)
 
 
-def _bsdf_eval_pdf(scene, mat_id, wi_world, wo_world, ns):
-    """Raw BSDF f (no cosine) and solid-angle pdf for world directions."""
+def _albedo_uv(scene, mat_id, uv):
+    """Textured albedo at explicit texture coordinates (the bidir-side
+    analog of path._albedo; per-vertex colors fall back to the constant
+    albedo here — no prim index is carried in the subpath SoA)."""
+    base = scene.materials.albedo[mat_id]
+    if scene.textures is None or uv is None:
+        return base
+    tex_id = scene.materials.tex_id[mat_id]
+    tex = scene.textures.data
+    n, h, w, _ = tex.shape
+    x = jnp.clip(uv[..., 0] % 1.0, 0.0, 1.0) * (w - 1)
+    y = jnp.clip(uv[..., 1] % 1.0, 0.0, 1.0) * (h - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    ti = jnp.clip(tex_id, 0, n - 1)
+    val = ((tex[ti, y0, x0] * (1 - fx) + tex[ti, y0, x1] * fx) * (1 - fy)
+           + (tex[ti, y1, x0] * (1 - fx) + tex[ti, y1, x1] * fx) * fy)
+    return jnp.where((tex_id >= 0)[..., None], val, base)
+
+
+def _bsdf_eval_pdf(scene, mat_id, wi_world, wo_world, ns, uv=None):
+    """Raw BSDF f (no cosine) and solid-angle pdf for world directions.
+    `uv` activates textured albedos and the irawan cloth overlay."""
     wi = frame.to_local(ns, wi_world)
     wo = frame.to_local(ns, wo_world)
-    albedo = scene.materials.albedo[mat_id]
-    val_cos, pdf = eval_bsdf(scene.materials, mat_id, albedo, wi, wo)
+    albedo = _albedo_uv(scene, mat_id, uv)
+    val_cos, pdf = eval_bsdf(scene.materials, mat_id, albedo, wi, wo,
+                             irawan=scene.irawan if uv is not None
+                             else None, uv=uv)
     f = val_cos / jnp.maximum(jnp.abs(wo[..., 2]), 1e-9)[..., None]
     return f, pdf
 
@@ -249,16 +279,20 @@ def _walk(scene: Scene, o0, d0, beta0, pdf0_sa, src_p, src_ns, n_surface,
             delta=delta, mat_id=mat_v, emitter_id=em_v,
             escaped=carry["active"] & ~hit.valid & ~scat,
             medium=scat,
+            uv=jnp.where(scat[:, None], 0.0, hit.tex_uv),
         )
 
+        from drmlt_mitsuba_tpu.integrators.path import _albedo
+
         wi = frame.to_local(ns_v, wi_world)
-        albedo = scene.materials.albedo[hit.mat_id]
+        albedo = _albedo(scene, hit)
         bs = sample_bsdf(scene.materials, hit.mat_id, albedo, wi,
-                         ub[:, :3])
+                         ub[:, :3], irawan=scene.irawan, uv=hit.tex_uv)
         wo_world = frame.to_world(ns_v, bs.wo)
         # reverse pdf of the previous vertex: sample wi from wo at this vertex
         _, pdf_rev_sa = eval_bsdf(
-            scene.materials, hit.mat_id, albedo, bs.wo, wi
+            scene.materials, hit.mat_id, albedo, bs.wo, wi,
+            irawan=scene.irawan, uv=hit.tex_uv,
         )
         bs_weight, bs_pdf, bs_delta = bs.weight, bs.pdf, bs.delta
         if med is not None:
@@ -372,6 +406,7 @@ def eye_subpath(scene: Scene, cfg: BDPTConfig, u_eye):
         emitter_id=cat(jnp.full((R,), -1, jnp.int32), walk["emitter_id"]),
         escaped=cat(jnp.zeros((R,), bool), walk["escaped"]),
         medium=cat(jnp.zeros((R,), bool), walk["medium"]),
+        uv=cat(jnp.zeros((R, 2)), walk["uv"]),
     )
     return soa, uv
 
@@ -498,6 +533,7 @@ def light_subpath(scene: Scene, cfg: BDPTConfig, u_light):
         emitter_id=cat(row, walk["emitter_id"]),
         escaped=cat(jnp.zeros((R,), bool), walk["escaped"]),
         medium=cat(jnp.zeros((R,), bool), walk["medium"]),
+        uv=cat(jnp.zeros((R, 2)), walk["uv"]),
     )
     return soa
 
@@ -696,13 +732,14 @@ def _scene_med(scene):
     return m if isinstance(m, HomogeneousMedium) else None
 
 
-def _edge_shading(scene, med, mat_id, wi_world, w_out, ns, is_med):
+def _edge_shading(scene, med, mat_id, wi_world, w_out, ns, is_med,
+                  uv=None):
     """(f, pdf_sa) at a vertex toward w_out: the BSDF, or the phase
     function at medium vertices (sigma_s/albedo are already folded into
     beta by the distance-sampling weight).  Any configured phase kind
     evaluates through the generalized dispatch (value and sampling pdf
     can differ, e.g. kkay's uniform-sphere sampler)."""
-    f_b, pdf_b = _bsdf_eval_pdf(scene, mat_id, wi_world, w_out, ns)
+    f_b, pdf_b = _bsdf_eval_pdf(scene, mat_id, wi_world, w_out, ns, uv=uv)
     if med is None:
         return f_b, pdf_b
     from drmlt_mitsuba_tpu.render.medium import (
@@ -848,10 +885,11 @@ def _strategies(scene: Scene, cfg: BDPTConfig, L: SubpathSoA, E: SubpathSoA,
             else:
                 f_l, _ = _edge_shading(
                     scene, med, L.mat_id[:, lv], L.wi[:, lv], w_le, nl,
-                    l_med,
+                    l_med, uv=None if L.uv is None else L.uv[:, lv],
                 )
             f_e, _ = _edge_shading(
-                scene, med, E.mat_id[:, ev], E.wi[:, ev], -w_le, ne, e_med
+                scene, med, E.mat_id[:, ev], E.wi[:, ev], -w_le, ne, e_med,
+                uv=None if E.uv is None else E.uv[:, ev],
             )
             contrib = (
                 L.beta[:, lv] * f_l * f_e * E.beta[:, ev] * g[:, None]
@@ -946,6 +984,7 @@ def _strategies(scene: Scene, cfg: BDPTConfig, L: SubpathSoA, E: SubpathSoA,
                 f_l, _ = _edge_shading(
                     scene, med, L.mat_id[:, lv], L.wi[:, lv], w_lc,
                     L.ns[:, lv], l_med,
+                    uv=None if L.uv is None else L.uv[:, lv],
                 )
             contrib = (L.beta[:, lv] * f_l * (g * we)[:, None]
                        * _edge_tr(med, dist, w_lc))
@@ -1149,8 +1188,10 @@ def trace_mmlt(scene: Scene, cfg: BDPTConfig, u, depth) -> Splats:
         jnp.where(kind0 == EMITTER_SPOT, fall,
                   jnp.where(kind0 == EMITTER_POINT, 1.0, 0.0)),
     )
+    Luv = None if L.uv is None else _col(L.uv, lv)
+    Euv = None if E.uv is None else _col(E.uv, ev)
     f_l_bsdf, pdf_l_fwd_sa = _edge_shading(scene, med, Lmat, Lwi, w_le,
-                                            Lns, Lmed)
+                                            Lns, Lmed, uv=Luv)
     is_s1 = s_pick == 1
     f_l = jnp.where(is_s1[:, None], f_l_ep[:, None] * jnp.ones((R, 3)),
                     f_l_bsdf)
@@ -1159,7 +1200,7 @@ def trace_mmlt(scene: Scene, cfg: BDPTConfig, u, depth) -> Splats:
 
     # eye-end BSDF (t >= 2) or sensor importance (t = 1)
     f_e_bsdf, pdf_e_fwd_sa = _edge_shading(scene, med, Emat, Ewi, -w_le,
-                                           Ens, Emed)
+                                           Ens, Emed, uv=Euv)
     we, film_uv, inside = sensor_importance(scene.camera, -w_le, Ep)
     f_e = jnp.where(case_lt[:, None], we[:, None], f_e_bsdf)
 
