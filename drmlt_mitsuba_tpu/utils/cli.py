@@ -191,7 +191,15 @@ def render(scene, settings, args, log):
 
     if itype == "mlt":
         # Veach path-space MLT capability is served by the PSS family here
-        # (SURVEY §2.5); map `mlt` to Gaussian-mutation PSSMLT
+        # (SURVEY §2.5); map `mlt` to Gaussian-mutation PSSMLT.  Declare
+        # the substitution loudly: the estimator differs from the
+        # reference's path-space mutators even though both converge.
+        import warnings
+
+        warnings.warn(
+            "integrator 'mlt' (Veach path-space MLT) runs as "
+            "Gaussian-mutation PSSMLT in this framework; enable the "
+            "lens/caustic PSS analogs with -D pLens= / -D pCaustic=")
         icfg = {**icfg, "type": "pssmlt", "kelemenStyleMutation": False}
         itype = "pssmlt"
 
