@@ -20,6 +20,13 @@ Conventions (joined path x_0 .. x_{n-1}, x_0 on the light, x_{n-1} = camera):
     Dirac vertices.
   * beta: cumulative throughput arriving at a vertex (importance transport
     on the eye side with the shading-normal correction factor).
+
+Deliberate inversion of the reference: the walks apply NO Russian
+roulette (Path::randomWalk does, vertex.cpp sampleNext).  On a lock-step
+SIMD machine every lane traces every bounce slot regardless of masking,
+so RR saves zero compute and only adds variance; dead lanes are masked,
+not skipped.  Depth control is the static max_depth (+ per-chain pinned
+depth under MMLT), which is also what keeps layouts fixed for replay.
 """
 from __future__ import annotations
 
