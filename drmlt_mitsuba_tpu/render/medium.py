@@ -282,7 +282,10 @@ def sample_phase(med, wi, u2):
 # statically-present kinds compile — kinds_present gates each branch)
 
 def phase_eval_lanes(kinds_present, kind_l, g_l, fiber_l, ph_a_l, wi, wo):
-    """Per-lane phase value; wi/wo world directions away from the event."""
+    """Per-lane phase value; wi/wo world directions away from the event.
+
+    PHASE_MIXTURE rows encode a 2-component mixture in ph_a:
+    [g2, w1, kind2 (0=hg 1=rayleigh), 0], component 1 = HG(g)."""
     from drmlt_mitsuba_tpu.render import phase as ph
 
     cos_t = jnp.sum(-wi * wo, -1)
@@ -290,6 +293,9 @@ def phase_eval_lanes(kinds_present, kind_l, g_l, fiber_l, ph_a_l, wi, wo):
     if PHASE_RAYLEIGH in kinds_present:
         val = jnp.where(kind_l == PHASE_RAYLEIGH, rayleigh_phase(cos_t),
                         val)
+    if PHASE_MIXTURE in kinds_present:
+        val = jnp.where(kind_l == PHASE_MIXTURE,
+                        _mix2_eval(g_l, ph_a_l, cos_t), val)
     if PHASE_KKAY in kinds_present:
         v = ph.kkay_eval(fiber_l, ph_a_l[:, 0], ph_a_l[:, 1],
                          ph_a_l[:, 2], ph_a_l[:, 3], wi, wo)
@@ -309,6 +315,14 @@ def phase_pdf_lanes(kinds_present, kind_l, g_l, fiber_l, ph_a_l, wi, wo):
     return pdf
 
 
+def _mix2_eval(g_l, ph_a_l, cos_t):
+    g2, w1 = ph_a_l[:, 0], ph_a_l[:, 1]
+    p1 = hg_phase(g_l, cos_t)
+    p2 = jnp.where(ph_a_l[:, 2] > 0.5, rayleigh_phase(cos_t),
+                   hg_phase(g2, cos_t))
+    return w1 * p1 + (1.0 - w1) * p2
+
+
 def phase_sample_lanes(kinds_present, kind_l, g_l, fiber_l, ph_a_l, wi,
                        u2):
     """Per-lane direction sampling: (wo, pdf, value)."""
@@ -322,6 +336,23 @@ def phase_sample_lanes(kinds_present, kind_l, g_l, fiber_l, ph_a_l, wi,
         wo = jnp.where(sel[:, None], wo_r, wo)
         pdf = jnp.where(sel, p_r, pdf)
         val = jnp.where(sel, p_r, val)
+    if PHASE_MIXTURE in kinds_present:
+        g2, w1 = ph_a_l[:, 0], ph_a_l[:, 1]
+        u0 = u2[..., 0]
+        pick1 = u0 < w1
+        u0r = jnp.where(pick1, u0 / jnp.maximum(w1, 1e-9),
+                        (u0 - w1) / jnp.maximum(1.0 - w1, 1e-9))
+        u2r = jnp.stack([jnp.clip(u0r, 0.0, 1.0 - 1e-7), u2[..., 1]], -1)
+        wo1, _ = sample_hg(g_l, wi, u2r)
+        wo2h, _ = sample_hg(g2, wi, u2r)
+        wo2r, _ = sample_rayleigh(wi, u2r)
+        wo2 = jnp.where((ph_a_l[:, 2] > 0.5)[:, None], wo2r, wo2h)
+        wo_m = jnp.where(pick1[:, None], wo1, wo2)
+        p_m = _mix2_eval(g_l, ph_a_l, jnp.sum(-wi * wo_m, -1))
+        sel = kind_l == PHASE_MIXTURE
+        wo = jnp.where(sel[:, None], wo_m, wo)
+        pdf = jnp.where(sel, p_m, pdf)
+        val = jnp.where(sel, p_m, val)
     if PHASE_KKAY in kinds_present:
         wo_k, p_k, v_k = ph.kkay_sample(fiber_l, ph_a_l[:, 0],
                                         ph_a_l[:, 1], ph_a_l[:, 2],

@@ -629,6 +629,32 @@ def _interior_medium_row(md, defaults, ctx):
                 [float(pprops.get("stddev", 0.3)), 0, 0, 0], np.float32)
             fiber = np.asarray(
                 pprops.get("orientation", (0.0, 0.0, 1.0)), np.float32)
+        elif ptype == "mixturephase":
+            # 2-component encoding: comp1 = HG(g), comp2 in ph_a
+            from drmlt_mitsuba_tpu.render.medium import PHASE_MIXTURE
+
+            phase_kind = PHASE_MIXTURE
+            wstr = str(pprops.get("weights", "0.5 0.5"))
+            ws = [float(x) for x in wstr.replace(",", " ").split()] or [0.5]
+            subs = ph.findall("phase")
+            if len(subs) > 2:
+                warnings.warn("interior mixturephase: only the first two "
+                              "components are used")
+            g2 = 0.0
+            kind2 = 0.0
+            if subs:
+                sp0 = _props(subs[0], defaults)
+                s0t = _subst(subs[0].get("type"), defaults)
+                g = float(sp0.get("g", 0.0)) if s0t == "hg" else 0.0
+            if len(subs) > 1:
+                s1t = _subst(subs[1].get("type"), defaults)
+                sp1 = _props(subs[1], defaults)
+                if s1t == "rayleigh":
+                    kind2 = 1.0
+                elif s1t == "hg":
+                    g2 = float(sp1.get("g", 0.0))
+            w_tot = sum(ws[:2]) or 1.0
+            ph_a = np.asarray([g2, ws[0] / w_tot, kind2, 0.0], np.float32)
         elif ptype != "isotropic":
             warnings.warn(
                 f"interior phase '{ptype}' approximated as isotropic")

@@ -239,3 +239,35 @@ class TestInteriorPhaseKinds:
         vals = trace_paths(scene, cfg, u).value[:, 0, :]
         assert bool(jnp.isfinite(vals).all())
         assert float(vals.mean()) > 0
+
+    def test_mixturephase_row(self, tmp_path):
+        """2-component interior mixturephase: a 1.0-weight HG component
+        equals plain HG exactly; a 50/50 hg+rayleigh blend renders
+        finite with energy close to the isotropic fog."""
+        hg = _scene(tmp_path, "1.5,1.5,1.5", "0.7,0.7,0.7",
+                    phase='<phase type="hg"><float name="g" value="0.4"/>'
+                          '</phase>')
+        mix1 = _scene(tmp_path, "1.5,1.5,1.5", "0.7,0.7,0.7",
+                      phase='<phase type="mixturephase">'
+                            '<string name="weights" value="1, 0"/>'
+                            '<phase type="hg"><float name="g" value="0.4"/></phase>'
+                            '<phase type="rayleigh"/>'
+                            '</phase>')
+        cfg = PathConfig(max_depth=16, rr_depth=100, use_nee=False)
+        u = jax.random.uniform(jax.random.PRNGKey(6), (8192, cfg.n_dims))
+        l_hg = float(trace_paths(hg, cfg, u).value[:, 0, :].mean())
+        l_m1 = float(trace_paths(mix1, cfg, u).value[:, 0, :].mean())
+        np.testing.assert_allclose(l_m1, l_hg, rtol=1e-4)
+
+        blend = _scene(tmp_path, "1.5,1.5,1.5", "0.7,0.7,0.7",
+                       phase='<phase type="mixturephase">'
+                             '<string name="weights" value="0.5, 0.5"/>'
+                             '<phase type="hg"><float name="g" value="0.4"/></phase>'
+                             '<phase type="rayleigh"/>'
+                             '</phase>')
+        assert int(np.asarray(blend.media.phase_kind)[0]) == 4
+        l_b = float(trace_paths(blend, cfg, u).value[:, 0, :].mean())
+        assert np.isfinite(l_b) and l_b > 0
+        iso = _scene(tmp_path, "1.5,1.5,1.5", "0.7,0.7,0.7")
+        l_iso = float(trace_paths(iso, cfg, u).value[:, 0, :].mean())
+        assert abs(l_b - l_iso) / l_iso < 0.1, (l_b, l_iso)
