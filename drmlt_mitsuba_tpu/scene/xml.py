@@ -143,7 +143,7 @@ def _parse_transform(node, defaults):
         elif c.tag == "matrix":
             vals = [float(x) for x in _subst(c.get("value"), defaults).split()]
             t = np.asarray(vals, np.float64).reshape(4, 4)
-        elif c.tag == "lookat":
+        elif c.tag.lower() == "lookat":   # reference writes both spellings
             origin = _parse_color(_subst(c.get("origin"), defaults))
             target = _parse_color(_subst(c.get("target"), defaults))
             up = _parse_color(_subst(c.get("up", "0, 1, 0"), defaults))
@@ -1003,6 +1003,13 @@ def load_scene_xml(path: str, defaults: dict | None = None):
             fname = props.get("filename")
             fpath = fname if os.path.isabs(fname) else os.path.join(base,
                                                                     fname)
+            if not os.path.exists(fpath):
+                warnings.warn(f"envmap '{fname}' not found; using a "
+                              "constant unit environment")
+                env_radiance = np.maximum(
+                    env_radiance,
+                    np.full(3, float(props.get("scale", 1.0)), np.float32))
+                continue
             if fname.lower().endswith(".exr"):
                 from drmlt_mitsuba_tpu.utils.exr import read_exr
 
@@ -1192,6 +1199,18 @@ def load_scene_xml(path: str, defaults: dict | None = None):
         break
 
     sensor = root.find("sensor")
+    if sensor is None:
+        # reference test scenes attach meter sensors to shapes
+        # (e.g. data/tests/test_bidir_0.xml); position such a sensor by
+        # its transform rather than integrating over the carrier shape
+        for sh_el in root.iter("shape"):
+            nested = sh_el.find("sensor")
+            if nested is not None:
+                warnings.warn(
+                    "shape-attached sensor: positioned by its transform "
+                    "(not integrated over the carrier shape)")
+                sensor = nested
+                break
     sensor_kind = 0
     fov = 39.3077
     aspect = None

@@ -19,3 +19,19 @@ import jax  # noqa: E402
 # override after import so tests run on the virtual 8-device CPU mesh
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """XLA's CPU compiler segfaults deep into a full-suite run (reproduced
+    twice at ~190 tests, always inside backend_compile) — apparently from
+    accumulated compilation state in one process.  Dropping the in-memory
+    executable caches between modules avoids it; the persistent
+    compilation cache keeps recompiles cheap."""
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -390,3 +390,29 @@ class TestVertexColors:
         blue_right = right[..., 2].mean() > 1.2 * right[..., 0].mean()
         assert red_left and blue_right, (left.mean(0).mean(0),
                                          right.mean(0).mean(0))
+
+
+REF_TESTS = "/root/reference/data/tests"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TESTS),
+                    reason="reference scenes not mounted")
+def test_reference_dialect_scenes_load():
+    """Every scene the reference ships for its own test harness loads
+    through this loader and builds a renderable Scene (dialect
+    compatibility evidence; warnings for approximated constructs are
+    fine, exceptions are not)."""
+    import glob
+    import warnings as _w
+
+    from drmlt_mitsuba_tpu.scene.types import prepare_scene
+    from drmlt_mitsuba_tpu.scene.xml import load_scene_xml
+
+    paths = sorted(glob.glob(os.path.join(REF_TESTS, "*.xml")))
+    assert paths, "no reference scenes found"
+    for p in paths:
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            scene, settings = load_scene_xml(p)
+            scene = prepare_scene(scene)
+        assert scene.tris.v0.shape[0] >= 1, p
