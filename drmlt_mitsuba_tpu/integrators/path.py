@@ -588,23 +588,34 @@ def make_path_trace(scene: Scene, cfg: PathConfig, force_xla: bool = False):
 
 
 def render_pt(scene: Scene, cfg: PathConfig, key, n_samples: int, film_cfg,
-              mode: str = "accum"):
+              mode: str = "accum", sampler: str = "independent"):
     """Plain Monte-Carlo render: n_samples random paths splatted to a film.
+
+    `sampler` picks the sample generator for the PSS vectors (ref: the
+    sampler plugins drive the forward integrators; MLT legally uses only
+    independent) — independent/stratified/halton/hammersley/ldsampler/
+    sobol via render.sampler.make_sampler.
 
     Returns the raw film (H, W, 4); develop with render.film.develop.
     """
     from drmlt_mitsuba_tpu.render import film as filmlib
+    from drmlt_mitsuba_tpu.render.sampler import make_sampler
 
     chunk = 16384
     n_chunks = max(1, -(-n_samples // chunk))
     scale = jnp.array([film_cfg.width, film_cfg.height], jnp.float32)
     trace = make_path_trace(scene, cfg)
+    sample_fn = make_sampler(sampler)
 
     @jax.jit
     def run():
         def body(film, i):
-            u = jax.random.uniform(jax.random.fold_in(key, i),
-                                   (chunk, cfg.n_dims))
+            if sampler == "independent":
+                u = jax.random.uniform(jax.random.fold_in(key, i),
+                                       (chunk, cfg.n_dims))
+            else:
+                u = sample_fn(key, i * chunk, chunk, cfg.n_dims,
+                              n_chunks * chunk)
             sp = trace(u)
             film = filmlib.splat(
                 film_cfg, film, sp.pos[:, 0, :] * scale, sp.value[:, 0, :],

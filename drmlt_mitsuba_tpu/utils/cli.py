@@ -135,7 +135,9 @@ def render(scene, settings, args, log):
         pcfg = PathConfig(max_depth=max(1, depth), rr_depth=100,
                           thinlens=_thinlens(scene))
         film = render_pt(scene, pcfg, key, W * H * settings.spp, fc,
-                         mode="accum")
+                         mode="accum",
+                         sampler=getattr(settings, "sampler",
+                                         "independent"))
         img = filmlib.develop(fc, film, mode="accum")
         return np.asarray(img), stats, None
 

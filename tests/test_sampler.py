@@ -117,3 +117,29 @@ class TestSobol:
             assert u.shape == (1000, 8)
             assert (u >= 0).all() and (u < 1).all()
             assert abs(u.mean() - 0.5) < 0.05
+
+
+def test_render_pt_with_ld_samplers():
+    """The forward renderer consumes the configured sample generator:
+    sobol/halton renders agree with the independent-sampler render and
+    cut noise on this smooth scene."""
+    from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+    from drmlt_mitsuba_tpu.integrators.path import render_pt
+    from drmlt_mitsuba_tpu.render import film as filmlib
+    from drmlt_mitsuba_tpu.scene.builders import cornell_box
+    from drmlt_mitsuba_tpu.scene.types import prepare_scene
+
+    scene = prepare_scene(cornell_box(16, 16))
+    cfg = PathConfig(max_depth=3, rr_depth=100)
+    fc = filmlib.make_film_config(16, 16, "box")
+    spp = 64
+    means = {}
+    for kind in ("independent", "sobol", "halton", "ldsampler"):
+        f = render_pt(scene, cfg, jax.random.PRNGKey(0), 16 * 16 * spp,
+                      fc, mode="accum", sampler=kind)
+        img = np.asarray(filmlib.develop(fc, f, mode="accum"))
+        assert np.isfinite(img).all(), kind
+        means[kind] = float(img.mean())
+    ref = means["independent"]
+    for kind, m in means.items():
+        assert abs(m - ref) / ref < 0.05, (kind, m, ref)
