@@ -11,18 +11,21 @@ built in this image (boost/xerces headers and the OpenEXR-2 API are
 absent), so the anchor is MEASURED with the independent scalar C++
 renderer `native/cpu_oracle` running the same per-mutation DRMLT work
 (stage-1 trace always, stage-2 trace on rejection, three splats) on the
-same Cornell scene at depth 6:
+same Cornell scene at depth 6, PER TECHNIQUE (2026-08-18, 4-core eval
+machine, 20 s runs, stable across repeats):
 
-    $ native/cpu_oracle mlt cornell_bench.bin out.raw orbital 20 6 4
-    202,205 mutations/s/core on the 4-core eval machine (2026-08-17)
+    $ native/cpu_oracle mlt cornell_bench.bin o.raw orbital 20 6 4 path
+    189,305 mutations/s/core
+    $ native/cpu_oracle mlt cornell_bench.bin o.raw orbital 20 6 4 mmlt
+    663,096 mutations/s/core (mean of 650,264 / 675,928)
 
-Chains are embarrassingly parallel (the reference farms independent work
-units across cores, drmlt_proc.cpp), so the 64-core anchor extrapolates
-linearly: 202205 * 64 = 12.94e6 mutations/s.  The MMLT anchor reuses the
-path-technique number, which is CONSERVATIVE for us: a reference mmlt
-mutation traces a full bidirectional strategy set and is strictly more
-expensive than a path mutation, so the true mmlt denominator is lower.
-See BASELINE.md "CPU anchor (measured)".
+The scalar mmlt mutation is CHEAPER than a path mutation: it walks only
+as deep as the lane's pinned depth and evaluates one (s, t) strategy,
+while a depth-6 path mutation always traces six bounces.  (The pooled
+SIMD form pays max-depth walks on every lane — the depth-grouped MMLT
+driver exists to close exactly this gap.)  Chains are embarrassingly
+parallel (the reference farms independent work units across cores,
+drmlt_proc.cpp), so 64-core anchors extrapolate linearly.
 """
 from __future__ import annotations
 
@@ -33,8 +36,9 @@ import time
 import jax
 import jax.numpy as jnp
 
-# measured: native/cpu_oracle, orbital/path/depth6, per-core x 64 (see above)
-CPU_ANCHOR_MUTATIONS_PER_SEC = 202205.0 * 64
+# measured: native/cpu_oracle, orbital/depth6, per-core x 64 (see above)
+CPU_ANCHOR_PATH_PER_SEC = 189305.0 * 64
+CPU_ANCHOR_MMLT_PER_SEC = 663096.0 * 64
 
 
 def _bench_loop(run_block, state, film, steps_per_call, n_chains, n_calls=5):
@@ -116,14 +120,15 @@ def main():
         "metric": "drmlt_mmlt_orbital_mutations_per_sec_per_chip",
         "value": round(rate_mmlt, 1),
         "unit": "mutations/s",
-        "vs_baseline": round(rate_mmlt / CPU_ANCHOR_MUTATIONS_PER_SEC, 3),
+        "vs_baseline": round(rate_mmlt / CPU_ANCHOR_MMLT_PER_SEC, 3),
         "extra": {
             "drmlt_path_orbital_mutations_per_sec": round(rate_path, 1),
             "path_vs_baseline": round(
-                rate_path / CPU_ANCHOR_MUTATIONS_PER_SEC, 3),
-            "cpu_anchor_mutations_per_sec": CPU_ANCHOR_MUTATIONS_PER_SEC,
-            "anchor_note": "measured cpu_oracle orbital/path/depth6 "
-                           "202205/core x 64 cores (conservative for mmlt)",
+                rate_path / CPU_ANCHOR_PATH_PER_SEC, 3),
+            "cpu_anchor_mmlt_mutations_per_sec": CPU_ANCHOR_MMLT_PER_SEC,
+            "cpu_anchor_path_mutations_per_sec": CPU_ANCHOR_PATH_PER_SEC,
+            "anchor_note": "measured cpu_oracle orbital/depth6 per "
+                           "technique, per-core x 64 (2026-08-18)",
         },
     }))
 
