@@ -19,7 +19,11 @@ def sqr(x):
 
 
 def safe_sqrt(x):
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt clamped to 0 for negative inputs, with a SAFE gradient: the
+    naive sqrt(max(x, 0)) back-propagates 0 * inf = NaN at x <= 0 (sqrt'
+    blows up at exactly 0 before the max's zero mask multiplies in),
+    poisoning e.g. d(image)/d(scene) through every sphere-missing ray."""
+    return jnp.where(x > 0.0, jnp.sqrt(jnp.maximum(x, 1e-30)), 0.0)
 
 
 def safe_acos(x):

@@ -241,7 +241,11 @@ def _assemble_hit_legacy(scene: Scene, o, d, t_max, tri_t, tri_idx,
     emit_tri = tris.emitter_id[ti]
 
     si = sph_idx
-    p_sph = o + sph_t[:, None] * d
+    # SAFE t for geometry construction: sphere-missing rays carry t = INF,
+    # and inf positions NaN the reverse-mode pass through the masked
+    # where (0 * NaN); the where below still selects the triangle fields
+    t_sph = jnp.where(use_sph, sph_t, 1.0)
+    p_sph = o + t_sph[:, None] * d
     ng_sph = normalize(p_sph - scene.spheres.center[si])
     mat_sph = scene.spheres.mat_id[si]
     emit_sph = scene.spheres.emitter_id[si]
@@ -314,7 +318,11 @@ def _assemble_hit_packed(scene: Scene, o, d, t_max, tri_t, tri_idx,
     emit_tri = row[:, 25].astype(jnp.int32)
 
     si = sph_idx
-    p_sph = o + sph_t[:, None] * d
+    # SAFE t for geometry construction: sphere-missing rays carry t = INF,
+    # and inf positions NaN the reverse-mode pass through the masked
+    # where (0 * NaN); the where below still selects the triangle fields
+    t_sph = jnp.where(use_sph, sph_t, 1.0)
+    p_sph = o + t_sph[:, None] * d
     ng_sph = normalize(p_sph - scene.spheres.center[si])
     mat_sph = scene.spheres.mat_id[si]
     emit_sph = scene.spheres.emitter_id[si]

@@ -85,3 +85,48 @@ def _update(param, state, loss_fn, opt):
     l, g = jax.value_and_grad(loss_fn)(param)
     updates, state = opt.update(g, state)
     return optax.apply_updates(param, updates), state, l
+
+
+def test_grad_wrt_medium_sigma_finite_diff():
+    """Pixel gradients flow through the homogeneous volumetric path
+    (closed-form transmittance + distance-sampling weights): jax.grad
+    w.r.t. sigma_t matches finite differences."""
+    from drmlt_mitsuba_tpu.render.medium import make_medium
+
+    base = cornell_box(32, 32)
+    cfg = PathConfig(max_depth=3, rr_depth=100)
+    u = jax.random.uniform(jax.random.PRNGKey(3), (4096, cfg.n_dims))
+
+    def loss(sig):
+        s = base.replace(medium=make_medium(
+            jnp.full(3, sig), [0.4] * 3, 0.2))
+        return _render_mean(s, cfg, u).sum()
+
+    s0 = 1.5e-3
+    g = float(jax.grad(loss)(s0))
+    eps = 1e-4
+    fd = (float(loss(s0 + eps)) - float(loss(s0 - eps))) / (2 * eps)
+    np.testing.assert_allclose(g, fd, rtol=0.05)
+    # more extinction with a low albedo: darker image
+    assert g < 0
+
+
+def test_grad_wrt_medium_g():
+    """Gradient w.r.t. the HG asymmetry is finite and matches finite
+    differences (phase sampling reparameterizes smoothly in g)."""
+    from drmlt_mitsuba_tpu.render.medium import make_medium
+
+    base = cornell_box(32, 32)
+    cfg = PathConfig(max_depth=3, rr_depth=100)
+    u = jax.random.uniform(jax.random.PRNGKey(4), (8192, cfg.n_dims))
+
+    def loss(g):
+        s = base.replace(medium=make_medium([2e-3] * 3, [0.7] * 3, g))
+        return _render_mean(s, cfg, u).sum()
+
+    g0 = 0.3
+    gr = float(jax.grad(loss)(g0))
+    eps = 5e-3
+    fd = (float(loss(g0 + eps)) - float(loss(g0 - eps))) / (2 * eps)
+    assert np.isfinite(gr)
+    np.testing.assert_allclose(gr, fd, rtol=0.15, atol=1e-4)
