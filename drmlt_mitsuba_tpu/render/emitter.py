@@ -129,7 +129,9 @@ def sample_emitter_direct(scene: Scene, p_ref, u3) -> DirectSample:
     dist2_p = jnp.sum(to_p * to_p, axis=-1)
     dist_p = jnp.sqrt(jnp.maximum(dist2_p, 1e-20))
     d_p = to_p / dist_p[..., None]
-    rad_p = e_rad / jnp.maximum(dist2_p, 1e-20)[..., None]
+    # clamp at 1e-12, not 1e-20: the quotient rule's 1/x^2 at the clamp
+    # must stay below f32 max or reverse-mode produces masked inf -> NaN
+    rad_p = e_rad / jnp.maximum(dist2_p, 1e-12)[..., None]
     # spot falloff: smooth quadratic ramp inside the cone (ref spot.cpp
     # falloff simplified to hard cutoff + cosine ramp)
     axis = e_aux[..., :3]

@@ -130,3 +130,27 @@ def test_grad_wrt_medium_g():
     fd = (float(loss(g0 + eps)) - float(loss(g0 - eps))) / (2 * eps)
     assert np.isfinite(gr)
     np.testing.assert_allclose(gr, fd, rtol=0.15, atol=1e-4)
+
+
+def test_grad_wrt_geometry_and_camera_finite():
+    """Geometry/camera gradients are FINITE (interior derivatives; the
+    visibility-discontinuity part is out of scope).  Regression for two
+    reverse-mode NaN traps: safe_sqrt at negative discriminants and the
+    1/max(dist^2, 1e-20) clamp whose quotient rule overflows f32."""
+    scene = cornell_box(16, 16)
+    cfg = PathConfig(max_depth=3, rr_depth=100)
+    u = jax.random.uniform(jax.random.PRNGKey(5), (1024, cfg.n_dims))
+
+    def loss_geo(eps):
+        s = scene.replace(tris=scene.tris.replace(v0=scene.tris.v0 + eps))
+        return _render_mean(s, cfg, u).sum()
+
+    assert np.isfinite(float(jax.grad(loss_geo)(0.0)))
+
+    def loss_cam(eps):
+        cam = scene.camera
+        s = scene.replace(camera=cam.replace(
+            to_world=cam.to_world.at[2, 3].add(eps)))
+        return _render_mean(s, cfg, u).sum()
+
+    assert np.isfinite(float(jax.grad(loss_cam)(0.0)))
