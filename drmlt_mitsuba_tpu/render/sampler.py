@@ -14,9 +14,17 @@ import numpy as np
 
 from drmlt_mitsuba_tpu.render.sobol import ld02, sobol
 
-PRIMES = np.array([2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47,
-                   53, 59, 61, 67, 71, 73, 79, 83, 89, 97, 101, 103, 107,
-                   109, 113, 127, 131], np.int64)
+def _first_primes(n: int) -> np.ndarray:
+    out, c = [], 2
+    while len(out) < n:
+        if all(c % p for p in out if p * p <= c):
+            out.append(c)
+        c += 1
+    return np.asarray(out, np.int64)
+
+
+# one distinct base per dimension (wrapping would correlate high dims)
+PRIMES = _first_primes(160)
 
 
 def radical_inverse(index, base: int):
@@ -43,7 +51,7 @@ def halton(key, idx, n_dims: int):
     sample indices -> (N, n_dims) in [0,1)."""
     dims = []
     for d in range(n_dims):
-        dims.append(radical_inverse(idx, int(PRIMES[d % len(PRIMES)])))
+        dims.append(radical_inverse(idx, int(PRIMES[d])))
     pts = jnp.stack(dims, axis=-1)
     shift = jax.random.uniform(key, (n_dims,))
     return (pts + shift[None, :]) % 1.0
