@@ -3,8 +3,13 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 The headline metric is the flagship configuration BASELINE.json names:
-DRMLT (orbital) driving the MMLT technique.  The path-technique number is
-reported alongside in "extra".
+DRMLT (orbital) driving the MMLT technique, measured through the
+DEPTH-GROUPED driver (integrators/mmlt_grouped.py — per-depth chain
+groups with luminance-proportional allocation, the same work-unit
+structure the reference uses, pathsampler.cpp:884-934).  Its aggregate
+rate = total mutations / total sequential group time, the real render
+schedule.  The pooled single-tensor encoding and the path-technique
+number are reported alongside in "extra".
 
 CPU anchor (vs_baseline denominator): the reference renderer cannot be
 built in this image (boost/xerces headers and the OpenEXR-2 API are
@@ -107,14 +112,66 @@ def main():
         n_path, jnp.zeros((n_path,), bool),
     )
 
-    # ---- flagship: drmlt(orbital) over mmlt ------------------------------
+    # ---- pooled drmlt(orbital) over mmlt (single-tensor encoding) --------
     bcfg = BDPTConfig(max_depth=6)
     frozen, pinned, n_mmlt = mmlt_masks(bcfg)
-    rate_mmlt = bench_config(
+    rate_mmlt_pooled = bench_config(
         make_mmlt_trace(scene, bcfg), n_mmlt, frozen, pinned,
         dict(emitter_mask=mmlt_emitter_mask(bcfg, n_mmlt),
              lt_mask_fn=mmlt_lt_mask_fn(bcfg)),
     )
+
+    # ---- flagship: depth-grouped drmlt(orbital) over mmlt ----------------
+    from drmlt_mitsuba_tpu.integrators.mmlt_grouped import (
+        _group_bootstrap, _group_starts, grouped_emitter_mask,
+        grouped_lt_mask_fn, grouped_masks, make_mmlt_trace_fixed,
+    )
+
+    dcfg = DRMLTConfig(type="orbital", n_chains=n_chains)
+    k_boot = jax.random.fold_in(root, 1)
+    groups = []
+    for k in range(1, bcfg.max_depth + 1):
+        trace_k, cfg_k, n_k = make_mmlt_trace_fixed(scene, k)
+        lums, b_k, sample_u = _group_bootstrap(
+            trace_k, jax.random.fold_in(k_boot, k), n_k, 8192)
+        groups.append((k, trace_k, cfg_k, n_k, lums, float(b_k), sample_u))
+    b_total = sum(g[5] for g in groups)
+    min_group = 1024
+    sizes = [max(min_group,
+                 int(round(n_chains * g[5] / b_total / min_group))
+                 * min_group)
+             for g in groups]
+
+    per_group = []
+    tot_mut = tot_t = 0.0
+    for (k, trace_k, cfg_k, n_dims, lums, b_k, sample_u), n_k in zip(
+            groups, sizes):
+        frozen_k = grouped_masks(cfg_k, n_dims)
+        extras_k = dict(emitter_mask=grouped_emitter_mask(cfg_k, n_dims),
+                        lt_mask_fn=grouped_lt_mask_fn(cfg_k))
+
+        @jax.jit
+        def run_block(state, film, i0, trace_k=trace_k, frozen_k=frozen_k,
+                      extras_k=extras_k, k=k):
+            def body(carry, i):
+                key = jax.random.fold_in(jax.random.fold_in(root, 50 + k), i)
+                (st, fi, _), stats = drmlt_step(
+                    trace_k, dcfg, fc, frozen_k, (carry[0], carry[1], None),
+                    key, **extras_k)
+                return (st, fi), stats["a1"]
+            (state, film), _ = jax.lax.scan(
+                body, (state, film), i0 + jnp.arange(steps_per_call))
+            return state, film
+
+        state = _group_starts(trace_k, sample_u, lums,
+                              jax.random.fold_in(k_boot, 100 + k), n_k)
+        film = filmlib.new_film(fc)
+        rate_k = _bench_loop(run_block, state, film, steps_per_call, n_k)
+        per_group.append({"k": k, "chains": n_k,
+                          "rate": round(rate_k, 1)})
+        tot_mut += n_k
+        tot_t += n_k / rate_k
+    rate_mmlt = tot_mut / tot_t
 
     print(json.dumps({
         "metric": "drmlt_mmlt_orbital_mutations_per_sec_per_chip",
@@ -122,6 +179,10 @@ def main():
         "unit": "mutations/s",
         "vs_baseline": round(rate_mmlt / CPU_ANCHOR_MMLT_PER_SEC, 3),
         "extra": {
+            "mmlt_driver": "depth-grouped (luminance-proportional sizes "
+                           f"{sizes})",
+            "mmlt_per_group": per_group,
+            "drmlt_mmlt_pooled_mutations_per_sec": round(rate_mmlt_pooled, 1),
             "drmlt_path_orbital_mutations_per_sec": round(rate_path, 1),
             "path_vs_baseline": round(
                 rate_path / CPU_ANCHOR_PATH_PER_SEC, 3),

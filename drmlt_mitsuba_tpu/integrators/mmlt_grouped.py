@@ -36,7 +36,8 @@ from drmlt_mitsuba_tpu.scene.types import Scene
 
 
 def make_mmlt_trace_fixed(scene: Scene, k: int, light_image: bool = True,
-                          force_xla: bool = False):
+                          force_xla: bool = False, thinlens: bool = False,
+                          medium: bool = False):
     """trace(u) for a depth-k group.
 
     u = [strategy dim, eye dims(k)..., light dims(k)..., (pad)].  There is
@@ -50,7 +51,8 @@ def make_mmlt_trace_fixed(scene: Scene, k: int, light_image: bool = True,
         make_mega_mmlt, mega_mmlt_eligible,
     )
 
-    cfg = BDPTConfig(max_depth=k, light_image=light_image)
+    cfg = BDPTConfig(max_depth=k, light_image=light_image,
+                     thinlens=thinlens, medium=medium)
     n_core = 1 + cfg.eye_dims + cfg.light_dims
     n_dims = n_core + (n_core % 2)
 
@@ -146,7 +148,8 @@ def render_drmlt_mmlt_grouped(scene: Scene, bcfg: BDPTConfig,
     groups = []
     for k in range(1, D + 1):
         trace_k, cfg_k, n_k = make_mmlt_trace_fixed(
-            scene, k, bcfg.light_image, force_xla)
+            scene, k, bcfg.light_image, force_xla,
+            thinlens=bcfg.thinlens, medium=bcfg.medium)
         lums, b_k, sample_u = _group_bootstrap(
             trace_k, jax.random.fold_in(k_boot, k), n_k, n_boot_grp)
         groups.append(dict(k=k, trace=trace_k, cfg=cfg_k, n_dims=n_k,

@@ -1,0 +1,126 @@
+"""Pallas film-splat kernel: scatter-add as one-hot matmuls on the MXU.
+
+XLA lowers `film.at[idx].add(vals)` to a serialized per-row scatter
+(~15 ns/row on v5e); at 3 splat batches per DRMLT step x 65k chains that
+is ~3 ms/step — the dominant cost of shallow depth-grouped MMLT groups
+(CLAUDE.md, 2026-08-18).  This kernel reformulates the scatter as a
+rank-1 factorization over the film's (row, col*chan) axes:
+
+    film[h, j] += sum_n onehot(py[n])[h] * X[n, j],
+    X[n, px[n]*4 + c] = vals[n, c]
+
+i.e. one (H, K) x (K, W*4) matmul per K-splat block — dense MXU work
+instead of a serial scatter.  Cost is H*W*4 MACs per splat (0.26 M for a
+256^2 film): ~1.3 ns/splat at bf16 peak, ~10x faster than the scatter.
+
+Precision: the one-hot factors are exact in bf16 (0/1); X is split into
+bf16 hi + lo parts and accumulated in f32 over two MXU passes, giving
+~16 mantissa bits per contribution (vs f32's 24) with exact f32
+accumulation — well inside the film's statistical noise, verified to
+5e-3 relative against the scatter in tests/test_film.py.
+
+Reference analog: ImageBlock::put under a mutex
+(include/mitsuba/render/imageblock.h:130-210); here the whole splat
+batch is one deterministic matmul, so there is no ordering race at all.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_K = 1024          # splats per grid block
+_LANE = 128
+_SUB = 8
+
+
+def _splat_kernel(py_ref, px_ref, vals_ref, out_ref, *, H, W4):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    py = py_ref[0]                      # (K,) int32
+    px = px_ref[0]                      # (K,) int32
+    vals = vals_ref[...]                # (K, 4) f32
+
+    K = py.shape[0]
+    # one-hot over film rows: (K, H), exact in bf16
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (K, H), 1)
+    oh = (row_iota == py[:, None]).astype(jnp.bfloat16)
+
+    # X[n, px*4 + c] = vals[n, c]  -> (K, W*4)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (K, W4), 1)
+    base = px[:, None] * 4
+    X = jnp.zeros((K, W4), jnp.float32)
+    for c in range(4):
+        X = X + jnp.where(col_iota == base + c, vals[:, c:c + 1], 0.0)
+
+    X_hi = X.astype(jnp.bfloat16)
+    X_lo = (X - X_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    dn = (((0,), (0,)), ((), ()))       # contract over the splat axis
+    acc = jax.lax.dot_general(oh, X_hi, dn,
+                              preferred_element_type=jnp.float32)
+    acc = acc + jax.lax.dot_general(oh, X_lo, dn,
+                                    preferred_element_type=jnp.float32)
+    out_ref[...] += acc
+
+
+def splat_add_eligible(H: int, W: int) -> bool:
+    return H % _SUB == 0 and (W * 4) % _LANE == 0 and H * W * 4 * 4 < 2**22
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def splat_add(film, py, px, vals):
+    """film (H, W, 4) += scatter of vals (N, 4) at integer (py, px) (N,).
+
+    Out-of-range taps must arrive with zero vals (the film.splat caller
+    already zeroes their weights and clamps indices).
+    """
+    return _splat_add_impl(film, py, px, vals)
+
+
+def _splat_add_impl(film, py, px, vals):
+    H, W, _ = film.shape
+    N = py.shape[0]
+    n_blocks = -(-N // _K)
+    pad = n_blocks * _K - N
+    if pad:
+        py = jnp.concatenate([py, jnp.zeros((pad,), py.dtype)])
+        px = jnp.concatenate([px, jnp.zeros((pad,), px.dtype)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad, 4), vals.dtype)])
+
+    from drmlt_mitsuba_tpu.ops.intersect import _on_tpu
+
+    delta = pl.pallas_call(
+        functools.partial(_splat_kernel, H=H, W4=W * 4),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, _K), lambda i: (i, 0)),
+            pl.BlockSpec((1, _K), lambda i: (i, 0)),
+            pl.BlockSpec((_K, 4), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((H, W * 4), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((H, W * 4), jnp.float32),
+        interpret=not _on_tpu(),   # lets the CPU test suite exercise it
+    )(py.reshape(n_blocks, _K).astype(jnp.int32),
+      px.reshape(n_blocks, _K).astype(jnp.int32),
+      vals.reshape(n_blocks * _K, 4).astype(jnp.float32))
+    return film + delta.reshape(H, W, 4)
+
+
+def _splat_add_fwd(film, py, px, vals):
+    return _splat_add_impl(film, py, px, vals), (py, px)
+
+
+def _splat_add_bwd(res, g):
+    py, px = res
+    return g, None, None, g[py, px]
+
+
+splat_add.defvjp(_splat_add_fwd, _splat_add_bwd)

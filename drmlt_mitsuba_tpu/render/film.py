@@ -88,12 +88,28 @@ def splat(cfg: FilmConfig, film, pos, value, weight=None, mode: str = "splat"):
     else:
         w_chan = jnp.ones(value.shape[:1], value.dtype)
 
-    flat_idx = (py[:, None, :] * cfg.width + px[:, :, None]).reshape(-1)
     contrib = jnp.concatenate([value, w_chan[:, None]], axis=-1)  # (N, 4)
     vals = (w2[:, :, :, None] * contrib[:, None, None, :]).reshape(-1, 4)
+    if _use_matmul_splat(cfg):
+        # one-hot-matmul scatter on the MXU (~10x the serialized scatter;
+        # ops/pallas/splat_kernel.py)
+        from drmlt_mitsuba_tpu.ops.pallas.splat_kernel import splat_add
+
+        F = cfg.filter.footprint
+        py_t = jnp.broadcast_to(py[:, None, :], (py.shape[0], F, F))
+        px_t = jnp.broadcast_to(px[:, :, None], (px.shape[0], F, F))
+        return splat_add(film, py_t.reshape(-1), px_t.reshape(-1), vals)
+    flat_idx = (py[:, None, :] * cfg.width + px[:, :, None]).reshape(-1)
     flat = film.reshape(-1, 4)
     flat = flat.at[flat_idx].add(vals)
     return flat.reshape(cfg.height, cfg.width, 4)
+
+
+def _use_matmul_splat(cfg: FilmConfig) -> bool:
+    from drmlt_mitsuba_tpu.ops.intersect import _on_tpu
+    from drmlt_mitsuba_tpu.ops.pallas.splat_kernel import splat_add_eligible
+
+    return _on_tpu() and splat_add_eligible(cfg.height, cfg.width)
 
 
 def develop(cfg: FilmConfig, film, mode: str = "splat", scale: float = 1.0):

@@ -208,6 +208,50 @@ def render(scene, settings, args, log):
     if itype not in ("pssmlt", "drmlt"):
         raise SystemExit(f"unknown integrator '{itype}'")
 
+    # ---- depth-grouped MMLT driver (default on for drmlt+mmlt) ----------
+    # Static per-depth chain groups with luminance-proportional allocation
+    # mirror the reference's per-depth work units (pathsampler.cpp:884-934)
+    # and measure ~4.3x faster than the pooled encoding on TPU
+    # (BENCH_r02).  Disable with -D grouped=false (e.g. to compare, or for
+    # twoStage/separateDirect which run through the pooled path).
+    if (itype == "drmlt" and icfg.get("technique") == "mmlt"
+            and bool(icfg.get("grouped", True))
+            and not icfg.get("twoStage") and not icfg.get("separateDirect")
+            and not (args.shard and len(jax.devices()) > 1)):
+        from drmlt_mitsuba_tpu.integrators.mmlt_grouped import (
+            render_drmlt_mmlt_grouped,
+        )
+
+        bcfg = BDPTConfig(max_depth=int(icfg.get("maxDepth", 5)),
+                          light_image=bool(icfg.get("lightImage", True)),
+                          thinlens=_thinlens(scene),
+                          medium=_bidir_medium(scene))
+        n_chains = int(icfg.get("chains", args.chains))
+        dcfg = DRMLTConfig(
+            type=icfg.get("variant", "green"),
+            n_chains=n_chains,
+            p_large=float(icfg.get("pLarge", 0.3)),
+            sigma=float(icfg.get("sigma", 1 / 64)),
+            scale_second=float(icfg.get("scaleSecond", 0.1)),
+            timid_after_large=bool(icfg.get("timidAfterLarge", False)),
+            acceptance_map=bool(icfg.get("acceptanceMap", False)),
+            use_mixture=bool(icfg.get("useMixture", False)),
+            fix_emitter_path=bool(icfg.get("fixEmitterPath", False)),
+            n_bootstrap=int(icfg.get("luminanceSamples", 100_000)),
+        )
+        n_steps = max(1, W * H * settings.spp // n_chains)
+        avg_lum = (float(icfg["averageLuminance"])
+                   if float(icfg.get("averageLuminance", -1)) > 0 else None)
+        log.info("depth-grouped MMLT driver: %d chains, %d steps",
+                 n_chains, n_steps)
+        img, aux = render_drmlt_mmlt_grouped(
+            scene, bcfg, dcfg, fc, key, n_steps, average_luminance=avg_lum,
+            min_group=max(64, min(1024, n_chains // 4)))
+        log.info("b = %.6f, group sizes = %s", aux["b"], aux["sizes"])
+        acc = (np.asarray(aux["accmap"])
+               if aux.get("accmap") is not None else None)
+        return np.asarray(img), stats, acc
+
     # ---- MCMC integrators -------------------------------------------------
     trace, n_dims, frozen, pinned, extras = build_trace(scene, settings, icfg)
 

@@ -51,3 +51,37 @@ def test_accum_develop_average():
     f = filmlib.splat(cfg, f, pos, val, mode="accum")
     img = filmlib.develop(cfg, f, mode="accum")
     np.testing.assert_allclose(np.asarray(img), 2.0, atol=1e-4)
+
+
+def test_matmul_splat_matches_scatter():
+    """The one-hot-matmul splat kernel (ops/pallas/splat_kernel.py) must
+    agree with the serialized scatter to its documented hi/lo-bf16
+    precision on a film shape it declares eligible (W*4 % 128 == 0)."""
+    import jax
+
+    from drmlt_mitsuba_tpu.ops.pallas.splat_kernel import (
+        splat_add, splat_add_eligible,
+    )
+
+    H, W = 32, 64
+    assert splat_add_eligible(H, W)
+    rng = np.random.default_rng(7)
+    N = 3000
+    py = jnp.asarray(rng.integers(0, H, N), jnp.int32)
+    px = jnp.asarray(rng.integers(0, W, N), jnp.int32)
+    vals = jnp.asarray(rng.gamma(1.0, 2.0, size=(N, 4)), jnp.float32)
+    film0 = jnp.asarray(rng.uniform(0, 1, size=(H, W, 4)), jnp.float32)
+
+    got = splat_add(film0, py, px, vals)
+    want = film0.reshape(-1, 4).at[py * W + px].add(vals).reshape(H, W, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)
+
+    # gradients: d/dvals is the gather of the film cotangent
+    def loss(v):
+        return jnp.sum(splat_add(film0, py, px, v) ** 2)
+
+    g = jax.grad(loss)(vals)
+    out = np.asarray(want)
+    expect = 2.0 * out[np.asarray(py), np.asarray(px)]
+    np.testing.assert_allclose(np.asarray(g), expect, rtol=2e-2, atol=2e-2)
