@@ -44,8 +44,8 @@ def _splat_kernel(py_ref, px_ref, vals_ref, out_ref, *, H, W4):
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    py = py_ref[0]                      # (K,) int32
-    px = px_ref[0]                      # (K,) int32
+    py = py_ref[...]                    # (K,) int32
+    px = px_ref[...]                    # (K,) int32
     vals = vals_ref[...]                # (K, 4) f32
 
     K = py.shape[0]
@@ -101,15 +101,16 @@ def _splat_add_impl(film, py, px, vals):
         functools.partial(_splat_kernel, H=H, W4=W * 4),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, _K), lambda i: (i, 0)),
-            pl.BlockSpec((1, _K), lambda i: (i, 0)),
+            # 1-D blocks: last dim _K=1024 is lane-divisible (128); a 2-D
+            # (1, _K) block would violate the (8, 128) sublane rule on TPU
+            pl.BlockSpec((_K,), lambda i: (i,)),
+            pl.BlockSpec((_K,), lambda i: (i,)),
             pl.BlockSpec((_K, 4), lambda i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((H, W * 4), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((H, W * 4), jnp.float32),
         interpret=not _on_tpu(),   # lets the CPU test suite exercise it
-    )(py.reshape(n_blocks, _K).astype(jnp.int32),
-      px.reshape(n_blocks, _K).astype(jnp.int32),
+    )(py.astype(jnp.int32), px.astype(jnp.int32),
       vals.reshape(n_blocks * _K, 4).astype(jnp.float32))
     return film + delta.reshape(H, W, 4)
 
