@@ -122,6 +122,12 @@ def main():
     )
 
     # ---- flagship: depth-grouped drmlt(orbital) over mmlt ----------------
+    # equal-chains schedule (mmlt_grouped.render_drmlt_mmlt_grouped
+    # docstring): every depth group runs n_chains chains at the chip's
+    # throughput-optimal batch size and the per-group STEP count scales
+    # with the depth's luminance mass f_k = b_k / b_total, so the
+    # aggregate render rate is the f_k-weighted harmonic mean of the
+    # per-group rates: 1 / sum_k (f_k / r_k).
     from drmlt_mitsuba_tpu.integrators.mmlt_grouped import (
         _group_bootstrap, _group_starts, grouped_emitter_mask,
         grouped_lt_mask_fn, grouped_masks, make_mmlt_trace_fixed,
@@ -136,16 +142,10 @@ def main():
             trace_k, jax.random.fold_in(k_boot, k), n_k, 8192)
         groups.append((k, trace_k, cfg_k, n_k, lums, float(b_k), sample_u))
     b_total = sum(g[5] for g in groups)
-    min_group = 1024
-    sizes = [max(min_group,
-                 int(round(n_chains * g[5] / b_total / min_group))
-                 * min_group)
-             for g in groups]
 
     per_group = []
-    tot_mut = tot_t = 0.0
-    for (k, trace_k, cfg_k, n_dims, lums, b_k, sample_u), n_k in zip(
-            groups, sizes):
+    inv_rate = 0.0
+    for k, trace_k, cfg_k, n_dims, lums, b_k, sample_u in groups:
         frozen_k = grouped_masks(cfg_k, n_dims)
         extras_k = dict(emitter_mask=grouped_emitter_mask(cfg_k, n_dims),
                         lt_mask_fn=grouped_lt_mask_fn(cfg_k))
@@ -164,14 +164,15 @@ def main():
             return state, film
 
         state = _group_starts(trace_k, sample_u, lums,
-                              jax.random.fold_in(k_boot, 100 + k), n_k)
+                              jax.random.fold_in(k_boot, 100 + k), n_chains)
         film = filmlib.new_film(fc)
-        rate_k = _bench_loop(run_block, state, film, steps_per_call, n_k)
-        per_group.append({"k": k, "chains": n_k,
+        rate_k = _bench_loop(run_block, state, film, steps_per_call,
+                             n_chains)
+        f_k = b_k / b_total
+        per_group.append({"k": k, "chains": n_chains, "weight": round(f_k, 4),
                           "rate": round(rate_k, 1)})
-        tot_mut += n_k
-        tot_t += n_k / rate_k
-    rate_mmlt = tot_mut / tot_t
+        inv_rate += f_k / rate_k
+    rate_mmlt = 1.0 / inv_rate
 
     print(json.dumps({
         "metric": "drmlt_mmlt_orbital_mutations_per_sec_per_chip",
@@ -179,8 +180,10 @@ def main():
         "unit": "mutations/s",
         "vs_baseline": round(rate_mmlt / CPU_ANCHOR_MMLT_PER_SEC, 3),
         "extra": {
-            "mmlt_driver": "depth-grouped (luminance-proportional sizes "
-                           f"{sizes})",
+            "mmlt_driver": "depth-grouped, equal-chains schedule "
+                           f"({n_chains} chains/group, steps weighted by "
+                           "luminance mass; aggregate = weighted harmonic "
+                           "mean of per-group rates)",
             "mmlt_per_group": per_group,
             "drmlt_mmlt_pooled_mutations_per_sec": round(rate_mmlt_pooled, 1),
             "drmlt_path_orbital_mutations_per_sec": round(rate_path, 1),

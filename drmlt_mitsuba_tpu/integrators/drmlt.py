@@ -65,6 +65,16 @@ class DRMLTConfig:
     #                                  unless the chain is light-tracing
     #                                  (drmlt_proc.cpp:133-141)
     n_bootstrap: int = 100_000
+    fuse_traces: bool | None = None  # batch the stage-1/stage-2 (and green
+    #                                  reverse) traces into ONE trace_fn call
+    #                                  — proposals never depend on each
+    #                                  other's trace results, and one 2C/3C
+    #                                  call amortizes per-call overhead that
+    #                                  dominates small chain groups.  None =
+    #                                  auto: fuse while the combined batch
+    #                                  stays <= 65536 lanes (measured TPU
+    #                                  efficiency knee; 2026-08-18 A/B:
+    #                                  +14% at 7168 chains, -3% at 65536)
 
     def stage1_kernel(self):
         if self.type == TYPE_ORBITAL:
@@ -172,16 +182,6 @@ def drmlt_step(trace_fn, cfg: DRMLTConfig, film_cfg, frozen_mask,
     x = state.u
     y_raw, large = propose_stage1(cfg, k1, x, frozen_mask, pinned_mask)
     y = pss_wrap(y_raw)
-    sp_y = trace_fn(y)
-    prop1 = state_from_splats(y, sp_y)
-
-    a1 = metropolis_clamp(prop1.lum / jnp.maximum(state.lum, 1e-30))
-    accept1 = jax.random.uniform(kacc1, a1.shape) < a1
-
-    # ---- stage 2 (computed for all lanes; masked where not taken) --------
-    do_second = ~accept1
-    if not cfg.timid_after_large:
-        do_second = do_second & ~large
 
     freeze2 = None
     if cfg.fix_emitter_path and emitter_mask is not None \
@@ -191,14 +191,45 @@ def drmlt_step(trace_fn, cfg: DRMLTConfig, film_cfg, frozen_mask,
     z_raw = propose_stage2(cfg, k2, x, y_raw, frozen_mask, pinned_mask,
                            freeze2)
     z = pss_wrap(z_raw)
-    sp_z = trace_fn(z)
+    if cfg.type == TYPE_GREEN:
+        y_star = pss_wrap(z_raw - (y_raw - x))
+
+    # ---- trace the proposals (one batched call when fused) ---------------
+    # No proposal depends on another's trace result (green's reverse path
+    # y* = z - (y - x) uses raw proposals only), so all 2 (3 for green)
+    # traces can run as ONE trace_fn call — same total work, but per-call
+    # fixed cost is paid once, which dominates small depth-grouped batches.
+    C = x.shape[0]
+    n_traces = 3 if cfg.type == TYPE_GREEN else 2
+    fuse = cfg.fuse_traces
+    if fuse is None:
+        fuse = n_traces * C <= 65536
+    if fuse:
+        batch = [y, z] + ([y_star] if cfg.type == TYPE_GREEN else [])
+        sp_all = trace_fn(jnp.concatenate(batch, axis=0))
+        parts = [jax.tree.map(lambda a, i=i: a[i * C:(i + 1) * C], sp_all)
+                 for i in range(len(batch))]
+        sp_y, sp_z = parts[0], parts[1]
+        sp_rev = parts[2] if cfg.type == TYPE_GREEN else None
+    else:
+        sp_y = trace_fn(y)
+        sp_z = trace_fn(z)
+        sp_rev = trace_fn(y_star) if cfg.type == TYPE_GREEN else None
+
+    prop1 = state_from_splats(y, sp_y)
+    a1 = metropolis_clamp(prop1.lum / jnp.maximum(state.lum, 1e-30))
+    accept1 = jax.random.uniform(kacc1, a1.shape) < a1
+
+    # ---- stage 2 (computed for all lanes; masked where not taken) --------
+    do_second = ~accept1
+    if not cfg.timid_after_large:
+        do_second = do_second & ~large
+
     prop2 = state_from_splats(z, sp_z)
     lum_ratio = prop2.lum / jnp.maximum(state.lum, 1e-30)
 
     if cfg.type == TYPE_GREEN:
-        # reverse path y* = z - (y - x), traced (third eval)
-        y_star = pss_wrap(z_raw - (y_raw - x))
-        sp_rev = trace_fn(y_star)
+        # reverse path y* = z - (y - x) (third trace, batched when fused)
         a_rev = metropolis_clamp(
             jnp.where(jnp.isfinite(sp_rev.lum) & (sp_rev.lum >= 0), sp_rev.lum, 0.0)
             / jnp.maximum(prop2.lum, 1e-30)
@@ -239,9 +270,12 @@ def drmlt_step(trace_fn, cfg: DRMLTConfig, film_cfg, frozen_mask,
     w_y = a1
     w_z = (1.0 - a1) * a2
     w_x = 1.0 - w_y - w_z
-    film = splat_state(film_cfg, film, state.pos, state.value, w_x)
-    film = splat_state(film_cfg, film, prop1.pos, prop1.value, w_y)
-    film = splat_state(film_cfg, film, prop2.pos, prop2.value, w_z)
+    # one splat call for all three states (fewer scatter launches)
+    film = splat_state(
+        film_cfg, film,
+        jnp.concatenate([state.pos, prop1.pos, prop2.pos]),
+        jnp.concatenate([state.value, prop1.value, prop2.value]),
+        jnp.concatenate([w_x, w_y, w_z]))
 
     if cfg.acceptance_map and accmap is not None:
         # R = stage-1 accepts (small steps only), G = stage-2 accepts

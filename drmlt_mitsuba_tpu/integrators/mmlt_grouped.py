@@ -134,12 +134,28 @@ def _group_starts(trace, sample_u, lums, root_key, n_chains: int):
 def render_drmlt_mmlt_grouped(scene: Scene, bcfg: BDPTConfig,
                               dcfg: DRMLTConfig, film_cfg, root_key,
                               n_steps: int, average_luminance=None,
-                              force_xla: bool = False, min_group: int = 1024):
+                              force_xla: bool = False, min_group: int = 1024,
+                              equal_chains: bool = True):
     """Full depth-grouped DRMLT-over-MMLT render.
 
     Returns (image, aux) like drmlt.render_drmlt; aux adds per-group
     sizes/b_k.  Ref: drmlt.cpp:393-611 (the process being beaten) with
     the per-depth work-unit structure of pathsampler.cpp:884-934.
+
+    Two allocation schemes (mutations per depth stay proportional to the
+    depth's luminance mass b_k either way, so the estimator is unchanged):
+
+    * equal_chains=True (default): EVERY group runs dcfg.n_chains chains
+      and the per-group STEP count scales with b_k.  Each group's batch
+      sits at the chip's throughput-optimal size instead of starving deep
+      groups (measured 2026-08-18: a 1024-chain depth-6 group runs 2.3M
+      mut/s vs ~12M at 65536 chains — per-call overhead dominates tiny
+      batches).  Valid because bootstrap resampling draws starts from the
+      stationary distribution, so many short chains are as unbiased as
+      few long ones (Kelemen et al. 2002, §5.1; drmlt.cpp:456-473 uses
+      many independent short work units the same way).
+    * equal_chains=False: luminance-proportional chain counts, a common
+      n_steps (the round-1 scheme; kept for A/B and tests).
     """
     D = bcfg.max_depth
     k_boot, k_run = jax.random.split(root_key)
@@ -162,22 +178,30 @@ def render_drmlt_mmlt_grouped(scene: Scene, bcfg: BDPTConfig,
         b_ks = [bk * scale_b for bk in b_ks]
         b_total = float(average_luminance)
 
-    # luminance-proportional static group sizes (multiples of min_group)
-    sizes = []
+    # group sizes + per-group step counts (see docstring)
+    sizes, steps_per_group = [], []
     for bk in b_ks:
         if b_total <= 0 or bk <= 0:
             sizes.append(0)
+            steps_per_group.append(0)
             continue
-        raw = dcfg.n_chains * bk / b_total
-        sizes.append(max(min_group, int(round(raw / min_group)) * min_group))
+        if equal_chains:
+            sizes.append(dcfg.n_chains)
+            steps_per_group.append(max(1, int(round(n_steps * bk / b_total))))
+        else:
+            raw = dcfg.n_chains * bk / b_total
+            sizes.append(max(min_group,
+                             int(round(raw / min_group)) * min_group))
+            steps_per_group.append(n_steps)
 
     img = jnp.zeros((film_cfg.height, film_cfg.width, 3))
     accmap = filmlib.new_film(film_cfg) if dcfg.acceptance_map else None
     all_stats = {}
     step = drmlt_mixture_step if dcfg.use_mixture else drmlt_step
 
-    for g, n_k_chains, bk in zip(groups, sizes, b_ks):
-        if n_k_chains == 0:
+    for g, n_k_chains, bk, n_steps_k in zip(groups, sizes, b_ks,
+                                            steps_per_group):
+        if n_k_chains == 0 or n_steps_k == 0:
             continue
         trace_k, cfg_k, n_dims = g["trace"], g["cfg"], g["n_dims"]
         frozen = grouped_masks(cfg_k, n_dims)
@@ -201,14 +225,15 @@ def render_drmlt_mmlt_grouped(scene: Scene, bcfg: BDPTConfig,
                 return step(trace_k, dcfg, film_cfg, frozen, carry, key)
 
             (state, film, accmap), stats = jax.lax.scan(
-                body, (state, film, accmap), jnp.arange(n_steps))
+                body, (state, film, accmap), jnp.arange(n_steps_k))
             return state, film, accmap, stats
 
         state, film, accmap, stats = run(state, film, accmap)
-        n_per_pixel = n_k_chains * n_steps / film_cfg.npixels
+        n_per_pixel = n_k_chains * n_steps_k / film_cfg.npixels
         img = img + filmlib.develop(
             film_cfg, film, mode="splat", scale=bk / n_per_pixel)[..., :3]
         all_stats[g["k"]] = stats
 
-    return img, dict(b=b_total, b_k=b_ks, sizes=sizes, stats=all_stats,
+    return img, dict(b=b_total, b_k=b_ks, sizes=sizes,
+                     steps_per_group=steps_per_group, stats=all_stats,
                      accmap=accmap)

@@ -209,10 +209,12 @@ def render(scene, settings, args, log):
         raise SystemExit(f"unknown integrator '{itype}'")
 
     # ---- depth-grouped MMLT driver (default on for drmlt+mmlt) ----------
-    # Static per-depth chain groups with luminance-proportional allocation
-    # mirror the reference's per-depth work units (pathsampler.cpp:884-934)
-    # and measure ~4.3x faster than the pooled encoding on TPU
-    # (BENCH_r02).  Disable with -D grouped=false (e.g. to compare, or for
+    # Static per-depth chain groups mirror the reference's per-depth work
+    # units (pathsampler.cpp:884-934); by default every group runs at the
+    # chip's optimal batch size with luminance-proportional STEP counts
+    # (-D equalChains=false restores luminance-proportional chain counts).
+    # Measured well above the pooled encoding on TPU (BENCH_r02).
+    # Disable with -D grouped=false (e.g. to compare, or for
     # twoStage/separateDirect which run through the pooled path).
     if (itype == "drmlt" and icfg.get("technique") == "mmlt"
             and bool(icfg.get("grouped", True))
@@ -246,8 +248,10 @@ def render(scene, settings, args, log):
                  n_chains, n_steps)
         img, aux = render_drmlt_mmlt_grouped(
             scene, bcfg, dcfg, fc, key, n_steps, average_luminance=avg_lum,
-            min_group=max(64, min(1024, n_chains // 4)))
-        log.info("b = %.6f, group sizes = %s", aux["b"], aux["sizes"])
+            min_group=max(64, min(1024, n_chains // 4)),
+            equal_chains=bool(icfg.get("equalChains", True)))
+        log.info("b = %.6f, group sizes = %s, steps = %s", aux["b"],
+                 aux["sizes"], aux["steps_per_group"])
         acc = (np.asarray(aux["accmap"])
                if aux.get("accmap") is not None else None)
         return np.asarray(img), stats, acc
