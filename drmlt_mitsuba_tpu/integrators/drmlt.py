@@ -203,7 +203,11 @@ def drmlt_step(trace_fn, cfg: DRMLTConfig, film_cfg, frozen_mask,
     n_traces = 3 if cfg.type == TYPE_GREEN else 2
     fuse = cfg.fuse_traces
     if fuse is None:
-        fuse = n_traces * C <= 65536
+        # C % 8 == 0 keeps mega-vs-XLA dispatch identical for fused and
+        # unfused calls: the mega trace triggers on batch % 8 == 0, so a
+        # C % 8 != 0 batch whose n_traces*C % 8 == 0 would mix evaluators
+        # within one chain (round-2 advisor finding)
+        fuse = (n_traces * C <= 65536) and (C % 8 == 0)
     if fuse:
         batch = [y, z] + ([y_star] if cfg.type == TYPE_GREEN else [])
         sp_all = trace_fn(jnp.concatenate(batch, axis=0))

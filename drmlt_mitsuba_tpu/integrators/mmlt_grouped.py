@@ -186,8 +186,13 @@ def render_drmlt_mmlt_grouped(scene: Scene, bcfg: BDPTConfig,
             steps_per_group.append(0)
             continue
         if equal_chains:
+            # no max(1, ...) floor: a negligible-mass group whose
+            # proportional share rounds to zero steps is SKIPPED rather
+            # than promoted to a full n_chains-wide step (round-2 advisor:
+            # at small n_steps the floor silently degraded the documented
+            # proportional allocation to near-equal allocation)
             sizes.append(dcfg.n_chains)
-            steps_per_group.append(max(1, int(round(n_steps * bk / b_total))))
+            steps_per_group.append(int(round(n_steps * bk / b_total)))
         else:
             raw = dcfg.n_chains * bk / b_total
             sizes.append(max(min_group,

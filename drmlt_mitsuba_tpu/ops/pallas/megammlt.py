@@ -143,16 +143,34 @@ def _mega_mmlt_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
                       n_tris, n_mats, n_ems, max_depth, light_image, kinds,
                       eye_dims):
     """One MMLT mutation trace per lane (8, L) tile."""
+    vx, vy, vz, opx, opy = mmlt_trace_tile(
+        tri_ref, mat_ref, em_ref, cam_ref, lambda j: u_ref[j],
+        u_ref.shape[1:], n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
+        max_depth=max_depth, light_image=light_image, kinds=kinds,
+        eye_dims=eye_dims)
+    out_ref[0] = vx
+    out_ref[1] = vy
+    out_ref[2] = vz
+    out_ref[3] = opx
+    out_ref[4] = opy
+
+
+def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
+                    n_tris, n_mats, n_ems, max_depth, light_image, kinds,
+                    eye_dims):
+    """The whole selected-strategy MMLT trace on one (8, L) tile.
+
+    `udim(j)` yields PSS dim j as a tile (a ref read for the one-shot
+    kernel; a live VMEM value inside the multi-mutation DRMLT kernel).
+    Returns (vx, vy, vz, pos_x, pos_y) with the n_strats * max_depth
+    strategy/depth-pmf scaling applied to the value.
+    """
     f32 = jnp.float32
-    shape = u_ref.shape[1:]
     zero = jnp.zeros(shape, f32)
     one = jnp.ones(shape, f32)
     fbool = jnp.zeros(shape, bool)
     n_eye = max_depth + 1
     n_light = max_depth
-
-    def udim(j):
-        return u_ref[j]
 
     # ---- technique dims --------------------------------------------------
     depth = jnp.minimum(jnp.floor(udim(0) * max_depth), max_depth - 1.0) + 1.0
@@ -664,11 +682,8 @@ def _mega_mmlt_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
     vy = vy + jnp.where(ok_c, cc_y * w_mis, 0.0)
     vz = vz + jnp.where(ok_c, cc_z * w_mis, 0.0)
     scale = n_strats * float(max_depth)
-    out_ref[0] = vx * scale
-    out_ref[1] = vy * scale
-    out_ref[2] = vz * scale
-    out_ref[3] = jnp.where(case_lt, fu, ux)
-    out_ref[4] = jnp.where(case_lt, fv, uy)
+    return (vx * scale, vy * scale, vz * scale,
+            jnp.where(case_lt, fu, ux), jnp.where(case_lt, fv, uy))
 
 
 def _delta_at(delta_list, idx, shape):

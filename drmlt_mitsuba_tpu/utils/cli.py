@@ -28,6 +28,17 @@ import time
 import numpy as np
 
 
+def _pbool(v, default=False):
+    """Boolean integrator option that may arrive as an XML bool or as a
+    `-D key=false` CLI string (bool("false") is truthy — the trap the
+    round-2 advisor flagged for equalChains/grouped)."""
+    if v is None:
+        return default
+    if isinstance(v, str):
+        return v.strip().lower() in ("true", "1", "yes", "on")
+    return bool(v)
+
+
 def _thinlens(scene):
     """True when the camera has a lens (aperture > 0): the integrators
     consume 2 lens dims and bidir importance projects through the lens."""
@@ -75,7 +86,7 @@ def build_trace(scene, settings, icfg):
         return trace, n, jnp.zeros((n,), bool), jnp.zeros((n,), bool), {}
     if technique == "bdpt":
         bcfg = BDPTConfig(max_depth=max_depth,
-                          light_image=bool(icfg.get("lightImage", True)),
+                          light_image=_pbool(icfg.get("lightImage"), True),
                           thinlens=tl, medium=_bidir_medium(scene))
         n = bcfg.n_dims + bcfg.n_dims % 2
         trace = lambda u: trace_bdpt(scene, bcfg, u[:, : bcfg.n_dims])
@@ -86,7 +97,7 @@ def build_trace(scene, settings, icfg):
         )
 
         bcfg = BDPTConfig(max_depth=max_depth,
-                          light_image=bool(icfg.get("lightImage", True)),
+                          light_image=_pbool(icfg.get("lightImage"), True),
                           thinlens=tl, medium=_bidir_medium(scene))
         frozen, pinned, n = mmlt_masks(bcfg)
         trace = make_mmlt_trace(scene, bcfg)
@@ -119,6 +130,13 @@ def render(scene, settings, args, log):
     from drmlt_mitsuba_tpu.scene.builders import cornell_box  # noqa: F401
 
     icfg = dict(settings.integrator)
+    # -D pairs that no $key in the XML consumed still act as integrator
+    # options (equalChains/grouped/variant/... never appear in scene files);
+    # XML-provided keys win, matching the reference's substitution-only
+    # semantics (mitsuba.cpp:169-175).
+    for kv in getattr(args, "D", []):
+        k, _, v = kv.partition("=")
+        icfg.setdefault(k, v)
     itype = icfg.get("type", "path")
     W, H = settings.width, settings.height
     fc = filmlib.make_film_config(W, H, settings.filter_name)
@@ -143,7 +161,7 @@ def render(scene, settings, args, log):
 
     if itype == "bdpt":
         bcfg = BDPTConfig(max_depth=int(icfg.get("maxDepth", 5)),
-                          light_image=bool(icfg.get("lightImage", True)),
+                          light_image=_pbool(icfg.get("lightImage"), True),
                           thinlens=_thinlens(scene),
                           medium=_bidir_medium(scene))
         n_total = W * H * settings.spp
@@ -217,7 +235,7 @@ def render(scene, settings, args, log):
     # Disable with -D grouped=false (e.g. to compare, or for
     # twoStage/separateDirect which run through the pooled path).
     if (itype == "drmlt" and icfg.get("technique") == "mmlt"
-            and bool(icfg.get("grouped", True))
+            and _pbool(icfg.get("grouped"), True)
             and not icfg.get("twoStage") and not icfg.get("separateDirect")
             and not (args.shard and len(jax.devices()) > 1)):
         from drmlt_mitsuba_tpu.integrators.mmlt_grouped import (
@@ -225,7 +243,7 @@ def render(scene, settings, args, log):
         )
 
         bcfg = BDPTConfig(max_depth=int(icfg.get("maxDepth", 5)),
-                          light_image=bool(icfg.get("lightImage", True)),
+                          light_image=_pbool(icfg.get("lightImage"), True),
                           thinlens=_thinlens(scene),
                           medium=_bidir_medium(scene))
         n_chains = int(icfg.get("chains", args.chains))
@@ -235,10 +253,10 @@ def render(scene, settings, args, log):
             p_large=float(icfg.get("pLarge", 0.3)),
             sigma=float(icfg.get("sigma", 1 / 64)),
             scale_second=float(icfg.get("scaleSecond", 0.1)),
-            timid_after_large=bool(icfg.get("timidAfterLarge", False)),
-            acceptance_map=bool(icfg.get("acceptanceMap", False)),
-            use_mixture=bool(icfg.get("useMixture", False)),
-            fix_emitter_path=bool(icfg.get("fixEmitterPath", False)),
+            timid_after_large=_pbool(icfg.get("timidAfterLarge"), False),
+            acceptance_map=_pbool(icfg.get("acceptanceMap"), False),
+            use_mixture=_pbool(icfg.get("useMixture"), False),
+            fix_emitter_path=_pbool(icfg.get("fixEmitterPath"), False),
             n_bootstrap=int(icfg.get("luminanceSamples", 100_000)),
         )
         n_steps = max(1, W * H * settings.spp // n_chains)
@@ -249,7 +267,7 @@ def render(scene, settings, args, log):
         img, aux = render_drmlt_mmlt_grouped(
             scene, bcfg, dcfg, fc, key, n_steps, average_luminance=avg_lum,
             min_group=max(64, min(1024, n_chains // 4)),
-            equal_chains=bool(icfg.get("equalChains", True)))
+            equal_chains=_pbool(icfg.get("equalChains"), True))
         log.info("b = %.6f, group sizes = %s, steps = %s", aux["b"],
                  aux["sizes"], aux["steps_per_group"])
         acc = (np.asarray(aux["accmap"])
@@ -261,7 +279,7 @@ def render(scene, settings, args, log):
 
     # separate direct-illumination pass (renderDirectComponent)
     direct_img = None
-    if bool(icfg.get("separateDirect", False)) and icfg.get(
+    if _pbool(icfg.get("separateDirect"), False) and icfg.get(
         "technique", "path"
     ) == "path":
         dcfg_pt = PathConfig(max_depth=2, rr_depth=100)
@@ -275,7 +293,7 @@ def render(scene, settings, args, log):
 
     # two-stage importance map (mltLuminancePass)
     imap = None
-    if bool(icfg.get("twoStage", False)):
+    if _pbool(icfg.get("twoStage"), False):
         def lowres(w, h):
             fc2 = filmlib.make_film_config(w, h, "box")
             pcfg2 = PathConfig(max_depth=int(icfg.get("maxDepth", 8)),
@@ -307,8 +325,8 @@ def render(scene, settings, args, log):
         mcfg = PSSMLTConfig(
             n_chains=n_chains,
             p_large=float(icfg.get("pLarge", 0.3)),
-            kelemen_style_mutation=bool(icfg.get("kelemenStyleMutation", True)),
-            kelemen_style_weights=bool(icfg.get("kelemenStyleWeights", True))
+            kelemen_style_mutation=_pbool(icfg.get("kelemenStyleMutation"), True),
+            kelemen_style_weights=_pbool(icfg.get("kelemenStyleWeights"), True)
             and imap is None,
             mutation_size_low=float(icfg.get("mutationSizeLow", 1 / 1024)),
             mutation_size_high=float(icfg.get("mutationSizeHigh", 1 / 64)),
@@ -339,10 +357,10 @@ def render(scene, settings, args, log):
             p_large=float(icfg.get("pLarge", 0.3)),
             sigma=float(icfg.get("sigma", 1 / 64)),
             scale_second=float(icfg.get("scaleSecond", 0.1)),
-            timid_after_large=bool(icfg.get("timidAfterLarge", False)),
-            acceptance_map=bool(icfg.get("acceptanceMap", False)),
-            use_mixture=bool(icfg.get("useMixture", False)),
-            fix_emitter_path=bool(icfg.get("fixEmitterPath", False)),
+            timid_after_large=_pbool(icfg.get("timidAfterLarge"), False),
+            acceptance_map=_pbool(icfg.get("acceptanceMap"), False),
+            use_mixture=_pbool(icfg.get("useMixture"), False),
+            fix_emitter_path=_pbool(icfg.get("fixEmitterPath"), False),
             n_bootstrap=n_boot,
         )
         kelemen_w = False
