@@ -131,6 +131,45 @@ def _group_starts(trace, sample_u, lums, root_key, n_chains: int):
     return state_from_splats(u0, trace(u0))
 
 
+def _run_group_mega(scene, cfg_k, dcfg, film_cfg, trace_k, lums, sample_u,
+                    boot_key, run_key, n_dims, n_chains, n_steps_k,
+                    n_mut=16):
+    """Run one depth group through the multi-mutation DRMLT megakernel
+    (ops/pallas/megadrmlt.py): n_mut whole mutations per Pallas launch,
+    chain state + film VMEM-resident.  Returns (film_rgb, stats, steps)."""
+    from drmlt_mitsuba_tpu.ops.pallas.megadrmlt import (
+        make_mega_drmlt, pack_chain_state,
+    )
+
+    n_launches = max(1, -(-n_steps_k // n_mut))
+    steps_eff = n_launches * n_mut
+    state = _group_starts(trace_k, sample_u, lums, boot_key, n_chains)
+    arr = pack_chain_state(state, n_dims)
+    step = make_mega_drmlt(scene, cfg_k, dcfg, film_cfg, cfg_k.max_depth,
+                           n_dims, n_mut=n_mut, weight_channel=False)
+    seed0 = jax.random.randint(run_key, (), 0, 2**31 - 1, jnp.int32)
+
+    @jax.jit
+    def run(arr):
+        film = jnp.zeros((film_cfg.height, film_cfg.width, 3))
+
+        def body(carry, i):
+            arr, film = carry
+            arr, delta, stats = step(arr, jnp.stack([seed0, i]))
+            return (arr, film + delta), stats
+
+        (arr, film), stats = jax.lax.scan(
+            body, (arr, film), jnp.arange(n_launches))
+        return film, stats.sum(0)
+
+    film, stats = run(arr)
+    denom = n_chains * steps_eff
+    stats_d = dict(a1=stats[0] / denom, a2=stats[1] / denom,
+                   accept1=stats[2] / denom, accept2=stats[3] / denom,
+                   large=stats[4] / denom)
+    return film, stats_d, steps_eff
+
+
 def render_drmlt_mmlt_grouped(scene: Scene, bcfg: BDPTConfig,
                               dcfg: DRMLTConfig, film_cfg, root_key,
                               n_steps: int, average_luminance=None,
@@ -204,11 +243,29 @@ def render_drmlt_mmlt_grouped(scene: Scene, bcfg: BDPTConfig,
     all_stats = {}
     step = drmlt_mixture_step if dcfg.use_mixture else drmlt_step
 
+    from drmlt_mitsuba_tpu.ops.intersect import _on_tpu
+    from drmlt_mitsuba_tpu.ops.pallas.megadrmlt import mega_drmlt_eligible
+
     for g, n_k_chains, bk, n_steps_k in zip(groups, sizes, b_ks,
                                             steps_per_group):
         if n_k_chains == 0 or n_steps_k == 0:
             continue
         trace_k, cfg_k, n_dims = g["trace"], g["cfg"], g["n_dims"]
+
+        # multi-mutation megakernel fast path (VMEM-resident chain loop)
+        if ((not force_xla) and _on_tpu() and step is drmlt_step
+                and n_k_chains % 2048 == 0
+                and mega_drmlt_eligible(scene, cfg_k, dcfg, film_cfg)):
+            film_rgb, stats_d, steps_eff = _run_group_mega(
+                scene, cfg_k, dcfg, film_cfg, trace_k, g["lums"],
+                g["sample_u"], jax.random.fold_in(k_boot, 100 + g["k"]),
+                jax.random.fold_in(k_run, g["k"]), n_dims, n_k_chains,
+                n_steps_k)
+            n_per_pixel = n_k_chains * steps_eff / film_cfg.npixels
+            img = img + film_rgb * (bk / n_per_pixel)
+            all_stats[g["k"]] = stats_d
+            continue
+
         frozen = grouped_masks(cfg_k, n_dims)
         emitter_mask = (grouped_emitter_mask(cfg_k, n_dims)
                         if dcfg.fix_emitter_path else None)

@@ -1,0 +1,492 @@
+"""Pallas multi-mutation DRMLT megakernel: N mutations per launch with the
+ENTIRE Markov-chain loop VMEM-resident.
+
+Round-2 profiling (scripts/profile_step.py, 2026-08-19, 65536 chains,
+one v5e chip) split the depth-grouped DRMLT-over-MMLT step into
+
+    k=1:  trace2x 0.75 ms | splat3C 2.55 ms | glue 0.19 ms  -> 2.90 full
+    k=6:  trace2x 2.51 ms | splat3C 2.60 ms | glue 2.06 ms  -> 6.70 full
+
+i.e. the mutation loop pays, EVERY step, (a) a 196k-splat one-hot-matmul
+film call, (b) XLA-level proposal RNG + state-select glue that grows with
+the PSS dimension, and (c) two Pallas launch round-trips.  This kernel
+runs N_MUT whole mutations per launch — per-chain PSS state, luminance
+and current splat live in VMEM registers across mutations; proposals are
+generated in-kernel from the Mosaic PRNG; both stage traces reuse the
+megammlt trace body; the three-state splat is accumulated into a
+VMEM-resident film via channel-stacked one-hot NT matmuls on the MXU
+(measured 79 TFLOPS realized for the splat matmul, scripts/
+probe_splat_shapes.py).  HBM traffic per launch collapses to one read +
+one write of the packed chain state and one film accumulation.
+
+Reference work unit being replicated: drmlt_proc.cpp:518-770 (the
+mutation loop: stage-1 trace, stage-2 trace on rejection, per-type
+acceptance, three-state weighted splat, accept/reject bookkeeping).
+Acceptance rules mirror integrators/drmlt.py (drmlt_step) exactly; the
+fixed-depth MMLT trace mirrors ops/pallas/megammlt.py lane-for-lane.
+
+The in-kernel RNG stream (Mosaic per-core PRNG) intentionally differs
+from jax.random's threefry stream: MCMC correctness never depends on
+WHICH uniforms drive the chain, only on their distribution, and the
+debug_uniforms mode (tests/test_megadrmlt.py) pins every piece of the
+proposal/acceptance/splat math against the XLA drmlt_step on identical
+uniforms.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from drmlt_mitsuba_tpu.ops.pallas.megammlt import (
+    mega_mmlt_eligible, mmlt_trace_tile,
+)
+from drmlt_mitsuba_tpu.ops.pallas.megatrace import (
+    _CAM_COLS, _EM_COLS, _MAT_COLS, _TRI_COLS, _lum, pack_mega_tables,
+)
+
+_PI = math.pi
+
+
+# --------------------------------------------------------------- helpers
+def _wrap(y):
+    """Reflective mod-2 wrap (mirrors core/rng.pss_wrap)."""
+    t = jnp.mod(y, 2.0)
+    return jnp.where(t > 1.0, 2.0 - t, t)
+
+
+def _clamp01_ratio(r):
+    """metropolis_clamp: min(1, r) with NaN/negative guarded to 0."""
+    r = jnp.where(jnp.isfinite(r) & (r >= 0), r, 0.0)
+    return jnp.minimum(r, 1.0)
+
+
+def _kelemen_sample(u, s1, s2):
+    """Kelemen 'hole' kernel (kernels.Kelemen.sample, 1 uniform)."""
+    log_ratio = -math.log(s2 / s1)
+    sign = jnp.where(u < 0.5, 1.0, -1.0)
+    x = jnp.where(u < 0.5, 2.0 * u, 2.0 * (u - 0.5))
+    return sign * (s2 * jnp.exp((1.0 - x) * log_ratio))
+
+
+def _kelemen_log_pdf(du, s1, s2):
+    d = jnp.abs(du)
+    ok = (d >= s1) & (d <= s2)
+    p = 1.0 / (2.0 * jnp.maximum(d, 1e-20) * math.log(s2 / s1))
+    return jnp.log(jnp.maximum(jnp.where(ok, p, 0.0), 1e-38))
+
+
+def _gaussian_sample(u1, u2, sigma):
+    """Box-Muller (kernels.Gaussian.sample, 2 uniforms)."""
+    r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(1.0 - u1, 1e-38)))
+    return r * jnp.cos(2.0 * _PI * u2) * sigma
+
+
+def _wrapped_cauchy_cos_sin(u, rho):
+    """(cos th, sin th) of a wrapped-Cauchy angle (1 uniform) WITHOUT
+    evaluating arccos (kernels.WrappedCauchy.sample computes th itself;
+    the orbital rotation only ever consumes cos/sin, and
+    cos(arccos(a)) == a, sin(sign*arccos(a)) == sign*sqrt(1-a^2))."""
+    disp = 2.0 * rho / (1.0 + rho * rho)
+    sign = jnp.where(u < 0.5, 1.0, -1.0)
+    x = jnp.where(u < 0.5, 2.0 * u, 2.0 * (u - 0.5))
+    v = jnp.cos(2.0 * _PI * x)
+    c = jnp.clip((v + disp) / (1.0 + disp * v), -1.0, 1.0)
+    s = sign * jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
+    return c, s
+
+
+# --------------------------------------------------------------- kernel
+def _mega_drmlt_kernel(
+        tri_ref, mat_ref, em_ref, cam_ref, seed_ref, unif_ref,
+        state_ref, out_state_ref, film_ref, stats_ref, *,
+        n_tris, n_mats, n_ems, k_depth, light_image, kinds, eye_dims,
+        n_dims, n_core, n_mut, drtype, p_large, s1, s2, sigma,
+        scale_second, rho, kelemen_scale, timid_after_large,
+        fix_emitter_path, em_lo, em_hi, film_h, film_w, n_chan, passes,
+        debug_uniforms, n_rand):
+    f32 = jnp.float32
+    D = n_dims
+    shape = state_ref.shape[1:]          # (8, L)
+    L = shape[1]
+    K = 8 * L
+    zero = jnp.zeros(shape, f32)
+
+    if not debug_uniforms:
+        pltpu.prng_seed(seed_ref[0]
+                        + pl.program_id(0) * jnp.int32(1000003)
+                        + seed_ref[1] * jnp.int32(7919))
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init_film():
+        film_ref[...] = jnp.zeros_like(film_ref)
+
+    # loop-invariant iotas for the splat one-hots
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (film_h, K), 0)
+    colsC = jax.lax.broadcasted_iota(jnp.int32, (n_chan * film_w, K), 0)
+    cols_mod = colsC % film_w
+    chanC = colsC // film_w
+
+    # fixed-depth MMLT: dim 0 of the kernel's PSS layout is the (pinned)
+    # depth; the chain's dims follow (strategy, eye..., light...)
+    u_depth = jnp.full(shape, 1.0 - 0.5 / k_depth, f32)
+
+    def trace(u_tiles):
+        vx, vy, vz, px, py = mmlt_trace_tile(
+            tri_ref, mat_ref, em_ref, cam_ref,
+            lambda j: u_depth if j == 0 else u_tiles[j - 1],
+            shape, n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
+            max_depth=k_depth, light_image=light_image, kinds=kinds,
+            eye_dims=eye_dims)
+        inv = 1.0 / k_depth          # undo the uniform-depth pmf factor
+        vx, vy, vz = vx * inv, vy * inv, vz * inv
+        lum = _lum(vx, vy, vz)
+        lum = jnp.where(jnp.isfinite(lum) & (lum >= 0), lum, 0.0)
+        li = jnp.where(lum > 0, 1.0 / jnp.maximum(lum, 1e-30), 0.0)
+        return lum, px, py, vx * li, vy * li, vz * li
+
+    def splat3(states):
+        """Accumulate the weighted three-state splat into the VMEM film.
+
+        states: list of (px, py, vr, vg, vb, w) tiles, pos in [0,1).
+        Out-of-range pixels (pos == 1.0 after wrap) produce all-zero
+        one-hot rows, matching the XLA path's zero-weight drop.
+        """
+        delta = jnp.zeros((film_h, n_chan * film_w), f32)
+        for (px, py, vr, vg, vb, w) in states:
+            pyi = jnp.floor(py * film_h).astype(jnp.int32).reshape(1, K)
+            pxi = jnp.floor(px * film_w).astype(jnp.int32).reshape(1, K)
+            A = (rows_iota == pyi).astype(jnp.bfloat16)
+            cr = (vr * w).reshape(1, K)
+            cg = (vg * w).reshape(1, K)
+            cb = (vb * w).reshape(1, K)
+            onc = cols_mod == pxi
+            B = (jnp.where(onc & (chanC == 0), cr, 0.0)
+                 + jnp.where(onc & (chanC == 1), cg, 0.0)
+                 + jnp.where(onc & (chanC == 2), cb, 0.0))
+            if n_chan == 4:
+                B = B + jnp.where(onc & (chanC == 3), w.reshape(1, K), 0.0)
+            dn = (((1,), (1,)), ((), ()))
+            if passes == 2:
+                B_hi = B.astype(jnp.bfloat16)
+                B_lo = (B - B_hi.astype(f32)).astype(jnp.bfloat16)
+                delta += jax.lax.dot_general(
+                    A, B_hi, dn, preferred_element_type=f32)
+                delta += jax.lax.dot_general(
+                    A, B_lo, dn, preferred_element_type=f32)
+            else:
+                delta += jax.lax.dot_general(
+                    A, B.astype(jnp.bfloat16), dn,
+                    preferred_element_type=f32)
+        film_ref[0] += delta
+
+    # ---- mutation loop ---------------------------------------------------
+    def uniform_fn(m):
+        ctr = [0]
+
+        def next_u():
+            j = ctr[0]
+            ctr[0] += 1
+            if debug_uniforms:
+                return unif_ref[m * n_rand + j]
+            bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+            return (bits & jnp.int32(0x7FFFFF)).astype(f32) * (2.0 ** -23)
+        return next_u
+
+    def body(m, carry):
+        x = list(carry[0:D])
+        lum_x = carry[D]
+        px_x, py_x = carry[D + 1], carry[D + 2]
+        vr_x, vg_x, vb_x = carry[D + 3], carry[D + 4], carry[D + 5]
+        st = list(carry[D + 6:D + 12])
+        next_u = uniform_fn(m)
+
+        # ---- proposals (mirrors propose_stage1/2; frozen dim = 0) --------
+        large = next_u() < p_large
+        u_large = [next_u() for _ in range(D)]
+        y_raw = [None] * D
+        if drtype == "orbital":
+            ks1 = s1 * kelemen_scale
+            ks2 = s2 * kelemen_scale
+            u_rad = [next_u() for _ in range(D // 2)]
+            u_ang = [next_u() for _ in range(D // 2)]
+            for p in range(D // 2):
+                d = _kelemen_sample(u_rad[p], ks1, ks2)
+                ang = u_ang[p] * (2.0 * _PI)
+                du0 = d * jnp.cos(ang)
+                du1 = d * jnp.sin(ang)
+                if 2 * p == 0:          # frozen strategy dim (index 0)
+                    du0 = zero
+                y_raw[2 * p] = x[2 * p] + du0
+                y_raw[2 * p + 1] = x[2 * p + 1] + du1
+        else:
+            u_kel = [next_u() for _ in range(D)]
+            for dd in range(D):
+                du = _kelemen_sample(u_kel[dd], s1, s2)
+                if dd == 0:
+                    du = zero
+                y_raw[dd] = x[dd] + du
+        y_raw = [jnp.where(large, ul, yr) for ul, yr in zip(u_large, y_raw)]
+        y = [_wrap(t) for t in y_raw]
+
+        z_raw = [None] * D
+        if drtype == "orbital":
+            u_th = [next_u() for _ in range(D // 2)]
+            for p in range(D // 2):
+                cth, sth = _wrapped_cauchy_cos_sin(u_th[p], rho)
+                du0 = y_raw[2 * p] - x[2 * p]
+                du1 = y_raw[2 * p + 1] - x[2 * p + 1]
+                # rotate (y-x) about y by th, norm-preserving; identical to
+                # the arctan2/arccos form in propose_stage2 (orbital):
+                #   z = y + |y-x| * (cos, sin)(th + atan2(-du1, -du0))
+                z_raw[2 * p] = y_raw[2 * p] - cth * du0 + sth * du1
+                z_raw[2 * p + 1] = y_raw[2 * p + 1] - sth * du0 - cth * du1
+            z_raw[0] = x[0]             # frozen dim anchors to current
+        else:
+            sig2 = scale_second * sigma
+            u_g1 = [next_u() for _ in range(D)]
+            u_g2 = [next_u() for _ in range(D)]
+            for dd in range(D):
+                z_raw[dd] = x[dd] + _gaussian_sample(u_g1[dd], u_g2[dd],
+                                                     sig2)
+            z_raw[0] = x[0]
+        if fix_emitter_path:
+            # stage-2 identity on emitter dims unless light-tracing
+            # (drmlt_proc.cpp:133-141); s == k  <=>  t == 1
+            s_cur = jnp.minimum(jnp.floor(x[0] * (k_depth + 1)),
+                                float(k_depth))
+            lt = s_cur == float(k_depth)
+            for dd in range(em_lo, em_hi):
+                z_raw[dd] = jnp.where(lt, z_raw[dd], x[dd])
+        z = [_wrap(t) for t in z_raw]
+
+        coin1 = next_u()
+        coin2 = next_u()
+
+        # ---- traces -------------------------------------------------------
+        lum_y, px_y, py_y, vr_y, vg_y, vb_y = trace(y)
+        lum_z, px_z, py_z, vr_z, vg_z, vb_z = trace(z)
+
+        a1 = _clamp01_ratio(lum_y / jnp.maximum(lum_x, 1e-30))
+        accept1 = coin1 < a1
+        do_second = ~accept1
+        if not timid_after_large:
+            do_second = do_second & ~large
+
+        lum_ratio = lum_z / jnp.maximum(lum_x, 1e-30)
+        if drtype == "orbital":
+            num = lum_z - lum_y
+            den = lum_x - lum_y
+            a2 = jnp.where(
+                lum_z < lum_y, 0.0,
+                jnp.where(lum_z >= lum_x, 1.0,
+                          _clamp01_ratio(
+                              num / jnp.where(jnp.abs(den) > 0, den, 1.0))))
+        elif drtype == "mira":
+            a_rev = _clamp01_ratio(lum_y / jnp.maximum(lum_z, 1e-30))
+            lq = zero
+            for dd in range(1, D):      # dim 0 frozen -> skipped
+                lq = lq + (_kelemen_log_pdf(z_raw[dd] - y_raw[dd], s1, s2)
+                           - _kelemen_log_pdf(x[dd] - y_raw[dd], s1, s2))
+            q_ratio = jnp.where(large, 1.0, jnp.exp(lq))
+            a2 = _clamp01_ratio(lum_ratio * q_ratio * (1.0 - a_rev)
+                                / jnp.maximum(1.0 - a1, 1e-12))
+            a2 = jnp.where(a_rev >= 1.0, 0.0, a2)
+            a2 = jnp.where(jnp.isfinite(q_ratio), a2, 0.0)
+        else:                           # green: reverse-path third trace
+            y_star = [_wrap(zr - (yr - xx))
+                      for zr, yr, xx in zip(z_raw, y_raw, x)]
+            lum_rev = trace(y_star)[0]
+            a_rev = _clamp01_ratio(lum_rev / jnp.maximum(lum_z, 1e-30))
+            a2 = _clamp01_ratio(lum_ratio * (1.0 - a_rev)
+                                / jnp.maximum(1.0 - a1, 1e-12))
+            a2 = jnp.where(a_rev >= 1.0, 0.0, a2)
+
+        a2 = jnp.where(lum_z > 0, a2, 0.0)
+        a2 = jnp.where(do_second, a2, 0.0)
+        accept2 = (coin2 < a2) & do_second
+
+        # ---- three-state weighted splat (drmlt_proc.cpp:676-688) ---------
+        w_y = a1
+        w_z = (1.0 - a1) * a2
+        w_x = 1.0 - w_y - w_z
+        splat3([(px_x, py_x, vr_x, vg_x, vb_x, w_x),
+                (px_y, py_y, vr_y, vg_y, vb_y, w_y),
+                (px_z, py_z, vr_z, vg_z, vb_z, w_z)])
+
+        # ---- state select: accept1 wins, then accept2 --------------------
+        a1m = accept1
+        a2m = accept2 & ~accept1
+        new = []
+        for dd in range(D):
+            new.append(jnp.where(a1m, y[dd], jnp.where(a2m, z[dd], x[dd])))
+        pick = lambda ay, az, ax: jnp.where(a1m, ay, jnp.where(a2m, az, ax))
+        new_lum = pick(lum_y, lum_z, lum_x)
+        new_px = pick(px_y, px_z, px_x)
+        new_py = pick(py_y, py_z, py_x)
+        new_vr = pick(vr_y, vr_z, vr_x)
+        new_vg = pick(vg_y, vg_z, vg_x)
+        new_vb = pick(vb_y, vb_z, vb_x)
+
+        st = [st[0] + a1, st[1] + a2,
+              st[2] + accept1.astype(f32), st[3] + accept2.astype(f32),
+              st[4] + large.astype(f32),
+              st[5] + (a1m | a2m).astype(f32)]
+        return tuple(new) + (new_lum, new_px, new_py, new_vr, new_vg,
+                             new_vb) + tuple(st)
+
+    init = tuple(state_ref[d] for d in range(D + 6)) + tuple(
+        zero for _ in range(6))
+    final = jax.lax.fori_loop(0, n_mut, body, init)
+
+    for d in range(D + 6):
+        out_state_ref[d] = final[d]
+    for s in range(6):
+        stats_ref[s] = final[D + 6 + s]
+
+
+# --------------------------------------------------------------- wrapper
+def mega_drmlt_eligible(scene, bcfg_k, dcfg, film_cfg) -> bool:
+    """Static host-side coverage check for the multi-mutation kernel."""
+    if dcfg.use_mixture or dcfg.acceptance_map:
+        return False
+    if dcfg.type not in ("orbital", "mira", "green"):
+        return False
+    if film_cfg.filter.footprint != 1:       # box filter only
+        return False
+    if film_cfg.height % 8 or film_cfg.width % 128:
+        return False
+    return mega_mmlt_eligible(scene, bcfg_k)
+
+
+def pack_chain_state(state, n_dims):
+    """ChainState (C, D)/(C,)/(C, 1, 2)/(C, 1, 3) -> (D+6, 8, C//8)."""
+    C = state.u.shape[0]
+    rows = [state.u[:, d] for d in range(n_dims)]
+    rows.append(state.lum)
+    rows.append(state.pos[:, 0, 0])
+    rows.append(state.pos[:, 0, 1])
+    rows += [state.value[:, 0, c] for c in range(3)]
+    return jnp.stack(rows).reshape(n_dims + 6, 8, C // 8)
+
+
+def unpack_chain_state(arr, n_dims):
+    from drmlt_mitsuba_tpu.integrators.mcmc import ChainState
+
+    D = n_dims
+    flat = arr.reshape(D + 6, -1)
+    C = flat.shape[1]
+    return ChainState(
+        u=flat[:D].T,
+        lum=flat[D],
+        pos=flat[D + 1:D + 3].T.reshape(C, 1, 2),
+        value=flat[D + 3:D + 6].T.reshape(C, 1, 3),
+    )
+
+
+def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
+                    n_dims: int, *, n_mut: int = 16, interpret: bool = False,
+                    passes: int = 1, weight_channel: bool = True,
+                    debug_uniforms: bool = False, lane_block: int | None = None):
+    """Build step_block(state_arr, seed2, [uniforms]) ->
+    (state_arr, film_delta, stats) running n_mut whole DRMLT mutations of
+    a fixed-depth-k MMLT group in ONE Pallas launch.
+
+    state_arr: (n_dims+6, 8, C//8) packed chain state (pack_chain_state).
+    seed2: (2,) int32 [root seed, launch counter].
+    film_delta: (H, W, n_chan) splat accumulation from these mutations.
+    stats: (6,) sums over chains x mutations of [a1, a2, accept1,
+    accept2, large, moved].
+    """
+    tri, mat, emt, cam = pack_mega_tables(scene)
+    n_tris, n_mats, n_ems = tri.shape[0], mat.shape[0], emt.shape[0]
+    kinds = tuple(sorted(set(
+        int(k) for k in np.unique(np.asarray(scene.materials.kind)))))
+    n_core_chain = 1 + bcfg_k.eye_dims + bcfg_k.light_dims
+    assert n_dims >= n_core_chain and n_dims % 2 == 0
+    H, W = film_cfg.height, film_cfg.width
+    n_chan = 4 if weight_channel else 3
+    em_lo = 1 + bcfg_k.eye_dims
+    em_hi = em_lo + bcfg_k.light_dims
+
+    if dcfg.type == "orbital":
+        n_rand = 3 + n_dims + n_dims // 2 + n_dims // 2 + n_dims // 2
+    elif dcfg.type == "mira":
+        n_rand = 3 + n_dims + n_dims + 2 * n_dims
+    else:
+        n_rand = 3 + n_dims + n_dims + 2 * n_dims
+
+    # interpret mode (CPU tests) has no Mosaic PRNG: feed uniforms as an
+    # input there; on real TPU the in-kernel PRNG is the fast path
+    debug_uniforms = debug_uniforms or interpret
+
+    kernel = functools.partial(
+        _mega_drmlt_kernel, n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
+        k_depth=k_depth, light_image=bool(bcfg_k.light_image), kinds=kinds,
+        eye_dims=bcfg_k.eye_dims, n_dims=n_dims, n_core=n_core_chain,
+        n_mut=n_mut, drtype=dcfg.type, p_large=float(dcfg.p_large),
+        s1=float(dcfg.s1), s2=float(dcfg.s2), sigma=float(dcfg.sigma),
+        scale_second=float(dcfg.scale_second), rho=float(dcfg.rho),
+        kelemen_scale=float(dcfg.kelemen_scale),
+        timid_after_large=bool(dcfg.timid_after_large),
+        fix_emitter_path=bool(dcfg.fix_emitter_path),
+        em_lo=em_lo, em_hi=em_hi, film_h=H, film_w=W, n_chan=n_chan,
+        passes=passes, debug_uniforms=debug_uniforms, n_rand=n_rand,
+    )
+
+    NR = n_dims + 6
+
+    @jax.jit
+    def step_block(state_arr, seed2, uniforms=None):
+        R8 = state_arr.shape[2]
+        if lane_block is not None:
+            L = lane_block
+        else:
+            L = 256 if (R8 % 256 == 0 and k_depth <= 3) else \
+                (128 if R8 % 128 == 0 else R8)
+        if uniforms is None and debug_uniforms:
+            key = jax.random.PRNGKey(0)
+            key = jax.random.fold_in(key, seed2[0])
+            key = jax.random.fold_in(key, seed2[1])
+            uniforms = jax.random.uniform(key, (n_mut * n_rand, 8, R8))
+        elif uniforms is None:
+            uniforms = jnp.zeros((1, 8, R8), jnp.float32)
+        out_state, film, stats = pl.pallas_call(
+            kernel,
+            grid=(R8 // L,),
+            in_specs=[
+                pl.BlockSpec((n_tris, _TRI_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_mats, _MAT_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_ems, _EM_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((uniforms.shape[0], 8, L),
+                             lambda i: (0, 0, i)),
+                pl.BlockSpec((NR, 8, L), lambda i: (0, 0, i)),
+            ],
+            out_specs=[
+                pl.BlockSpec((NR, 8, L), lambda i: (0, 0, i)),
+                pl.BlockSpec((1, H, n_chan * W), lambda i: (0, 0, 0)),
+                pl.BlockSpec((6, 8, L), lambda i: (0, 0, i)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((NR, 8, R8), jnp.float32),
+                jax.ShapeDtypeStruct((1, H, n_chan * W), jnp.float32),
+                jax.ShapeDtypeStruct((6, 8, R8), jnp.float32),
+            ],
+            interpret=interpret,
+        )(tri, mat, emt, cam, jnp.asarray(seed2, jnp.int32), uniforms,
+          state_arr)
+        film_delta = film[0].reshape(H, n_chan, W).transpose(0, 2, 1)
+        return out_state, film_delta, stats.sum(axis=(1, 2))
+
+    return step_block

@@ -1,0 +1,265 @@
+"""Multi-mutation DRMLT megakernel vs the XLA step on IDENTICAL uniforms.
+
+The kernel (ops/pallas/megadrmlt.py) generates proposals in-kernel, so it
+cannot replay jax.random streams; instead its debug_uniforms mode reads
+every uniform from an input array with a documented consumption order.
+A pure-JAX reference below consumes the SAME array in the SAME order,
+using the XLA building blocks (kernels.py transition kernels, pss_wrap,
+metropolis_clamp, state_from_splats, film.splat, and the interpret-mode
+megammlt trace — the identical trace body), so state trajectories and
+films must agree to f32 tolerance lane-for-lane.
+
+Also pins the kernel's inlined transition-kernel formulas against
+integrators/kernels.py and the arccos-free orbital rotation against
+propose_stage2's arctan2/arccos form.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from drmlt_mitsuba_tpu.core.rng import pss_wrap
+from drmlt_mitsuba_tpu.integrators import kernels
+from drmlt_mitsuba_tpu.integrators.drmlt import DRMLTConfig
+from drmlt_mitsuba_tpu.integrators.mcmc import (
+    metropolis_clamp, state_from_splats, splat_state,
+)
+from drmlt_mitsuba_tpu.integrators.mmlt_grouped import make_mmlt_trace_fixed
+from drmlt_mitsuba_tpu.ops.pallas import megadrmlt as MD
+from drmlt_mitsuba_tpu.render import film as filmlib
+from drmlt_mitsuba_tpu.scene.builders import cornell_box
+from drmlt_mitsuba_tpu.scene.types import prepare_scene
+
+
+def test_kelemen_formula_matches_kernels():
+    u = jnp.linspace(0.01, 0.99, 37)
+    ref = kernels.Kelemen(1 / 1024, 1 / 64).sample(
+        jnp.stack([u, u], axis=-1))
+    got = MD._kelemen_sample(u, 1 / 1024, 1 / 64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+    du = jnp.linspace(-0.02, 0.02, 41)
+    np.testing.assert_allclose(
+        np.asarray(MD._kelemen_log_pdf(du, 1 / 1024, 1 / 64)),
+        np.asarray(kernels.Kelemen(1 / 1024, 1 / 64).log_pdf(du)), rtol=1e-5)
+
+
+def test_gaussian_formula_matches_kernels():
+    u1 = jnp.linspace(0.01, 0.99, 23)
+    u2 = jnp.linspace(0.02, 0.98, 23)
+    ref = kernels.Gaussian(0.1 / 64).sample(jnp.stack([u1, u2], axis=-1))
+    got = MD._gaussian_sample(u1, u2, 0.1 / 64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5)
+
+
+def test_wrapped_cauchy_rotation_matches_propose_stage2():
+    """Orbital stage-2: the kernel's arccos-free rotation equals the
+    arctan2/arccos form used by integrators.drmlt.propose_stage2."""
+    rho = kernels.RHO_DEFAULT
+    key = jax.random.PRNGKey(3)
+    u = jax.random.uniform(key, (257,))
+    x0, x1, y0, y1 = jax.random.normal(jax.random.PRNGKey(4), (4, 257))
+    # XLA form
+    theta = kernels.WrappedCauchy(rho).sample(jnp.stack([u, u], axis=-1))
+    du0, du1 = y0 - x0, y1 - x1
+    nrm = jnp.sqrt(jnp.maximum(du0**2 + du1**2, 1e-30))
+    mu = jnp.arctan2(-du1, -du0)
+    z0_ref = y0 + jnp.cos(theta + mu) * nrm
+    z1_ref = y1 + jnp.sin(theta + mu) * nrm
+    # kernel form
+    cth, sth = MD._wrapped_cauchy_cos_sin(u, rho)
+    z0 = y0 - cth * du0 + sth * du1
+    z1 = y1 - sth * du0 - cth * du1
+    np.testing.assert_allclose(np.asarray(z0), np.asarray(z0_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z1_ref), atol=1e-5)
+
+
+# ---------------------------------------------------------------- E2E
+def _interp_trace(scene, k, n_dims):
+    """Interpret-mode megammlt trace for a fixed-depth group — the same
+    trace body the megadrmlt kernel inlines."""
+    from drmlt_mitsuba_tpu.integrators.bidir import BDPTConfig
+    from drmlt_mitsuba_tpu.integrators.path import Splats
+    from drmlt_mitsuba_tpu.ops.pallas.megammlt import make_mega_mmlt
+
+    cfg = BDPTConfig(max_depth=k)
+    mega = make_mega_mmlt(scene, cfg, interpret=True)
+    n_core = 1 + cfg.eye_dims + cfg.light_dims
+    u_depth = 1.0 - 0.5 / k
+
+    def trace(u):
+        col = jnp.full((u.shape[0], 1), u_depth, u.dtype)
+        sp = mega(jnp.concatenate([col, u[:, :n_core]], axis=1))
+        inv = 1.0 / k
+        return Splats(pos=sp.pos, value=sp.value * inv, lum=sp.lum * inv)
+
+    return trace, cfg
+
+
+def _reference_multistep(trace, dcfg, fc, k, state, uniforms, n_mut, n_rand):
+    """Pure-JAX replica of the megadrmlt mutation loop consuming the
+    debug-uniform array in the kernel's documented order."""
+    C, D = state.u.shape
+    film = filmlib.new_film(fc)
+
+    def U(m, j):
+        return uniforms[m * n_rand + j].reshape(C)
+
+    for m in range(n_mut):
+        j = [0]
+
+        def u():
+            v = U(m, j[0])
+            j[0] += 1
+            return v
+
+        x = state.u
+        large = u() < dcfg.p_large
+        u_large = jnp.stack([u() for _ in range(D)], axis=1)
+        y_raw = jnp.zeros_like(x)
+        if dcfg.type == "orbital":
+            k1 = dcfg.stage1_kernel()
+            u_rad = jnp.stack([u() for _ in range(D // 2)], axis=1)
+            u_ang = jnp.stack([u() for _ in range(D // 2)], axis=1)
+            d = k1.sample(jnp.stack([u_rad, u_rad], axis=-1))
+            ang = u_ang * (2.0 * jnp.pi)
+            duv = jnp.stack([d * jnp.cos(ang), d * jnp.sin(ang)], axis=-1)
+            du = duv.reshape(C, D)
+        else:
+            k1 = dcfg.stage1_kernel()
+            u_kel = jnp.stack([u() for _ in range(D)], axis=1)
+            du = k1.sample(jnp.stack([u_kel, u_kel], axis=-1))
+        du = du.at[:, 0].set(0.0)                 # frozen strategy dim
+        y_raw = x + du
+        y_raw = jnp.where(large[:, None], u_large, y_raw)
+        y = pss_wrap(y_raw)
+
+        if dcfg.type == "orbital":
+            rho = dcfg.rho
+            u_th = jnp.stack([u() for _ in range(D // 2)], axis=1)
+            cth, sth = MD._wrapped_cauchy_cos_sin(u_th, rho)
+            duv = (y_raw - x).reshape(C, D // 2, 2)
+            z0 = y_raw.reshape(C, D // 2, 2)[..., 0] \
+                - cth * duv[..., 0] + sth * duv[..., 1]
+            z1 = y_raw.reshape(C, D // 2, 2)[..., 1] \
+                - sth * duv[..., 0] - cth * duv[..., 1]
+            z_raw = jnp.stack([z0, z1], axis=-1).reshape(C, D)
+        else:
+            sig2 = dcfg.scale_second * dcfg.sigma
+            u_g1 = jnp.stack([u() for _ in range(D)], axis=1)
+            u_g2 = jnp.stack([u() for _ in range(D)], axis=1)
+            z_raw = x + MD._gaussian_sample(u_g1, u_g2, sig2)
+        z_raw = z_raw.at[:, 0].set(x[:, 0])
+        z = pss_wrap(z_raw)
+
+        coin1 = u()
+        coin2 = u()
+
+        prop1 = state_from_splats(y, trace(y))
+        prop2 = state_from_splats(z, trace(z))
+        a1 = metropolis_clamp(prop1.lum / jnp.maximum(state.lum, 1e-30))
+        accept1 = coin1 < a1
+        do_second = ~accept1 & ~large
+        lum_ratio = prop2.lum / jnp.maximum(state.lum, 1e-30)
+        if dcfg.type == "orbital":
+            num = prop2.lum - prop1.lum
+            den = state.lum - prop1.lum
+            a2 = jnp.where(
+                prop2.lum < prop1.lum, 0.0,
+                jnp.where(prop2.lum >= state.lum, 1.0,
+                          metropolis_clamp(
+                              num / jnp.where(jnp.abs(den) > 0, den, 1.0))))
+        elif dcfg.type == "mira":
+            a_rev = metropolis_clamp(prop1.lum / jnp.maximum(prop2.lum,
+                                                             1e-30))
+            k1 = dcfg.stage1_kernel()
+            lp = k1.log_pdf(z_raw - y_raw) - k1.log_pdf(x - y_raw)
+            lp = lp.at[:, 0].set(0.0)
+            q_ratio = jnp.where(large, 1.0, jnp.exp(jnp.sum(lp, axis=-1)))
+            a2 = metropolis_clamp(lum_ratio * q_ratio * (1.0 - a_rev)
+                                  / jnp.maximum(1.0 - a1, 1e-12))
+            a2 = jnp.where(a_rev >= 1.0, 0.0, a2)
+            a2 = jnp.where(jnp.isfinite(q_ratio), a2, 0.0)
+        else:
+            y_star = pss_wrap(z_raw - (y_raw - x))
+            sp_rev = trace(y_star)
+            lum_rev = jnp.where(jnp.isfinite(sp_rev.lum) & (sp_rev.lum >= 0),
+                                sp_rev.lum, 0.0)
+            a_rev = metropolis_clamp(lum_rev / jnp.maximum(prop2.lum, 1e-30))
+            a2 = metropolis_clamp(lum_ratio * (1.0 - a_rev)
+                                  / jnp.maximum(1.0 - a1, 1e-12))
+            a2 = jnp.where(a_rev >= 1.0, 0.0, a2)
+        a2 = jnp.where(prop2.lum > 0, a2, 0.0)
+        a2 = jnp.where(do_second, a2, 0.0)
+        accept2 = (coin2 < a2) & do_second
+
+        w_y = a1
+        w_z = (1.0 - a1) * a2
+        w_x = 1.0 - w_y - w_z
+        film = splat_state(
+            fc, film,
+            jnp.concatenate([state.pos, prop1.pos, prop2.pos]),
+            jnp.concatenate([state.value, prop1.value, prop2.value]),
+            jnp.concatenate([w_x, w_y, w_z]))
+
+        from drmlt_mitsuba_tpu.integrators.mcmc import select_state
+        state = select_state(accept1, prop1,
+                             select_state(accept2, prop2, state))
+    return state, film
+
+
+@pytest.mark.parametrize("drtype", ["orbital", "mira", "green"])
+def test_megadrmlt_matches_xla_step(drtype):
+    W, H = 128, 32
+    scene = prepare_scene(cornell_box(W, H))
+    fc = filmlib.make_film_config(W, H, "box")
+    k = 2
+    C, n_mut = 64, 3
+    _, cfg_k, n_dims = make_mmlt_trace_fixed(scene, k)
+    trace, _ = _interp_trace(scene, k, n_dims)
+    dcfg = DRMLTConfig(type=drtype, n_chains=C)
+
+    key = jax.random.PRNGKey(11)
+    u0 = jax.random.uniform(key, (C, n_dims))
+    state0 = state_from_splats(u0, trace(u0))
+
+    step = MD.make_mega_drmlt(scene, cfg_k, dcfg, fc, k, n_dims,
+                              n_mut=n_mut, interpret=True, passes=2,
+                              debug_uniforms=True, lane_block=C // 8)
+    n_rand = (3 + n_dims + 3 * (n_dims // 2) if drtype == "orbital"
+              else 3 + 4 * n_dims)
+    uniforms = jax.random.uniform(jax.random.PRNGKey(5),
+                                  (n_mut * n_rand, 8, C // 8))
+
+    arr = MD.pack_chain_state(state0, n_dims)
+    out, film_d, stats = step(arr, jnp.asarray([0, 0], jnp.int32), uniforms)
+    got = MD.unpack_chain_state(out, n_dims)
+
+    ref_state, ref_film = _reference_multistep(
+        trace, dcfg, fc, k, state0,
+        uniforms.reshape(n_mut * n_rand, C), n_mut, n_rand)
+
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(ref_state.u),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.lum),
+                               np.asarray(ref_state.lum), rtol=2e-4,
+                               atol=1e-6)
+    # film: kernel uses bf16 hi/lo one-hot matmuls -> ~1e-3 relative
+    a = np.asarray(film_d)
+    b = np.asarray(ref_film)
+    scale = np.abs(b).max() + 1e-8
+    np.testing.assert_allclose(a / scale, b / scale, atol=5e-3)
+
+
+def test_pack_unpack_roundtrip():
+    from drmlt_mitsuba_tpu.integrators.mcmc import ChainState
+
+    C, D = 32, 8
+    key = jax.random.PRNGKey(0)
+    st = ChainState(u=jax.random.uniform(key, (C, D)),
+                    lum=jax.random.uniform(key, (C,)),
+                    pos=jax.random.uniform(key, (C, 1, 2)),
+                    value=jax.random.uniform(key, (C, 1, 3)))
+    arr = MD.pack_chain_state(st, D)
+    st2 = MD.unpack_chain_state(arr, D)
+    for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(st2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
