@@ -1,0 +1,128 @@
+"""Multi-chip scaling-efficiency harness (VERDICT r2 next-round #10).
+
+Measures DRMLT mutations/s on 1 device and on all visible devices
+(chains sharded over the ('host', 'chain') mesh, film psum'd) and
+reports efficiency vs the >= 85% north-star target (SURVEY §6).
+
+The eval environment exposes ONE real TPU chip, so by default this runs
+on a virtual multi-device CPU mesh as a ready-to-run smoke; the day a
+real multi-chip slice appears the same command measures it for real:
+
+    # virtual 8-device CPU smoke
+    python bench_scaling.py --cpu-devices 8
+    # real hardware (uses every device jax sees)
+    PYTHONPATH=/root/repo:/root/.axon_site python bench_scaling.py
+
+Prints ONE JSON line:
+    {"metric": "drmlt_scaling_efficiency", "value": eff, ...}
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu-devices", type=int, default=0,
+                    help="force a virtual CPU mesh with this many devices")
+    ap.add_argument("--chains-per-device", type=int, default=8192)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--depth", type=int, default=4)
+    args = ap.parse_args(argv)
+
+    if args.cpu_devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu_devices}")
+
+    import jax
+    if args.cpu_devices:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from drmlt_mitsuba_tpu.integrators.drmlt import DRMLTConfig, drmlt_step
+    from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+    from drmlt_mitsuba_tpu.integrators.mcmc import state_from_splats
+    from drmlt_mitsuba_tpu.integrators.path import make_path_trace
+    from drmlt_mitsuba_tpu.parallel.mesh import (
+        chain_sharding, make_mesh, replicated, shard_chain_state,
+    )
+    from drmlt_mitsuba_tpu.render import film as filmlib
+    from drmlt_mitsuba_tpu.scene.builders import cornell_box
+    from drmlt_mitsuba_tpu.scene.types import prepare_scene
+
+    n_dev = len(jax.devices())
+    width = height = 128
+    scene = prepare_scene(cornell_box(width, height))
+    fc = filmlib.make_film_config(width, height, "box")
+    pcfg = PathConfig(max_depth=args.depth, rr_depth=100)
+    n_dims = pcfg.n_dims + pcfg.n_dims % 2
+    trace = make_path_trace(scene, pcfg)
+    root = jax.random.PRNGKey(0)
+    frozen = jnp.zeros((n_dims,), bool)
+
+    def measure(n_devices: int) -> float:
+        mesh = make_mesh(n_devices)
+        n_chains = args.chains_per_device * n_devices
+        dcfg = DRMLTConfig(type="orbital", n_chains=n_chains)
+        u0 = jax.random.uniform(root, (n_chains, n_dims))
+        state = state_from_splats(u0, trace(u0))
+        state = shard_chain_state(mesh, state)
+        film = jax.device_put(filmlib.new_film(fc), replicated(mesh))
+
+        @jax.jit
+        def run(state, film, i0):
+            def body(carry, i):
+                key = jax.random.fold_in(root, i)
+                (st, fi, _), stats = drmlt_step(
+                    trace, dcfg, fc, frozen, (carry[0], carry[1], None),
+                    key)
+                return (st, fi), stats["a1"]
+
+            (state, film), _ = jax.lax.scan(
+                body, (state, film), i0 + jnp.arange(args.steps))
+            return state, film
+
+        state, film = run(state, film, jnp.int32(0))
+        jax.block_until_ready(film)
+        t0 = time.perf_counter()
+        n_calls = 3
+        for c in range(n_calls):
+            state, film = run(state, film, jnp.int32((c + 1) * args.steps))
+        jax.block_until_ready(film)
+        dt = time.perf_counter() - t0
+        return n_calls * args.steps * n_chains / dt
+
+    rate_1 = measure(1)
+    if n_dev > 1:
+        rate_n = measure(n_dev)
+        eff = rate_n / (n_dev * rate_1)
+    else:
+        rate_n, eff = rate_1, 1.0
+
+    print(json.dumps({
+        "metric": "drmlt_scaling_efficiency",
+        "value": round(eff, 4),
+        "unit": "fraction of linear",
+        "vs_baseline": round(eff / 0.85, 3),
+        "extra": {
+            "n_devices": n_dev,
+            "platform": jax.devices()[0].platform,
+            "virtual_cpu_mesh": bool(args.cpu_devices),
+            "rate_1dev_mut_per_s": round(rate_1, 1),
+            "rate_ndev_mut_per_s": round(rate_n, 1),
+            "chains_per_device": args.chains_per_device,
+            "target": ">=0.85 scaling efficiency (SURVEY §6); virtual CPU "
+                      "meshes under-report ICI-class efficiency",
+        },
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

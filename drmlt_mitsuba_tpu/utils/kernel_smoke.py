@@ -1,0 +1,203 @@
+"""On-TPU Pallas kernel lowering smoke (VERDICT r2 next-round #3).
+
+Interpret-mode CPU tests cannot catch Mosaic lowering regressions (commit
+5c1c27c: a BlockSpec violating the (8,128) rule crashed every eligible
+TPU render while interpret tests passed).  This module lowers AND runs
+every Pallas kernel across the shape families the renderer uses, on the
+real device, asserting a handful of lanes against the XLA reference
+path.  bench.py runs it first and reports `kernel_smoke` in its JSON;
+it can also be run standalone:
+
+    PYTHONPATH=/root/repo:/root/.axon_site python -m \
+        drmlt_mitsuba_tpu.utils.kernel_smoke
+"""
+from __future__ import annotations
+
+import traceback
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _check(name, fn, results):
+    try:
+        fn()
+        results[name] = "ok"
+    except Exception as e:  # noqa: BLE001 - report, don't crash the bench
+        results[name] = f"FAIL: {type(e).__name__}: {e}"
+        results["_tracebacks"] = results.get("_tracebacks", "") + \
+            f"\n--- {name} ---\n{traceback.format_exc()}"
+
+
+def run_kernel_smoke(verbose: bool = False) -> dict:
+    """Lower + run every Pallas kernel on the current default device."""
+    from drmlt_mitsuba_tpu.integrators.bidir import BDPTConfig, trace_mmlt
+    from drmlt_mitsuba_tpu.integrators.drmlt import DRMLTConfig
+    from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+    from drmlt_mitsuba_tpu.integrators.mcmc import state_from_splats
+    from drmlt_mitsuba_tpu.integrators.path import trace_paths
+    from drmlt_mitsuba_tpu.render import film as filmlib
+    from drmlt_mitsuba_tpu.scene.builders import cornell_box
+    from drmlt_mitsuba_tpu.scene.types import prepare_scene
+
+    results: dict = {}
+    key = jax.random.PRNGKey(42)
+    scene = prepare_scene(cornell_box(256, 256))
+    fc = filmlib.make_film_config(256, 256, "box")
+
+    # ---- splat one-hot matmul kernel (shape families: K-pad + exact) ----
+    def splat_case(n):
+        from drmlt_mitsuba_tpu.ops.pallas.splat_kernel import splat_add
+
+        film = jnp.zeros((256, 256, 4))
+        py = jax.random.randint(key, (n,), 0, 256)
+        px = jax.random.randint(jax.random.fold_in(key, 1), (n,), 0, 256)
+        vals = jax.random.uniform(jax.random.fold_in(key, 2), (n, 4))
+        got = splat_add(film, py, px, vals)
+        ref = film.reshape(-1, 4).at[py * 256 + px].add(vals).reshape(
+            256, 256, 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-3)
+
+    for n in (1024, 1000, 196608):
+        _check(f"splat_add[N={n}]", lambda n=n: splat_case(n), results)
+
+    # ---- intersect kernels across dispatch tiers -------------------------
+    def intersect_case():
+        from drmlt_mitsuba_tpu.ops.intersect import intersect
+
+        o = jnp.tile(jnp.asarray([[278.0, 273.0, -800.0]]), (2048, 1))
+        d0 = jax.random.normal(key, (2048, 3))
+        d = d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True)
+        d = d.at[:, 2].set(jnp.abs(d[:, 2]) + 0.3)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        hit = intersect(scene, o, d)
+        assert bool(jnp.any(hit.valid)), "no hits on cornell sweep"
+
+    _check("intersect[brute/clustered dispatch]", intersect_case, results)
+
+    def sweep_v2_case():
+        from drmlt_mitsuba_tpu.ops.pallas.intersect_kernel import (
+            sweep_closest_v2,
+        )
+
+        o = jnp.tile(jnp.asarray([278.0, 273.0, -800.0]), (4096, 1))
+        d = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (4096, 1))
+        rays6 = jnp.concatenate([o.T, d.T], axis=0)
+        t, i = sweep_closest_v2(rays6, scene.tris_packed)
+        assert bool(jnp.all(t < 3e38)), "axis rays must hit the box"
+
+    _check("sweep_closest_v2[SMEM]", sweep_v2_case, results)
+
+    def cluster_case():
+        # force the clustered-streaming tables even on the tiny scene so
+        # the BVH/cluster kernel gets a real lowering check
+        from drmlt_mitsuba_tpu.ops.pallas.bvh_kernel import sweep_clusters
+        from drmlt_mitsuba_tpu.scene.builders import cornell_box as _cb
+        from drmlt_mitsuba_tpu.scene.types import prepare_scene as _ps
+
+        cs = _ps(_cb(64, 64), cluster_threshold=16)
+        o = jnp.tile(jnp.asarray([278.0, 273.0, -800.0]), (4096, 1))
+        d = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (4096, 1))
+        rays6 = jnp.concatenate([o.T, d.T], axis=0)
+        t, i = sweep_clusters(rays6, cs.cluster_aabbs, cs.cluster_blocks)
+        assert bool(jnp.all(t < 3e38))
+
+    _check("sweep_clusters[streaming]", cluster_case, results)
+
+    # ---- path megakernel vs XLA wavefront on a few lanes ------------------
+    def megatrace_case(depth):
+        from drmlt_mitsuba_tpu.ops.pallas.megatrace import make_mega_trace
+
+        pcfg = PathConfig(max_depth=depth, rr_depth=100)
+        trace = make_mega_trace(scene, pcfg)
+        u = jax.random.uniform(key, (2048, pcfg.n_dims))
+        sp = trace(u)
+        ref = trace_paths(scene, pcfg, u[:256])
+        got = np.asarray(sp.lum[:256])
+        want = np.asarray(ref.lum[:256])
+        # branchy lanes may diverge between evaluators; bound the fraction
+        rel = np.abs(got - want) / (np.abs(want) + 1e-4)
+        assert (rel > 1e-2).mean() < 0.02, f"{(rel > 1e-2).sum()} lanes"
+        np.testing.assert_allclose(got.mean(), want.mean(), rtol=2e-2)
+
+    for depth in (1, 6):
+        _check(f"megatrace[depth={depth}]",
+               lambda depth=depth: megatrace_case(depth), results)
+
+    # ---- MMLT megakernel vs XLA selected-strategy trace -------------------
+    def megammlt_case(depth):
+        from drmlt_mitsuba_tpu.ops.pallas.megammlt import make_mega_mmlt
+
+        bcfg = BDPTConfig(max_depth=depth)
+        trace = make_mega_mmlt(scene, bcfg)
+        n_core = 2 + bcfg.eye_dims + bcfg.light_dims
+        u = jax.random.uniform(key, (2048, n_core))
+        sp = trace(u)
+        n = 256
+        dd = jnp.minimum((u[:n, 0] * depth).astype(jnp.int32),
+                         depth - 1) + 1
+        ref = trace_mmlt(scene, bcfg, u[:n, 1:], dd)
+        got = np.asarray(sp.lum[:n])
+        want = np.asarray(ref.lum[:n]) * depth  # kernel keeps the pmf factor
+        rel = np.abs(got - want) / (np.abs(want) + 1e-4)
+        assert (rel > 1e-2).mean() < 0.02, f"{(rel > 1e-2).sum()} lanes"
+        np.testing.assert_allclose(got.mean(), want.mean(), rtol=2e-2)
+
+    for depth in (1, 6):
+        _check(f"megammlt[depth={depth}]",
+               lambda depth=depth: megammlt_case(depth), results)
+
+    # ---- multi-mutation DRMLT kernel (all types, both splat passes) -------
+    def megadrmlt_case(drtype, passes):
+        from drmlt_mitsuba_tpu.integrators.mmlt_grouped import (
+            make_mmlt_trace_fixed,
+        )
+        from drmlt_mitsuba_tpu.ops.pallas.megadrmlt import (
+            make_mega_drmlt, pack_chain_state, unpack_chain_state,
+        )
+
+        k = 2
+        trace_k, cfg_k, n_dims = make_mmlt_trace_fixed(scene, k)
+        dcfg = DRMLTConfig(type=drtype, n_chains=2048)
+        u0 = jax.random.uniform(key, (2048, n_dims))
+        state = state_from_splats(u0, trace_k(u0))
+        arr = pack_chain_state(state, n_dims)
+        step = make_mega_drmlt(scene, cfg_k, dcfg, fc, k, n_dims, n_mut=4,
+                               passes=passes)
+        out, delta, stats = step(arr, jnp.asarray([5, 0], jnp.int32))
+        st = unpack_chain_state(out, n_dims)
+        assert bool(jnp.all(jnp.isfinite(st.u))), "non-finite chain state"
+        assert bool(jnp.isfinite(delta).all()), "non-finite film delta"
+        a1 = float(stats[0]) / (2048 * 4)
+        large = float(stats[4]) / (2048 * 4)
+        assert 0.05 < a1 < 0.95, f"implausible a1 {a1}"
+        assert 0.2 < large < 0.4, f"large-step rate {large} != ~0.3"
+
+    for drtype in ("orbital", "mira", "green"):
+        _check(f"megadrmlt[{drtype},passes=1]",
+               lambda t=drtype: megadrmlt_case(t, 1), results)
+    _check("megadrmlt[orbital,passes=2]",
+           lambda: megadrmlt_case("orbital", 2), results)
+
+    if verbose:
+        for k, v in results.items():
+            if not k.startswith("_"):
+                print(f"  {k:40s} {v}")
+        if "_tracebacks" in results:
+            print(results["_tracebacks"])
+    return results
+
+
+def main():
+    res = run_kernel_smoke(verbose=True)
+    bad = [k for k, v in res.items()
+           if not k.startswith("_") and v != "ok"]
+    print(f"{len([k for k in res if not k.startswith('_')]) - len(bad)} ok, "
+          f"{len(bad)} failed")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
