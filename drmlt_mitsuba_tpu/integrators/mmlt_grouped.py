@@ -133,7 +133,7 @@ def _group_starts(trace, sample_u, lums, root_key, n_chains: int):
 
 def _run_group_mega(scene, cfg_k, dcfg, film_cfg, trace_k, lums, sample_u,
                     boot_key, run_key, n_dims, n_chains, n_steps_k,
-                    n_mut=16):
+                    n_mut=64):
     """Run one depth group through the multi-mutation DRMLT megakernel
     (ops/pallas/megadrmlt.py): n_mut whole mutations per Pallas launch,
     chain state + film VMEM-resident.  Returns (film_rgb, stats, steps)."""
@@ -141,6 +141,11 @@ def _run_group_mega(scene, cfg_k, dcfg, film_cfg, trace_k, lums, sample_u,
         make_mega_drmlt, pack_chain_state,
     )
 
+    # per-launch fixed cost is big (state io + film flush): n_mut=64 beats
+    # 16 by 1.4x at k=1 (scripts/tune_megadrmlt.py) — but cap the overshoot
+    # for tiny luminance-mass groups (steps round UP to a launch multiple)
+    if n_steps_k < 32:
+        n_mut = 16
     n_launches = max(1, -(-n_steps_k // n_mut))
     steps_eff = n_launches * n_mut
     state = _group_starts(trace_k, sample_u, lums, boot_key, n_chains)

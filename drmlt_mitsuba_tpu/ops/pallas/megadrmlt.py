@@ -447,8 +447,9 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
         if lane_block is not None:
             L = lane_block
         else:
-            L = 256 if (R8 % 256 == 0 and k_depth <= 3) else \
-                (128 if R8 % 128 == 0 else R8)
+            # measured on v5e (scripts/tune_megadrmlt.py): L=256 beats 128
+            # and 512 at every depth (k=4: 29.2 vs 25.0/26.3 M mut/s)
+            L = 256 if R8 % 256 == 0 else (128 if R8 % 128 == 0 else R8)
         if uniforms is None and debug_uniforms:
             key = jax.random.PRNGKey(0)
             key = jax.random.fold_in(key, seed2[0])

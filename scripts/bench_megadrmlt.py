@@ -20,15 +20,15 @@ from drmlt_mitsuba_tpu.scene.builders import cornell_box
 from drmlt_mitsuba_tpu.scene.types import prepare_scene
 
 N_CHAINS = 65536
-N_MUT = 16
+N_MUT = 64
 N_CALLS = 4
 
 
 def main():
     ks = [int(x) for x in (sys.argv[1].split(",") if len(sys.argv) > 1
-                           else "1,2,4,6".split(","))]
+                           else "1,2,3,4,5,6".split(","))]
     passes_list = [int(x) for x in (sys.argv[2].split(",")
-                                    if len(sys.argv) > 2 else [1, 2])]
+                                    if len(sys.argv) > 2 else [1])]
     width = height = 256
     scene = prepare_scene(cornell_box(width, height))
     fc = filmlib.make_film_config(width, height, "box")
