@@ -223,17 +223,14 @@ def _walk(scene: Scene, o0, d0, beta0, pdf0_sa, src_p, src_ns, n_surface,
     the MIS ratio recursion stays exact in volumetric scenes.
     """
     from drmlt_mitsuba_tpu.render.medium import (
-        HomogeneousMedium, distance_pdfs, phase_pdf_dir, phase_sample_dir,
-        sample_distance,
+        distance_pdfs, distance_pdfs_hetero_det, phase_pdf_dir,
+        phase_sample_dir, sample_distance, sample_distance_hetero,
     )
 
     R = o0.shape[0]
     # the u layout (BDPTConfig.medium) is the switch: without the extra
     # per-segment dims the walk is surface-only even in a medium scene
-    med = scene.medium if (
-        isinstance(scene.medium, HomogeneousMedium)
-        and u_bounce.shape[-1] >= 5
-    ) else None
+    med = _scene_med(scene) if u_bounce.shape[-1] >= 5 else None
 
     def body(carry, ub):
         from drmlt_mitsuba_tpu.integrators.path import apply_normal_map
@@ -244,7 +241,11 @@ def _walk(scene: Scene, o0, d0, beta0, pdf0_sa, src_p, src_ns, n_surface,
 
         if med is not None:
             t_surf = jnp.where(hit.valid, hit.t, 1.0e7)
-            md = sample_distance(med, ub[:, 3], ub[:, 4], t_surf)
+            if _is_het(med):
+                md = sample_distance_hetero(med, carry["o"], carry["d"],
+                                            ub[:, 3], ub[:, 4], t_surf)
+            else:
+                md = sample_distance(med, ub[:, 3], ub[:, 4], t_surf)
             scat = carry["active"] & md["scattered"]
             p_med = carry["o"] + md["t"][:, None] * carry["d"]
             active = (carry["active"] & hit.valid & ~scat) | scat
@@ -256,7 +257,11 @@ def _walk(scene: Scene, o0, d0, beta0, pdf0_sa, src_p, src_ns, n_surface,
             mat_v = jnp.where(scat, -1, hit.mat_id)
             em_v = jnp.where(scat, -1, hit.emitter_id)
             beta_in = carry["beta"] * md["weight"]
-            f_dist = jnp.where(scat, md["pdf_scatter"], md["pdf_escape"])
+            if _is_het(med):
+                fd_s, fd_e = distance_pdfs_hetero_det(med, carry["o"], p_v)
+            else:
+                fd_s, fd_e = md["pdf_scatter"], md["pdf_escape"]
+            f_dist = jnp.where(scat, fd_s, fd_e)
             pdf_area = _sa_to_area_med(
                 carry["pdf_sa"], carry["prev_p"], p_v, ng_v, scat
             ) * f_dist
@@ -317,9 +322,14 @@ def _walk(scene: Scene, o0, d0, beta0, pdf0_sa, src_p, src_ns, n_surface,
         prev_rev = _sa_to_area_med(pdf_rev_sa, p_v, carry["prev_p"],
                                    carry["prev_ns"], carry["prev_med"])
         if med is not None:
-            seg = p_v - carry["prev_p"]
-            d_seg = jnp.sqrt(jnp.maximum(jnp.sum(seg * seg, -1), 1e-20))
-            r_scat, r_esc = distance_pdfs(med, d_seg)
+            if _is_het(med):
+                r_scat, r_esc = distance_pdfs_hetero_det(
+                    med, p_v, carry["prev_p"])
+            else:
+                seg = p_v - carry["prev_p"]
+                d_seg = jnp.sqrt(jnp.maximum(jnp.sum(seg * seg, -1),
+                                             1e-20))
+                r_scat, r_esc = distance_pdfs(med, d_seg)
             prev_rev = prev_rev * jnp.where(carry["prev_med"], r_scat,
                                             r_esc)
         prev_rev = jnp.where(active, prev_rev, 0.0)
@@ -732,11 +742,25 @@ def _emitter_pos_pdf(scene, emitter_row):
 
 
 def _scene_med(scene):
-    """The global homogeneous medium participating in bidir transport."""
-    from drmlt_mitsuba_tpu.render.medium import HomogeneousMedium
+    """The global medium participating in bidir transport: homogeneous
+    (analytic pdf factors) or heterogeneous (Woodcock-sampled walks with
+    DETERMINISTIC marched MIS factors, the analog of the reference's
+    integrateDensity-backed pdfs — heterogeneous.cpp:~460 used by
+    vertex.cpp:273/edge.cpp)."""
+    from drmlt_mitsuba_tpu.render.medium import (
+        HeterogeneousMedium, HomogeneousMedium,
+    )
 
     m = scene.medium
-    return m if isinstance(m, HomogeneousMedium) else None
+    if isinstance(m, (HomogeneousMedium, HeterogeneousMedium)):
+        return m
+    return None
+
+
+def _is_het(med):
+    from drmlt_mitsuba_tpu.render.medium import HeterogeneousMedium
+
+    return isinstance(med, HeterogeneousMedium)
 
 
 def _edge_shading(scene, med, mat_id, wi_world, w_out, ns, is_med,
@@ -765,20 +789,32 @@ def _fdist(med, p_a, p_b, b_is_med):
     (the factor every volumetric path pdf carries per edge)."""
     if med is None:
         return 1.0
-    from drmlt_mitsuba_tpu.render.medium import distance_pdfs
+    from drmlt_mitsuba_tpu.render.medium import (
+        distance_pdfs, distance_pdfs_hetero_det,
+    )
 
-    seg = p_b - p_a
-    d = jnp.sqrt(jnp.maximum(jnp.sum(seg * seg, -1), 1e-20))
-    r_scat, r_esc = distance_pdfs(med, d)
+    if _is_het(med):
+        r_scat, r_esc = distance_pdfs_hetero_det(med, p_a, p_b)
+    else:
+        seg = p_b - p_a
+        d = jnp.sqrt(jnp.maximum(jnp.sum(seg * seg, -1), 1e-20))
+        r_scat, r_esc = distance_pdfs(med, d)
     return jnp.where(b_is_med, r_scat, r_esc)
 
 
-def _edge_tr(med, dist, d=None):
+def _edge_tr(med, dist, d=None, p_a=None, p_b=None):
     """Connection-edge transmittance (ref: src/libbidir/edge.cpp
     evalTransmittance); 1 without a medium.  `d` (unit edge direction)
-    activates the directional extinction of microflake media."""
+    activates the directional extinction of microflake media.  For a
+    heterogeneous medium, p_a/p_b (edge endpoints) select the
+    deterministic marched optical depth."""
     if med is None:
         return 1.0
+    if _is_het(med):
+        from drmlt_mitsuba_tpu.render.medium import optical_depth_hetero
+
+        assert p_a is not None and p_b is not None
+        return jnp.exp(-optical_depth_hetero(med, p_a, p_b))
     sig = med.sigma_t
     if d is not None:
         from drmlt_mitsuba_tpu.render.medium import sigma_dir
@@ -900,7 +936,7 @@ def _strategies(scene: Scene, cfg: BDPTConfig, L: SubpathSoA, E: SubpathSoA,
             )
             contrib = (
                 L.beta[:, lv] * f_l * f_e * E.beta[:, ev] * g[:, None]
-            ) * _edge_tr(med, dist, w_le)
+            ) * _edge_tr(med, dist, w_le, pl, pe)
             ok = ok & (luminance(contrib) > 0)
             sh_o = pl + w_le * (RAY_EPS * jnp.maximum(1.0, dist))[:, None]
             blocked = occluded(scene, sh_o, w_le, dist * (1.0 - 1e-3))
@@ -994,7 +1030,7 @@ def _strategies(scene: Scene, cfg: BDPTConfig, L: SubpathSoA, E: SubpathSoA,
                     uv=None if L.uv is None else L.uv[:, lv],
                 )
             contrib = (L.beta[:, lv] * f_l * (g * we)[:, None]
-                       * _edge_tr(med, dist, w_lc))
+                       * _edge_tr(med, dist, w_lc, pl, cam_p))
             ok = ok & (luminance(contrib) > 0)
             sh_o = pl + w_lc * (RAY_EPS * jnp.maximum(1.0, dist))[:, None]
             blocked = occluded(scene, sh_o, w_lc, dist * (1.0 - 1e-3))
@@ -1212,7 +1248,7 @@ def trace_mmlt(scene: Scene, cfg: BDPTConfig, u, depth) -> Splats:
     f_e = jnp.where(case_lt[:, None], we[:, None], f_e_bsdf)
 
     contrib_conn = (Lbeta * f_l * f_e * Ebeta * g[:, None]
-                    * _edge_tr(med, dist, w_le))
+                    * _edge_tr(med, dist, w_le, Lp, Ep))
 
     l_deltab = jnp.where(is_s1, False, Ldelta)
     ok_conn = (case_conn & Lvalid & Evalid & ~l_deltab & ~Edelta

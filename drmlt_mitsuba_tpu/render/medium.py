@@ -703,3 +703,41 @@ def transmittance_hetero(med: HeterogeneousMedium, o, d, dist, u_seed,
     tr0 = jnp.ones((R, 3))
     _, tr, _ = jax.lax.fori_loop(0, n_steps, body, (t0, tr0, keys))
     return tr
+
+
+def optical_depth_hetero(med: HeterogeneousMedium, a, b, n_steps: int = 32):
+    """DETERMINISTIC per-channel optical depth along segment a->b via
+    midpoint quadrature of the trilinear density (the analog of
+    heterogeneous.cpp integrateDensity, which the reference's bidir pdf
+    factors are built on).  Deterministic => replayable MIS factors; the
+    quadrature error only perturbs MIS weights (a consistent, not
+    statistical, approximation — the estimator stays unbiased in the
+    balance-heuristic partition up to this smooth perturbation)."""
+    seg = b - a
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(seg * seg, -1), 1e-20))
+    d = seg / dist[..., None]
+    ts = (jnp.arange(n_steps) + 0.5) / n_steps
+    dens = jnp.zeros(dist.shape)
+    for i in range(n_steps):
+        p = a + seg * ts[i]
+        dens = dens + _grid_density(med, p)
+    mean_dens = dens / n_steps
+    sdir = sigma_dir(med, d)
+    return (mean_dens * dist * sdir)[..., None] * med.sigma_t[None, :]
+
+
+def distance_pdfs_hetero_det(med: HeterogeneousMedium, a, b,
+                             n_steps: int = 32):
+    """(scatter density at b, escape mass past b) in the deterministic
+    marched approximation: T(a,b) = exp(-tau); scatter density uses the
+    luminance-mean channel (the walk's per-channel weighting already
+    carries the chromatic ratio, mirroring distance_pdfs' role for the
+    homogeneous case)."""
+    tau = optical_depth_hetero(med, a, b, n_steps)
+    tr = jnp.exp(-tau)
+    tr_m = jnp.mean(tr, -1)
+    sig_b = _grid_density(med, b) * jnp.mean(med.sigma_t)
+    seg = b - a
+    d = seg / jnp.sqrt(jnp.maximum(jnp.sum(seg * seg, -1), 1e-20))[..., None]
+    sig_b = sig_b * sigma_dir(med, d)
+    return tr_m * sig_b, tr_m

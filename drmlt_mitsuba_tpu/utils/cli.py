@@ -46,16 +46,15 @@ def _thinlens(scene):
 
 
 def _bidir_medium(scene):
-    """True when the global medium participates in bidir walks (homogeneous
-    only; heterogeneous media stay unidirectional-volpath-only)."""
-    from drmlt_mitsuba_tpu.render.medium import HomogeneousMedium
+    """True when the global medium participates in bidir walks —
+    homogeneous (analytic pdf factors) or heterogeneous (Woodcock walks +
+    deterministic marched MIS factors, bidir.py round-3)."""
+    from drmlt_mitsuba_tpu.render.medium import (
+        HeterogeneousMedium, HomogeneousMedium,
+    )
 
-    if scene.medium is not None and not isinstance(scene.medium,
-                                                   HomogeneousMedium):
-        import warnings
-        warnings.warn("heterogeneous medium: bdpt/mmlt run surface-only "
-                      "(use volpath for heterogeneous transport)")
-    return isinstance(scene.medium, HomogeneousMedium)
+    return isinstance(scene.medium,
+                      (HomogeneousMedium, HeterogeneousMedium))
 
 
 def build_trace(scene, settings, icfg):
@@ -210,16 +209,45 @@ def render(scene, settings, args, log):
         return np.asarray(img), stats, None
 
     if itype == "mlt":
-        # Veach path-space MLT capability is served by the PSS family here
-        # (SURVEY §2.5); map `mlt` to Gaussian-mutation PSSMLT.  Declare
-        # the substitution loudly: the estimator differs from the
-        # reference's path-space mutators even though both converge.
+        # Veach path-space MLT: real vertex-path mutations
+        # (integrators/pathspace.py — bidirectional mutation + lens +
+        # caustic perturbations; ref src/libbidir/mut_*.cpp driven by
+        # mlt_proc.cpp).  Scenes outside the path-space subset (media,
+        # env/delta lights, thinlens, smooth-shaded meshes) fall back to
+        # Gaussian-mutation PSSMLT with a loud warning.
+        from drmlt_mitsuba_tpu.integrators.pathspace import (
+            MLTConfig, mlt_eligible, render_mlt,
+        )
+
+        if mlt_eligible(scene):
+            sep = _pbool(icfg.get("separateDirect"), True)
+            kmin = 3 if sep else 2
+            mcfg = MLTConfig(
+                max_depth=max(int(icfg.get("maxDepth", 6)), kmin + 1),
+                kmin=kmin,
+                n_chains=int(icfg.get("chains", args.chains)),
+                n_bootstrap=int(icfg.get("luminanceSamples", 65536)),
+            )
+            n_steps = max(4, W * H * settings.spp // mcfg.n_chains)
+            img, aux = render_mlt(scene, mcfg, fc, key, n_steps)
+            log.info("mlt: b=%.6f, mean acceptance=%s", aux["b"],
+                     np.asarray(aux["stats"]).mean(0))
+            # direct component (paths shorter than kmin) via plain PT,
+            # the reference's renderDirectComponent (util.cpp:30-95)
+            dp = PathConfig(max_depth=kmin - 1, rr_depth=100, min_depth=1)
+            dfilm = render_pt(scene, dp, jax.random.fold_in(key, 901),
+                              W * H * int(icfg.get("directSamples", 64)),
+                              fc, mode="accum")
+            img = np.asarray(img)[..., :3] + np.asarray(
+                filmlib.develop(fc, dfilm, mode="accum"))[..., :3]
+            return np.asarray(img), stats, None
+
         import warnings
 
         warnings.warn(
-            "integrator 'mlt' (Veach path-space MLT) runs as "
-            "Gaussian-mutation PSSMLT in this framework; enable the "
-            "lens/caustic PSS analogs with -D pLens= / -D pCaustic=")
+            "integrator 'mlt': scene outside the path-space mutation "
+            "subset (media/env/delta lights/thinlens/smooth shading); "
+            "running as Gaussian-mutation PSSMLT instead")
         icfg = {**icfg, "type": "pssmlt", "kelemenStyleMutation": False}
         itype = "pssmlt"
 

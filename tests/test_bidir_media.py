@@ -153,3 +153,63 @@ def test_bdpt_mixture_fog_matches_volpath_pt():
         filmlib.develop(fc, film, mode="splat", scale=W * H / (n * 4096))
     ).mean(axis=(0, 1))
     np.testing.assert_allclose(bd, pt, rtol=0.1)
+
+
+def _hetero_fog_scene(g=0.0):
+    """Cornell filled with a smooth low-frequency density grid."""
+    from drmlt_mitsuba_tpu.render.medium import make_hetero_medium
+
+    scene = cornell_box(W, H)
+    z, y, x = np.meshgrid(np.linspace(0, 1, 9), np.linspace(0, 1, 9),
+                          np.linspace(0, 1, 9), indexing="ij")
+    dens = (0.5 + 0.5 * np.sin(3.0 * x) * np.cos(2.0 * y)
+            + 0.3 * z).astype(np.float32)
+    # world box ~ [0,556]x[0,549]x[0,560] -> unit cube
+    w2g = np.diag([1 / 556.0, 1 / 549.0, 1 / 560.0, 1.0]).astype(np.float32)
+    med = make_hetero_medium(dens, w2g, (0.002, 0.002, 0.002),
+                             (0.8, 0.8, 0.8), g)
+    return scene.replace(medium=med)
+
+
+def test_bdpt_hetero_fog_matches_volpath_pt():
+    """Heterogeneous media inside bidir walks (VERDICT r2 #5): BDPT with
+    Woodcock-sampled medium vertices + marched MIS factors == volpath PT
+    on a grid-density fog."""
+    scene = _hetero_fog_scene()
+    fc = filmlib.make_film_config(W, H, "box")
+    f = render_pt(scene, PathConfig(max_depth=3, rr_depth=100),
+                  jax.random.PRNGKey(0), 16384 * 24, fc, mode="accum")
+    pt = np.asarray(filmlib.develop(fc, f, mode="accum")).mean(axis=(0, 1))
+
+    bcfg = BDPTConfig(max_depth=3, medium=True)
+
+    @jax.jit
+    def run(key, film):
+        u = jax.random.uniform(key, (4096, bcfg.n_dims))
+        sp = trace_bdpt(scene, bcfg, u)
+        pos = sp.pos.reshape(-1, 2) * jnp.asarray([W, H], jnp.float32)
+        return filmlib.splat(fc, film, pos, sp.value.reshape(-1, 3),
+                             mode="splat")
+
+    film = filmlib.new_film(fc)
+    n = 24
+    for i in range(n):
+        film = run(jax.random.fold_in(jax.random.PRNGKey(3), i), film)
+    bd = np.asarray(
+        filmlib.develop(fc, film, mode="splat", scale=W * H / (n * 4096))
+    ).mean(axis=(0, 1))
+    np.testing.assert_allclose(bd, pt, rtol=0.1)
+
+
+def test_mmlt_hetero_selected_matches_dense():
+    """Selected-strategy MMLT == dense sweep lane-for-lane in a
+    heterogeneous medium (the fast path stays exact)."""
+    scene = _hetero_fog_scene()
+    bcfg = BDPTConfig(max_depth=3, medium=True)
+    key = jax.random.PRNGKey(7)
+    u = jax.random.uniform(key, (512, bcfg.n_dims))
+    depth = jnp.clip((u[:, 0] * 3).astype(jnp.int32) + 1, 1, 3)
+    a = trace_mmlt(scene, bcfg, u[:, 1:], depth)
+    b = trace_mmlt_dense(scene, bcfg, u[:, 1:], depth)
+    np.testing.assert_allclose(np.asarray(a.lum), np.asarray(b.lum),
+                               rtol=2e-3, atol=1e-6)
