@@ -319,6 +319,15 @@ def _walk(scene: Scene, o0, d0, beta0, pdf0_sa, src_p, src_ns, n_surface,
             # kinds; differs for microflake's sigma(wi) normalization)
             pdf_rev_ph = phase_pdf_dir(med, wo_world, wi_world)
             pdf_rev_sa = jnp.where(scat, pdf_rev_ph, pdf_rev_sa)
+        # Dirac bounces: store the reverse pdf with the SAME discrete-1
+        # convention as the forward side (pdf_sa below), so MIS ratios that
+        # cross a delta vertex cancel the Dirac factor consistently.
+        # eval_bsdf returns pdf 0 for delta lobes; leaving 0 here (remapped
+        # to 1 WITHOUT the area conversion inside _mis_weight's ratio())
+        # under-weights specular chains — measured 17% low at k>=3 on the
+        # mirror Cornell (scripts/repro_mirror_bias.py).  Ref: vertex.cpp
+        # stores symmetric discrete pdfs for degenerate components.
+        pdf_rev_sa = jnp.where(bs_delta, 1.0, pdf_rev_sa)
         prev_rev = _sa_to_area_med(pdf_rev_sa, p_v, carry["prev_p"],
                                    carry["prev_ns"], carry["prev_med"])
         if med is not None:
@@ -444,7 +453,7 @@ def light_subpath(scene: Scene, cfg: BDPTConfig, u_light):
         square_to_uniform_cone, square_to_uniform_sphere,
     )
     from drmlt_mitsuba_tpu.scene.types import (
-        EMITTER_AREA, EMITTER_POINT, EMITTER_SPOT,
+        EMITTER_AREA, EMITTER_COLLIMATED, EMITTER_POINT, EMITTER_SPOT,
     )
 
     R = u_light.shape[0]
@@ -456,7 +465,8 @@ def light_subpath(scene: Scene, cfg: BDPTConfig, u_light):
     is_area = kind0 == EMITTER_AREA
     is_point = kind0 == EMITTER_POINT
     is_spot = kind0 == EMITTER_SPOT
-    is_delta_pos = is_point | is_spot
+    is_coll = kind0 == EMITTER_COLLIMATED
+    is_delta_pos = is_point | is_spot | is_coll
 
     # ---- position -------------------------------------------------------
     ti = em.tri_idx[row]
@@ -488,12 +498,18 @@ def light_subpath(scene: Scene, cfg: BDPTConfig, u_light):
         is_area[:, None], d_cos,
         jnp.where(is_spot[:, None], d_cone, d_sph),
     )
+    # collimated: direction Dirac along the beam axis (local +z), pdf
+    # measure discrete = 1 (collimated.cpp sampleDirection)
+    d_local = jnp.where(is_coll[:, None],
+                        jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                         d_local.shape), d_local)
     d0 = frame.to_world(n0, d_local)
     pdf_cos = jnp.maximum(square_to_cosine_hemisphere_pdf(d_cos), 1e-12)
     pdf_sph = jnp.full((R,), 0.25 / jnp.pi)
     pdf_cone = 0.5 / jnp.pi / jnp.maximum(1.0 - cos_cut, 1e-6)
     pdf_dir = jnp.where(is_area, pdf_cos,
-                        jnp.where(is_spot, pdf_cone, pdf_sph))
+                        jnp.where(is_spot, pdf_cone,
+                                  jnp.where(is_coll, 1.0, pdf_sph)))
     # spot falloff on the sampled direction (mirrors emitter.py)
     cos_spot = d_local[..., 2]
     cos_beam = jnp.cos(jnp.arccos(jnp.clip(cos_cut, -1, 1)) * 0.75)

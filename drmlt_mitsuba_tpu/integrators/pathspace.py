@@ -585,7 +585,8 @@ def _count_valid_anchors(scene, ps, k, kd, kmax):
     return ctr
 
 
-def mut_bidir(scene, cfg: MLTConfig, key, ps: PathState):
+def mut_bidir(scene, cfg: MLTConfig, key, ps: PathState,
+              debug: bool = False):
     """One bidirectional-mutation proposal + acceptance for all chains.
     Returns (proposal PathState, accept prob a, structural-ok mask)."""
     kmax = cfg.max_depth
@@ -703,6 +704,10 @@ def mut_bidir(scene, cfg: MLTConfig, key, ps: PathState):
     a = jnp.where((q_xy > 1e-30) & jnp.isfinite(q_xy) & jnp.isfinite(q_yx),
                   jnp.minimum(q_yx / jnp.maximum(q_xy, 1e-30), 1.0), 0.0)
     a = jnp.where(ok, a, 0.0)
+    if debug:
+        return prop, a, ok, dict(q_xy=q_xy, q_yx=q_yx, l=l, ka=ka, kd=kd,
+                                 s=s, t=t, k_prime=k_prime,
+                                 m_is_super=m_is_super)
     return prop, a, ok
 
 

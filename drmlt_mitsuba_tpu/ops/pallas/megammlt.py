@@ -310,6 +310,10 @@ def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
                 mt["etz"], mt["kx"], mt["ky"], mt["kz"], mt["rough"],
                 mt["srx"], mt["sry"], mt["srz"], shape)
             cos_prev = jnp.abs(wx * pnx + wy * pny + wz * pnz)
+            # Dirac bounces store reverse pdf 1*conversion, matching the
+            # forward pdf_sa convention below (see bidir.py _walk; fixes
+            # the delta-chain MIS bias measured on mirror Cornell)
+            rev_sa = jnp.where(bs_delta, 1.0, rev_sa)
             pdf_rev[v - 1] = jnp.where(active, rev_sa * cos_prev / d2, 0.0)
 
             bnx = bx * bwx

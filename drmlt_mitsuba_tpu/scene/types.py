@@ -127,6 +127,7 @@ EMITTER_POINT = 1        # position delta, intensity I (W/sr)
 EMITTER_DIRECTIONAL = 2  # direction delta, irradiance E
 EMITTER_SPOT = 3         # point + cone falloff
 EMITTER_ENV = 4          # image environment map (lat-long)
+EMITTER_COLLIMATED = 5   # position AND direction delta beam (power W)
 
 
 @struct.dataclass
@@ -431,6 +432,7 @@ def build_emitters(
     spots: list | None = None,
     env_image: np.ndarray | None = None,
     scene_radius: float = 1000.0,
+    collimated: list | None = None,
 ) -> EmitterTable:
     """Collect all emitters into one power-weighted sampling table.
 
@@ -509,6 +511,22 @@ def build_emitters(
             max(float(np.asarray(inten, np.float32) @ _LUM_W)
                 * 2.0 * np.pi * (1 - cosc), 1e-12)
         )
+
+    for p, d, pw in (collimated or []):
+        # ref: src/emitters/collimated.cpp — a 0-dimensional response:
+        # position + direction Dirac carrying `power` W.  Direct sampling
+        # always fails (sampleDirect pdf 0, collimated.cpp:126-130);
+        # transport reaches the film only through light-subpath walks.
+        d = np.asarray(d, np.float32)
+        d = d / np.linalg.norm(d)
+        rows_kind.append(EMITTER_COLLIMATED)
+        rows_tri.append(0)
+        rows_rad.append(np.asarray(pw, np.float32))
+        rows_area.append(0.0)
+        rows_pos.append(np.asarray(p, np.float32))
+        rows_aux.append(np.asarray([*d, 0.0], np.float32))
+        power.append(max(float(np.asarray(pw, np.float32) @ _LUM_W),
+                         1e-12))
 
     if not rows_kind:   # keep shapes static: one dummy zero-power area row
         rows_kind = [EMITTER_AREA]

@@ -686,6 +686,7 @@ def load_scene_xml(path: str, defaults: dict | None = None):
     env_img = None
     points = []       # (pos, intensity)
     spots = []        # (pos, intensity, axis, cutoff_deg)
+    collimateds = []  # (pos, direction, power)
     directionals = []  # (direction, irradiance)
     settings = RenderSettings(integrator=dict(type="path"))
     camera = None
@@ -978,17 +979,19 @@ def load_scene_xml(path: str, defaults: dict | None = None):
             else:
                 points.append((pos, inten))
         elif etype == "collimated":
-            # ref: collimated.cpp — a zero-divergence beam.  Surface
-            # integrators can only see it through media; approximated here
-            # as a directional emitter carrying the beam power (warning).
-            warnings.warn("emitter 'collimated' approximated as directional")
+            # ref: collimated.cpp — a zero-divergence beam (position +
+            # direction Dirac).  Exact: light-subpath walks start on the
+            # beam; direct sampling fails by definition, so only media /
+            # light-tracing strategies see it (as in the reference).
             tnode = em.find("transform")
             d = np.asarray([0, 0, 1], np.float32)
+            p = np.zeros(3, np.float32)
             if tnode is not None:
                 m = _parse_transform(tnode, defaults)
                 d = m[:3, :3] @ d
-            directionals.append(
-                (d, props.get("power", np.ones(3, np.float32)))
+                p = m[:3, :3] @ p + m[:3, 3]
+            collimateds.append(
+                (p, d, props.get("power", np.ones(3, np.float32)))
             )
         elif etype == "directional":
             tnode = em.find("transform")
@@ -1357,6 +1360,7 @@ def load_scene_xml(path: str, defaults: dict | None = None):
         point_intensity=np.stack([i for _, i in points]) if points else None,
         directional=directionals or None,
         spots=spots or None,
+        collimated=collimateds or None,
         env_image=env_img,
     )
     area_rows = np.nonzero(np.asarray(emitters.kind) == 0)[0]

@@ -623,11 +623,14 @@ static int bd_walk(const Scene& sc, V3 o, V3 d, V3 beta, float pdf_sa,
     if (bs.pdf <= 0 || lum(bs.weight) <= 0) return k + 1;
     V3 wo_w = tx * bs.wo.x + bx * bs.wo.y + nsh * bs.wo.z;
     // reverse pdf of the previous vertex (sample wi from wo here);
-    // Dirac kinds eval to 0, matching the JAX pdf_rev semantics
+    // Dirac kinds store rev pdf 1*conversion, mirroring the forward
+    // pdf_sa convention below (matches the JAX _walk semantics; fixes
+    // the delta-chain MIS bias)
     {
       V3 fr;
       float rev_sa;
       bsdf_eval(m, bs.wo, wi, fr, rev_sa);
+      if (bs.delta) rev_sa = 1.0f;
       float rev_area = sa_to_area(rev_sa, p, prev_p, prev_ns);
       if (k == 0) *src_rev = rev_area;
       else out[k - 1].pdf_rev = rev_area;

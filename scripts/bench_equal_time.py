@@ -1,0 +1,143 @@
+"""Equal-time quality benchmark (VERDICT r2 next-round #6).
+
+Reproduces the DRMLT paper's claim structure: at a fixed wall-clock
+budget and fixed normalization (averageLuminance), compare RMSE vs a
+converged PT reference for pssmlt vs drmlt{green,mira,orbital} on hard
+scenes (glass-tall-box Cornell; procedural veach-door).  Writes
+EQUAL_TIME.json + prints a table.
+
+    PYTHONPATH=/root/repo:/root/.axon_site \
+        python scripts/bench_equal_time.py [seconds] [width]
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drmlt_mitsuba_tpu.integrators.bidir import BDPTConfig
+from drmlt_mitsuba_tpu.integrators.drmlt import DRMLTConfig
+from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+from drmlt_mitsuba_tpu.integrators.mmlt_grouped import (
+    render_drmlt_mmlt_grouped,
+)
+from drmlt_mitsuba_tpu.integrators.path import make_path_trace, render_pt
+from drmlt_mitsuba_tpu.integrators.pssmlt import PSSMLTConfig, pssmlt_step
+from drmlt_mitsuba_tpu.integrators.mcmc import bootstrap, state_from_splats
+from drmlt_mitsuba_tpu.render import film as filmlib
+from drmlt_mitsuba_tpu.scene.builders import cornell_box, veach_door
+from drmlt_mitsuba_tpu.scene.types import prepare_scene
+
+
+def _rmse(img, ref):
+    m = ref.mean()
+    return float(np.sqrt(np.mean((img - ref) ** 2)) / max(m, 1e-9))
+
+
+def _reference(scene, fc, W, H, depth, spp=4096):
+    pcfg = PathConfig(max_depth=depth, rr_depth=100)
+    film = filmlib.new_film(fc)
+    batch = W * H * 64
+    n = spp // 64
+    for i in range(n):
+        film = render_pt(scene, pcfg, jax.random.fold_in(
+            jax.random.PRNGKey(77), i), batch, fc, mode="accum",
+            film=film)
+    return np.asarray(filmlib.develop(fc, film, mode="accum"))
+
+
+def run_drmlt(scene, fc, depth, variant, seconds, n_chains, avg_lum):
+    """Equal-time depth-grouped DRMLT-over-MMLT; returns developed img."""
+    bcfg = BDPTConfig(max_depth=depth)
+    # scale the step budget from a 1-block timing probe
+    dcfg = DRMLTConfig(type=variant, n_chains=n_chains, n_bootstrap=32768)
+    t0 = time.perf_counter()
+    img, aux = render_drmlt_mmlt_grouped(
+        scene, bcfg, dcfg, fc, jax.random.PRNGKey(5), n_steps=64,
+        average_luminance=avg_lum)
+    dt_probe = time.perf_counter() - t0
+    n_steps = max(64, int(64 * seconds / max(dt_probe, 1e-3)))
+    t0 = time.perf_counter()
+    img, aux = render_drmlt_mmlt_grouped(
+        scene, bcfg, dcfg, fc, jax.random.PRNGKey(5), n_steps=n_steps,
+        average_luminance=avg_lum)
+    np.asarray(img)
+    return np.asarray(img), time.perf_counter() - t0, n_steps
+
+
+def run_pssmlt(scene, fc, depth, seconds, n_chains, avg_lum):
+    pcfg = PathConfig(max_depth=depth, rr_depth=100)
+    trace = make_path_trace(scene, pcfg)
+    n_dims = pcfg.n_dims + pcfg.n_dims % 2
+    cfg = PSSMLTConfig(n_chains=n_chains)
+    key = jax.random.PRNGKey(5)
+    state, b = bootstrap(trace, key, n_dims, 32768, n_chains)
+    b = jnp.float32(avg_lum) if avg_lum else b
+    film = filmlib.new_film(fc)
+
+    @jax.jit
+    def block(state, film, i0):
+        def body(carry, i):
+            (st, fi), _ = pssmlt_step(
+                trace, cfg, fc, carry, jax.random.fold_in(key, i), b)
+            return (st, fi), 0.0
+        (state, film), _ = jax.lax.scan(body, (state, film),
+                                        i0 + jnp.arange(16))
+        return state, film
+
+    state, film = block(state, film, jnp.int32(0))
+    jax.block_until_ready(film)
+    t0 = time.perf_counter()
+    steps = 16
+    while time.perf_counter() - t0 < seconds:
+        state, film = block(state, film, jnp.int32(steps))
+        steps += 16
+        jax.block_until_ready(film)
+    n_per_pixel = n_chains * steps / fc.npixels
+    img = filmlib.develop(fc, film, mode="splat", scale=b / n_per_pixel)
+    return np.asarray(img)[..., :3], time.perf_counter() - t0, steps
+
+
+def main():
+    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 20.0
+    W = H = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    depth = 6
+    out = {"budget_s": seconds, "film": [W, H], "depth": depth,
+           "scenes": {}}
+    scenes = {
+        "glass-cornell": prepare_scene(
+            cornell_box(W, H, tall_box_material="glass")),
+        "veach-door": prepare_scene(veach_door(W, H)),
+    }
+    for name, scene in scenes.items():
+        fc = filmlib.make_film_config(W, H, "box")
+        ref = _reference(scene, fc, W, H, depth)
+        avg = float((ref[..., 0] * 0.212671 + ref[..., 1] * 0.715160
+                     + ref[..., 2] * 0.072169).mean())
+        rows = {}
+        img, dt, steps = run_pssmlt(scene, fc, depth, seconds, 65536, None)
+        rows["pssmlt"] = {"rmse": _rmse(img, ref), "time_s": round(dt, 1),
+                          "steps": steps}
+        print(f"{name:14s} pssmlt  rmse {rows['pssmlt']['rmse']:.4f} "
+              f"({dt:.1f}s)", flush=True)
+        for variant in ("green", "mira", "orbital"):
+            img, dt, steps = run_drmlt(scene, fc, depth, variant, seconds,
+                                       65536, None)
+            rows[f"drmlt-{variant}"] = {"rmse": _rmse(img, ref),
+                                        "time_s": round(dt, 1),
+                                        "steps": steps}
+            print(f"{name:14s} drmlt-{variant:8s} rmse "
+                  f"{rows[f'drmlt-{variant}']['rmse']:.4f} ({dt:.1f}s)",
+                  flush=True)
+        out["scenes"][name] = rows
+    with open("EQUAL_TIME.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote EQUAL_TIME.json")
+
+
+if __name__ == "__main__":
+    main()

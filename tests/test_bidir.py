@@ -162,6 +162,23 @@ class TestFixEmitterPath:
         assert err < 0.2, err
 
 
+def test_bdpt_mirror_chain_matches_pt():
+    """Regression for the delta-chain MIS bias: with a mirror tall box,
+    k>=3 specular chains were weighted 1/(1+sum_ri) with an inconsistent
+    Dirac convention (forward pdf stored 1*conversion, reverse stored a
+    remapped 0 without conversion), measuring ~8% low at max_depth 4
+    cumulatively (scripts/repro_mirror_bias.py).  BDPT must match PT."""
+    scene = cornell_box(W, H, tall_box_material="mirror")
+    fc = filmlib.make_film_config(W, H, "box")
+    f = render_pt(scene, PathConfig(max_depth=4, rr_depth=100),
+                  jax.random.PRNGKey(44), 16384 * 32, fc, mode="accum")
+    pt = np.asarray(filmlib.develop(fc, f, mode="accum")).mean((0, 1))
+    bd = _mc_mean(scene, fc, BDPTConfig(max_depth=4), n_batches=24,
+                  batch=8192)
+    ratio = bd.mean() / pt.mean()
+    assert 0.96 < ratio < 1.04, ratio
+
+
 def test_bdpt_textured_scene_matches_pt(tmp_path):
     """Textured albedos now evaluate inside bidir connections (SubpathSoA
     carries uv): BDPT on a checkerboard-floor scene matches PT.  Before

@@ -206,10 +206,54 @@ def test_mmlt_hetero_selected_matches_dense():
     heterogeneous medium (the fast path stays exact)."""
     scene = _hetero_fog_scene()
     bcfg = BDPTConfig(max_depth=3, medium=True)
+    R = 512
     key = jax.random.PRNGKey(7)
-    u = jax.random.uniform(key, (512, bcfg.n_dims))
-    depth = jnp.clip((u[:, 0] * 3).astype(jnp.int32) + 1, 1, 3)
-    a = trace_mmlt(scene, bcfg, u[:, 1:], depth)
-    b = trace_mmlt_dense(scene, bcfg, u[:, 1:], depth)
-    np.testing.assert_allclose(np.asarray(a.lum), np.asarray(b.lum),
-                               rtol=2e-3, atol=1e-6)
+    u = jax.random.uniform(key, (R, 1 + bcfg.n_dims))
+    depth = 1 + jax.random.randint(jax.random.fold_in(key, 1), (R,), 0,
+                                   bcfg.max_depth)
+    a = trace_mmlt_dense(scene, bcfg, u, depth)
+    b = trace_mmlt(scene, bcfg, u, depth)
+    va, vb = np.asarray(a.value[:, 0]), np.asarray(b.value[:, 0])
+    rel = np.abs(va - vb) / (np.abs(va) + 1e-4)
+    bad = (rel > 1e-3).any(-1)
+    assert bad.sum() <= 2, f"{bad.sum()} lanes, worst {rel.max()}"
+    np.testing.assert_allclose(va.mean(0), vb.mean(0), rtol=2e-3,
+                               atol=1e-5)
+
+
+def test_collimated_beam_through_fog():
+    """Exact collimated emitter (ref src/emitters/collimated.cpp): a
+    position+direction Dirac beam is invisible to direct sampling and
+    reaches the film only through light-subpath strategies; in fog the
+    BDPT image shows a localized bright beam line."""
+    import drmlt_mitsuba_tpu.scene.types as st
+    from drmlt_mitsuba_tpu.render.medium import make_medium
+    from drmlt_mitsuba_tpu.scene.types import prepare_scene
+
+    scene = cornell_box(W, H)
+    nem = int(np.asarray(scene.tris.emitter_id).max()) + 1
+    em = st.build_emitters(
+        scene.tris, np.zeros((nem, 3), np.float32),
+        collimated=[(np.array([50.0, 273.0, 279.0]),
+                     np.array([1.0, 0.0, 0.0]),
+                     np.array([2e5, 2e5, 2e5]))])
+    scene = prepare_scene(scene.replace(
+        medium=make_medium((0.004,) * 3, (0.9,) * 3, 0.0),
+        emitters=em))
+    bcfg = BDPTConfig(max_depth=3, medium=True)
+    key = jax.random.PRNGKey(0)
+    fc = filmlib.make_film_config(W, H, "box")
+    film = filmlib.new_film(fc)
+    for i in range(6):
+        u = jax.random.uniform(jax.random.fold_in(key, i),
+                               (8192, bcfg.n_dims))
+        sp = trace_bdpt(scene, bcfg, u)
+        pos = sp.pos.reshape(-1, 2) * jnp.asarray([W, H], jnp.float32)
+        film = filmlib.splat(fc, film, pos, sp.value.reshape(-1, 3),
+                             mode="splat")
+    img = np.asarray(filmlib.develop(fc, film, mode="splat",
+                                     scale=W * H / (6 * 8192)))
+    assert np.isfinite(img).all() and img.max() > 0
+    rowsum = img.mean(-1).sum(1)
+    # the beam concentrates energy in a narrow horizontal band
+    assert rowsum.max() > 5 * (np.median(rowsum) + 1e-9)
