@@ -45,6 +45,9 @@ import jax.numpy as jnp
 # measured: native/cpu_oracle, orbital/depth6, per-core x 64 (see above)
 CPU_ANCHOR_PATH_PER_SEC = 189305.0 * 64
 CPU_ANCHOR_MMLT_PER_SEC = 663096.0 * 64
+# veach-door (procedural, 54 tris, rough-diffuse door): cpu_oracle mmlt
+# 381,529 / 392,132 mut/s/core (two 20 s runs, 2026-08-19) -> mean x 64
+CPU_ANCHOR_VEACH_MMLT_PER_SEC = 386830.0 * 64
 
 N_CHAINS = 65536
 N_MUT = 64
@@ -87,48 +90,63 @@ def main():
     }
 
     # ---- flagship: depth-grouped DRMLT-over-MMLT, megadrmlt kernel -------
-    k_boot = jax.random.fold_in(root, 1)
-    per_group = []
-    inv_rate = 0.0
-    b_ks = []
-    groups = []
-    for k in range(1, 7):
-        trace_k, cfg_k, n_dims = make_mmlt_trace_fixed(scene, k)
-        lums, b_k, sample_u = _group_bootstrap(
-            trace_k, jax.random.fold_in(k_boot, k), n_dims, 8192)
-        groups.append((k, trace_k, cfg_k, n_dims, lums, float(b_k),
-                       sample_u))
-        b_ks.append(float(b_k))
-    b_total = sum(b_ks)
+    def flagship_grouped(scene, fc, boot_key):
+        """Mass-weighted harmonic-mean mutation rate of the real depth-
+        grouped megadrmlt schedule on one scene."""
+        per_group = []
+        inv_rate = 0.0
+        b_ks = []
+        groups = []
+        for k in range(1, 7):
+            trace_k, cfg_k, n_dims = make_mmlt_trace_fixed(scene, k)
+            lums, b_k, sample_u = _group_bootstrap(
+                trace_k, jax.random.fold_in(boot_key, k), n_dims, 8192)
+            groups.append((k, trace_k, cfg_k, n_dims, lums, float(b_k),
+                           sample_u))
+            b_ks.append(float(b_k))
+        b_total = sum(b_ks)
 
-    for k, trace_k, cfg_k, n_dims, lums, b_k, sample_u in groups:
-        assert mega_drmlt_eligible(scene, cfg_k, dcfg, fc)
-        state = _group_starts(trace_k, sample_u, lums,
-                              jax.random.fold_in(k_boot, 100 + k), N_CHAINS)
-        arr = pack_chain_state(state, n_dims)
-        step = make_mega_drmlt(scene, cfg_k, dcfg, fc, k, n_dims,
-                               n_mut=N_MUT, passes=1, weight_channel=False)
+        for k, trace_k, cfg_k, n_dims, lums, b_k, sample_u in groups:
+            assert mega_drmlt_eligible(scene, cfg_k, dcfg, fc)
+            state = _group_starts(
+                trace_k, sample_u, lums,
+                jax.random.fold_in(boot_key, 100 + k), N_CHAINS)
+            arr = pack_chain_state(state, n_dims)
+            step = make_mega_drmlt(scene, cfg_k, dcfg, fc, k, n_dims,
+                                   n_mut=N_MUT, passes=1,
+                                   weight_channel=False)
 
-        @jax.jit
-        def run(arr, film, i):
-            arr, delta, stats = step(arr, jnp.stack([jnp.int32(1234), i]))
-            return arr, film + delta
+            @jax.jit
+            def run(arr, film, i):
+                arr, delta, stats = step(
+                    arr, jnp.stack([jnp.int32(1234), i]))
+                return arr, film + delta
 
-        film = jnp.zeros((height, width, 3))
-        a, f = run(arr, film, jnp.int32(0))
-        jax.block_until_ready(f)
-        n_calls = 4
-        t0 = time.perf_counter()
-        for c in range(n_calls):
-            a, f = run(a, f, jnp.int32(c + 1))
-        jax.block_until_ready(f)
-        dt = (time.perf_counter() - t0) / (n_calls * N_MUT)
-        rate_k = N_CHAINS / dt
-        f_k = b_k / b_total
-        per_group.append({"k": k, "chains": N_CHAINS,
-                          "weight": round(f_k, 4), "rate": round(rate_k, 1)})
-        inv_rate += f_k / rate_k
-    rate_mmlt = 1.0 / inv_rate
+            film = jnp.zeros((fc.height, fc.width, 3))
+            a, f = run(arr, film, jnp.int32(0))
+            jax.block_until_ready(f)
+            n_calls = 4
+            t0 = time.perf_counter()
+            for c in range(n_calls):
+                a, f = run(a, f, jnp.int32(c + 1))
+            jax.block_until_ready(f)
+            dt = (time.perf_counter() - t0) / (n_calls * N_MUT)
+            rate_k = N_CHAINS / dt
+            f_k = b_k / b_total
+            per_group.append({"k": k, "chains": N_CHAINS,
+                              "weight": round(f_k, 4),
+                              "rate": round(rate_k, 1)})
+            inv_rate += f_k / rate_k
+        return 1.0 / inv_rate, per_group
+
+    rate_mmlt, per_group = flagship_grouped(scene, fc,
+                                            jax.random.fold_in(root, 1))
+
+    # ---- second scene: procedural veach-door (rough-diffuse, 54 tris) ----
+    from drmlt_mitsuba_tpu.scene.builders import veach_door
+    scene_vd = prepare_scene(veach_door(width, height))
+    rate_vd, per_group_vd = flagship_grouped(scene_vd, fc,
+                                             jax.random.fold_in(root, 2))
 
     # ---- extras: path technique + pooled encoding (round-2 paths) --------
     def bench_xla(trace, n_dims, frozen, pinned=None, extras=None):
@@ -187,6 +205,12 @@ def main():
                            "launch, VMEM-resident chain loop, in-kernel "
                            "RNG+traces+acceptance+MXU splat; ROOFLINE.md)",
             "mmlt_per_group": per_group,
+            "veach_door_mmlt_mutations_per_sec": round(rate_vd, 1),
+            "veach_door_vs_baseline": round(
+                rate_vd / CPU_ANCHOR_VEACH_MMLT_PER_SEC, 3),
+            "veach_door_per_group": per_group_vd,
+            "veach_door_anchor_mutations_per_sec":
+                CPU_ANCHOR_VEACH_MMLT_PER_SEC,
             "kernel_smoke": smoke_summary,
             "drmlt_path_orbital_mutations_per_sec": round(rate_path, 1),
             "path_vs_baseline": round(rate_path / CPU_ANCHOR_PATH_PER_SEC,

@@ -44,7 +44,8 @@ from drmlt_mitsuba_tpu.integrators.layout import (
 )
 from drmlt_mitsuba_tpu.scene.types import (
     BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_DIFFUSE, BSDF_MIRROR, BSDF_NULL,
-    BSDF_ROUGH_CONDUCTOR, CAMERA_PERSPECTIVE, EMITTER_AREA, Scene,
+    BSDF_ROUGH_CONDUCTOR, BSDF_ROUGH_DIFFUSE, CAMERA_PERSPECTIVE,
+    EMITTER_AREA, Scene,
 )
 
 RAY_EPS = 1e-4
@@ -52,7 +53,8 @@ _INF = 3.0e38
 _PI = math.pi
 
 SUPPORTED_KINDS = (BSDF_DIFFUSE, BSDF_CONDUCTOR, BSDF_DIELECTRIC,
-                   BSDF_ROUGH_CONDUCTOR, BSDF_MIRROR, BSDF_NULL)
+                   BSDF_ROUGH_CONDUCTOR, BSDF_MIRROR, BSDF_NULL,
+                   BSDF_ROUGH_DIFFUSE)
 _DELTA_KINDS = (BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_MIRROR, BSDF_NULL)
 
 # SMEM table column layouts (packed host-side)
@@ -679,6 +681,24 @@ def _mega_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
     out_ref[2] = Lz
 
 
+def _oren_nayar_term(wix, wiy, wiz, wox, woy, woz, sigma):
+    """Qualitative Oren-Nayar factor (mirrors render/bsdf.py eval; ref:
+    roughdiffuse.cpp "fast" mode).  roughness column doubles as sigma."""
+    s2 = sigma * sigma
+    a_on = 1.0 - 0.5 * s2 / (s2 + 0.33)
+    b_on = 0.45 * s2 / (s2 + 0.09)
+    ci = jnp.abs(wiz)
+    co = jnp.abs(woz)
+    sin_i = jnp.sqrt(jnp.maximum(1.0 - ci * ci, 0.0))
+    sin_o = jnp.sqrt(jnp.maximum(1.0 - co * co, 0.0))
+    denom = jnp.maximum(sin_i * sin_o, 1e-7)
+    cos_dphi = jnp.clip((wix * wox + wiy * woy) / denom, -1.0, 1.0)
+    sin_alpha = jnp.maximum(sin_i, sin_o)
+    tan_beta = jnp.minimum(sin_i / jnp.maximum(ci, 1e-7),
+                           sin_o / jnp.maximum(co, 1e-7))
+    return a_on + b_on * jnp.maximum(cos_dphi, 0.0) * sin_alpha * tan_beta
+
+
 def _eval_kinds(kinds, kind, cos_i, wix, wiy, wiz, wox, woy, woz,
                 alx, aly, alz, etx, ety, etz, kx, ky, kz, rough,
                 srx, sry, srz, shape):
@@ -694,6 +714,15 @@ def _eval_kinds(kinds, kind, cos_i, wix, wiy, wiz, wox, woy, woz,
         d_pdf = jnp.maximum(abs_co, 0.0) / _PI
         m = (kind == BSDF_DIFFUSE) & same_side
         scale = abs_co / _PI
+        f_vx = jnp.where(m, alx * scale, f_vx)
+        f_vy = jnp.where(m, aly * scale, f_vy)
+        f_vz = jnp.where(m, alz * scale, f_vz)
+        f_pdf = jnp.where(m, d_pdf, f_pdf)
+    if BSDF_ROUGH_DIFFUSE in kinds:
+        on = _oren_nayar_term(wix, wiy, wiz, wox, woy, woz, rough)
+        d_pdf = jnp.maximum(abs_co, 0.0) / _PI
+        m = (kind == BSDF_ROUGH_DIFFUSE) & same_side
+        scale = abs_co / _PI * on
         f_vx = jnp.where(m, alx * scale, f_vx)
         f_vy = jnp.where(m, aly * scale, f_vy)
         f_vz = jnp.where(m, alz * scale, f_vz)
@@ -753,6 +782,21 @@ def _sample_kinds(kinds, kind, cos_i, sign_i, wix, wiy, wiz, uc, ub1, ub2,
         bwx = jnp.where(m, alx, bwx)
         bwy = jnp.where(m, aly, bwy)
         bwz = jnp.where(m, alz, bwz)
+        bs_pdf = jnp.where(m, d_pdf, bs_pdf)
+
+    if BSDF_ROUGH_DIFFUSE in kinds:
+        # cosine-hemisphere sampled; weight = f*cos/pdf = albedo * ON-term
+        cx, cy, cz = _cosine_hemisphere(ub1, ub2)
+        dwx, dwy, dwz = cx * sign_i, cy * sign_i, cz * sign_i
+        d_pdf = jnp.maximum(dwz * sign_i, 0.0) / _PI
+        on = _oren_nayar_term(wix, wiy, wiz, dwx, dwy, dwz, rough)
+        m = kind == BSDF_ROUGH_DIFFUSE
+        swx = jnp.where(m, dwx, swx)
+        swy = jnp.where(m, dwy, swy)
+        swz = jnp.where(m, dwz, swz)
+        bwx = jnp.where(m, alx * on, bwx)
+        bwy = jnp.where(m, aly * on, bwy)
+        bwz = jnp.where(m, alz * on, bwz)
         bs_pdf = jnp.where(m, d_pdf, bs_pdf)
 
     if BSDF_CONDUCTOR in kinds:

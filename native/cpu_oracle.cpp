@@ -299,11 +299,29 @@ struct BsdfSample {
 
 // local-frame convention: z = shading normal (oriented toward incident ray
 // for two-sided kinds); wi points back along the incoming ray.
+// qualitative Oren-Nayar factor (matches render/bsdf.py; roughness=sigma)
+static float oren_nayar(const Mat& m, V3 wi, V3 wo) {
+  float s2 = m.rough * m.rough;
+  float A = 1.0f - 0.5f * s2 / (s2 + 0.33f);
+  float B = 0.45f * s2 / (s2 + 0.09f);
+  float ci = std::fabs(wi.z), co = std::fabs(wo.z);
+  float sin_i = std::sqrt(std::fmax(1 - ci * ci, 0.0f));
+  float sin_o = std::sqrt(std::fmax(1 - co * co, 0.0f));
+  float denom = std::fmax(sin_i * sin_o, 1e-7f);
+  float cd = std::fmin(std::fmax((wi.x * wo.x + wi.y * wo.y) / denom,
+                                 -1.0f), 1.0f);
+  float sa = std::fmax(sin_i, sin_o);
+  float tb = std::fmin(sin_i / std::fmax(ci, 1e-7f),
+                       sin_o / std::fmax(co, 1e-7f));
+  return A + B * std::fmax(cd, 0.0f) * sa * tb;
+}
+
 static void bsdf_eval(const Mat& m, V3 wi, V3 wo, V3& f, float& pdf) {
   f = {0, 0, 0}; pdf = 0;
   if (m.kind == B_DIFFUSE || m.kind == B_ROUGH_DIFFUSE) {
     if (wi.z <= 0 || wo.z <= 0) return;
     f = m.albedo * (wo.z / float(M_PI));
+    if (m.kind == B_ROUGH_DIFFUSE) f = f * oren_nayar(m, wi, wo);
     pdf = wo.z / float(M_PI);
   } else if (m.kind == B_ROUGH_CONDUCTOR) {
     if (wi.z <= 0 || wo.z <= 0) return;
@@ -326,6 +344,7 @@ static BsdfSample bsdf_sample(const Mat& m, V3 wi, float u0, float u1, float u2)
     s.wo = {r * std::cos(ph), r * std::sin(ph), std::sqrt(std::fmax(1 - u1, 0.0f))};
     s.pdf = s.wo.z / float(M_PI);
     s.weight = m.albedo;
+    if (m.kind == B_ROUGH_DIFFUSE) s.weight = s.weight * oren_nayar(m, wi, s.wo);
     return s;
   }
   if (m.kind == B_MIRROR || m.kind == B_CONDUCTOR) {

@@ -250,6 +250,51 @@ def test_megadrmlt_matches_xla_step(drtype):
     np.testing.assert_allclose(a / scale, b / scale, atol=5e-3)
 
 
+def test_megadrmlt_matches_xla_step_veach_door():
+    """Second bench scene (rough-diffuse door/walls): the multi-mutation
+    kernel is lane-exact on the procedural veach-door.  Grazing paths
+    through the door gap can land at f32 epsilon boundaries where kernel
+    and XLA disagree on lum==0 (one says 1.8e-14), flipping that lane's
+    acceptance — same benign boundary effect the megammlt tests tolerate;
+    we assert at most one flipped lane and exactness elsewhere."""
+    from drmlt_mitsuba_tpu.scene.builders import veach_door
+
+    W, H = 128, 32
+    scene = prepare_scene(veach_door(W, H))
+    fc = filmlib.make_film_config(W, H, "box")
+    k = 3
+    C, n_mut = 64, 3
+    _, cfg_k, n_dims = make_mmlt_trace_fixed(scene, k)
+    trace, _ = _interp_trace(scene, k, n_dims)
+    dcfg = DRMLTConfig(type="orbital", n_chains=C)
+    assert MD.mega_drmlt_eligible(scene, cfg_k, dcfg, fc)
+
+    u0 = jax.random.uniform(jax.random.PRNGKey(11), (C, n_dims))
+    state0 = state_from_splats(u0, trace(u0))
+    step = MD.make_mega_drmlt(scene, cfg_k, dcfg, fc, k, n_dims,
+                              n_mut=n_mut, interpret=True, passes=2,
+                              debug_uniforms=True, lane_block=C // 8)
+    n_rand = 3 + n_dims + 3 * (n_dims // 2)
+    uniforms = jax.random.uniform(jax.random.PRNGKey(21),
+                                  (n_mut * n_rand, 8, C // 8))
+    arr = MD.pack_chain_state(state0, n_dims)
+    out, film_d, stats = step(arr, jnp.asarray([0, 0], jnp.int32), uniforms)
+    got = MD.unpack_chain_state(out, n_dims)
+    ref_state, ref_film = _reference_multistep(
+        trace, dcfg, fc, k, state0, uniforms.reshape(n_mut * n_rand, C),
+        n_mut, n_rand)
+    du = np.abs(np.asarray(got.u) - np.asarray(ref_state.u)).max(-1)
+    flipped = du > 2e-5
+    assert flipped.sum() <= 1, f"{flipped.sum()} lanes flipped acceptance"
+    if not flipped.any():
+        np.testing.assert_allclose(np.asarray(got.lum),
+                                   np.asarray(ref_state.lum), rtol=2e-4,
+                                   atol=1e-6)
+        a, b = np.asarray(film_d), np.asarray(ref_film)
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-3)
+
+
 def test_pack_unpack_roundtrip():
     from drmlt_mitsuba_tpu.integrators.mcmc import ChainState
 

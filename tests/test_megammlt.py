@@ -46,6 +46,14 @@ def test_megammlt_matches_xla(tall):
     _compare(scene, BDPTConfig(max_depth=4))
 
 
+def test_megammlt_matches_xla_veach_door():
+    """Rough-diffuse (Oren-Nayar) kind: the procedural veach-door parity
+    scene runs the MMLT megakernel lane-exactly."""
+    from drmlt_mitsuba_tpu.scene.builders import veach_door
+
+    _compare(veach_door(64, 64), BDPTConfig(max_depth=5), seed=1)
+
+
 def test_megammlt_matches_xla_depth6():
     scene = cornell_box(32, 32)
     _compare(scene, BDPTConfig(max_depth=6), seed=2)

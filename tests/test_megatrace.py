@@ -38,6 +38,23 @@ def test_megatrace_matches_wavefront(tall):
     np.testing.assert_allclose(va.mean(0), vb.mean(0), rtol=5e-3)
 
 
+def test_megatrace_matches_wavefront_veach_door():
+    """Oren-Nayar (rough diffuse) kind in-kernel: the procedural
+    veach-door parity scene is mega-eligible and lane-exact."""
+    from drmlt_mitsuba_tpu.scene.builders import veach_door
+
+    scene = veach_door(64, 64)
+    cfg = PathConfig(max_depth=5, rr_depth=3)
+    assert mega_eligible(scene, cfg)
+    trace = make_mega_trace(scene, cfg, interpret=True)
+    u = jax.random.uniform(jax.random.PRNGKey(3), (R, cfg.n_dims))
+    va = np.asarray(trace_paths(scene, cfg, u).value[:, 0, :])
+    vb = np.asarray(trace(u).value[:, 0, :])
+    rel = np.abs(va - vb) / (np.abs(va) + 1e-3)
+    assert (rel > 1e-3).any(-1).sum() <= R // 500
+    np.testing.assert_allclose(va.mean(0), vb.mean(0), rtol=5e-3)
+
+
 def test_megatrace_no_nee_and_min_depth():
     scene = cornell_box(64, 64)
     for kw in (dict(use_nee=False), dict(min_depth=3)):
