@@ -187,6 +187,28 @@ def main():
     rate_path = bench_xla(make_path_trace(scene, pcfg), n_path,
                           jnp.zeros((n_path,), bool))
 
+    # ---- differentiable fast path: forward+backward grads/s --------------
+    from drmlt_mitsuba_tpu.integrators.path import make_path_trace_diff
+    dtrace = make_path_trace_diff(scene, pcfg)
+    u_g = jax.random.uniform(jax.random.fold_in(root, 9),
+                             (N_CHAINS, pcfg.n_dims))
+
+    @jax.jit
+    def grad_step(radiance):
+        def loss(r):
+            s = scene.replace(emitters=scene.emitters.replace(radiance=r))
+            return jnp.mean(dtrace(s, u_g).lum)
+        return jax.grad(loss)(radiance)
+
+    g = grad_step(scene.emitters.radiance)
+    jax.block_until_ready(g)
+    t0 = time.perf_counter()
+    n_calls = 3
+    for _ in range(n_calls):
+        g = grad_step(scene.emitters.radiance)
+    jax.block_until_ready(g)
+    rate_grad = n_calls * N_CHAINS / (time.perf_counter() - t0)
+
     bcfg = BDPTConfig(max_depth=6)
     frozen, pinned, n_mmlt = mmlt_masks(bcfg)
     rate_pooled = bench_xla(
@@ -216,6 +238,10 @@ def main():
             "path_vs_baseline": round(rate_path / CPU_ANCHOR_PATH_PER_SEC,
                                       3),
             "drmlt_mmlt_pooled_mutations_per_sec": round(rate_pooled, 1),
+            "grad_paths_per_sec": round(rate_grad, 1),
+            "grad_note": "forward+backward paths/s through the diff fast "
+                         "path (megakernel fwd, wavefront-replay bwd; "
+                         "depth-6 Cornell, d lum / d emitter-radiance)",
             "cpu_anchor_mmlt_mutations_per_sec": CPU_ANCHOR_MMLT_PER_SEC,
             "cpu_anchor_path_mutations_per_sec": CPU_ANCHOR_PATH_PER_SEC,
             "anchor_note": "measured cpu_oracle orbital/depth6 per "

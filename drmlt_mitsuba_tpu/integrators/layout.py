@@ -49,9 +49,20 @@ class PathConfig:
     rr_depth: int = 5        # start RR after this many segments
     use_nee: bool = True     # next-event estimation + MIS
     thinlens: bool = False
+    # motion blur: one extra PSS dim (the LAST, so every existing offset
+    # — and hence the replay contract for static scenes — is unchanged)
+    # holding the path's normalized shutter time.  Ref: sensors sample a
+    # time per ray, include/mitsuba/render/sensor.h:202.
+    motion: bool = False
 
     @property
     def n_dims(self) -> int:
+        return (SENSOR_DIMS + self.max_depth * BOUNCE_DIMS
+                + (1 if self.motion else 0))
+
+    @property
+    def time_dim(self) -> int:
+        """PSS index of the shutter-time dimension (motion=True only)."""
         return SENSOR_DIMS + self.max_depth * BOUNCE_DIMS
 
 

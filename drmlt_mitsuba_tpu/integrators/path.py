@@ -144,6 +144,10 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
     o, d = sample_ray(
         scene.camera, uv, u[:, 2:4] if cfg.thinlens else None
     )
+    # motion blur: one shutter time per path, constant across its bounces
+    # (ref: ray.time set once by the sensor, sensor.h:202)
+    ray_time = (u[:, cfg.time_dim]
+                if cfg.motion and scene.motion is not None else None)
 
     # reshape the per-bounce dims for lax.scan: (max_depth, R, BOUNCE_DIMS)
     ub = u[:, SENSOR_DIMS:SENSOR_DIMS + cfg.max_depth * BOUNCE_DIMS]
@@ -229,6 +233,7 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
         hit, sh_blocked = intersect_and_occluded(
             scene, carry["o"], carry["d"],
             carry["sh_o"], carry["sh_d"], carry["sh_tmax"],
+            time=ray_time,
         )
         active = carry["active"]
         tp = carry["throughput"]
@@ -321,6 +326,19 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
         L = L + jnp.where(
             hit_emitter[:, None], tp * le * w_bsdf[:, None], 0.0
         )
+
+        # ---- subsurface (dipole BSSRDF) at the hit ------------------------
+        # ref: path.cpp adds its.LoSub at EVERY intersected subsurface
+        # shape; Lo is the dense Rd-weighted irradiance-cloud query
+        # (render/subsurface.py — the octree's TPU-native replacement)
+        if scene.subsurface:
+            from drmlt_mitsuba_tpu.render.subsurface import dipole_lo
+
+            for sst in scene.subsurface:
+                m_ss = (active & hit.valid & ~scattered
+                        & (hit.mat_id == sst.mat_id) & depth_ok)
+                lo_ss = dipole_lo(sst, hit.p, hit.ns, wi_world)
+                L = L + jnp.where(m_ss[:, None], tp * lo_ss, 0.0)
 
         # ---- environment on escape ---------------------------------------
         escaped = active & ~hit.valid & depth_ok & ~scattered
@@ -551,7 +569,8 @@ def trace_paths(scene: Scene, cfg: PathConfig, u) -> Splats:
 
     # resolve the final bounce's pending NEE
     last_blocked = occluded(
-        scene, carry["sh_o"], carry["sh_d"], carry["sh_tmax"]
+        scene, carry["sh_o"], carry["sh_d"], carry["sh_tmax"],
+        time=ray_time,
     )
     value = carry["L"] + jnp.where(
         last_blocked[:, None], 0.0, carry["sh_contrib"]
@@ -583,6 +602,29 @@ def make_path_trace(scene: Scene, cfg: PathConfig, force_xla: bool = False):
         if mega is not None and u.shape[0] % 8 == 0:
             return mega(u)
         return trace_paths(scene, cfg, u[:, : cfg.n_dims])
+
+    return trace
+
+
+def make_path_trace_diff(scene: Scene, cfg: PathConfig,
+                         force_xla: bool = False):
+    """Differentiable trace(scene, u)->Splats — scene is a live argument
+    so jax.grad w.r.t. any scene leaf works.  On TPU, eligible scenes run
+    the Pallas megakernel forward with an XLA-wavefront-replay backward
+    (ops/pallas/megatrace.py make_mega_trace_diff); everything else uses
+    trace_paths both ways."""
+    from drmlt_mitsuba_tpu.ops.intersect import _on_tpu
+    from drmlt_mitsuba_tpu.ops.pallas.megatrace import (
+        make_mega_trace_diff, mega_eligible,
+    )
+
+    use_mega = (not force_xla) and _on_tpu() and mega_eligible(scene, cfg)
+    mega = make_mega_trace_diff(scene, cfg) if use_mega else None
+
+    def trace(live_scene, u):
+        if mega is not None and u.shape[0] % 8 == 0:
+            return mega(live_scene, u)
+        return trace_paths(live_scene, cfg, u[:, : cfg.n_dims])
 
     return trace
 

@@ -46,38 +46,55 @@ class Hit:
     prim: jnp.ndarray     # (R,) int32 triangle index (or ~sphere_idx)
 
 
-def _tri_sweep(tris, o, d, t_max, find_best: bool):
+def _tri_sweep(tris, o, d, t_max, find_best: bool, motion=None, time=None):
     """Scan all triangles in chunks; returns (best_t, best_idx, best_uv) or an
-    any-hit mask when find_best is False."""
+    any-hit mask when find_best is False.
+
+    With (motion, time), each ray intersects the geometry LERPED to its
+    own normalized shutter time (linear motion blur, ref
+    src/shapes/deformable.cpp per-ray space-time lookup): v0(t) = v0 +
+    t*dv0 etc.  Per-(ray, chunk) lerp costs one fma per vertex field —
+    the same order as the Moller-Trumbore intermediates already paid."""
     T = tris.v0.shape[0]
+    moving = motion is not None and time is not None
     pad = (-T) % TRI_CHUNK
+    fields = [tris.v0, tris.e1, tris.e2]
+    if moving:
+        fields += [motion.dv0, motion.de1, motion.de2]
     if pad:
         padf = lambda a: jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
-        v0, e1, e2 = padf(tris.v0), padf(tris.e1), padf(tris.e2)
+        fields = [padf(a) for a in fields]
         valid = jnp.concatenate([tris.valid, jnp.zeros((pad,), bool)], 0)
     else:
-        v0, e1, e2, valid = tris.v0, tris.e1, tris.e2, tris.valid
-    n_chunks = v0.shape[0] // TRI_CHUNK
-    v0 = v0.reshape(n_chunks, TRI_CHUNK, 3)
-    e1 = e1.reshape(n_chunks, TRI_CHUNK, 3)
-    e2 = e2.reshape(n_chunks, TRI_CHUNK, 3)
+        valid = tris.valid
+    n_chunks = fields[0].shape[0] // TRI_CHUNK
+    fields = [a.reshape(n_chunks, TRI_CHUNK, 3) for a in fields]
     valid = valid.reshape(n_chunks, TRI_CHUNK)
 
     R = o.shape[0]
     o_ = o[:, None, :]
     d_ = d[:, None, :]
+    tl = time[:, None, None] if moving else None
 
-    def chunk_hits(cv0, ce1, ce2, cvalid):
+    def chunk_hits(chunk):
+        cvalid = chunk[-1]
+        if moving:
+            cv0, ce1, ce2, cdv0, cde1, cde2 = chunk[:-1]
+            cv0 = cv0[None] + tl * cdv0[None]
+            ce1 = ce1[None] + tl * cde1[None]
+            ce2 = ce2[None] + tl * cde2[None]
+        else:
+            cv0, ce1, ce2 = (a[None] for a in chunk[:-1])
         # Moller-Trumbore against one chunk: (R, TRI_CHUNK)
-        pvec = jnp.cross(d_, ce2[None])
-        det = jnp.sum(ce1[None] * pvec, axis=-1)
+        pvec = jnp.cross(d_, ce2)
+        det = jnp.sum(ce1 * pvec, axis=-1)
         ok = jnp.abs(det) > 1e-12
         inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-        tvec = o_ - cv0[None]
+        tvec = o_ - cv0
         b1 = jnp.sum(tvec * pvec, axis=-1) * inv_det
-        qvec = jnp.cross(tvec, ce1[None])
+        qvec = jnp.cross(tvec, ce1)
         b2 = jnp.sum(d_ * qvec, axis=-1) * inv_det
-        t = jnp.sum(ce2[None] * qvec, axis=-1) * inv_det
+        t = jnp.sum(ce2 * qvec, axis=-1) * inv_det
         hit = (
             ok & cvalid[None]
             & (b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
@@ -87,17 +104,17 @@ def _tri_sweep(tris, o, d, t_max, find_best: bool):
 
     if not find_best:
         def body(any_hit, chunk):
-            cv0, ce1, ce2, cvalid = chunk
-            hit, _, _, _ = chunk_hits(cv0, ce1, ce2, cvalid)
+            hit, _, _, _ = chunk_hits(chunk)
             return any_hit | jnp.any(hit, axis=-1), None
 
-        any_hit, _ = jax.lax.scan(body, jnp.zeros((R,), bool), (v0, e1, e2, valid))
+        any_hit, _ = jax.lax.scan(body, jnp.zeros((R,), bool),
+                                  (*fields, valid))
         return any_hit
 
     def body(carry, chunk):
         best_t, best_idx, best_b1, best_b2 = carry
-        cv0, ce1, ce2, cvalid, base = chunk
-        hit, t, b1, b2 = chunk_hits(cv0, ce1, ce2, cvalid)
+        base = chunk[-1]
+        hit, t, b1, b2 = chunk_hits(chunk[:-1])
         t = jnp.where(hit, t, INF)
         j = jnp.argmin(t, axis=-1)
         rows = jnp.arange(R)
@@ -117,7 +134,7 @@ def _tri_sweep(tris, o, d, t_max, find_best: bool):
         jnp.zeros((R,)),
     )
     (best_t, best_idx, b1, b2), _ = jax.lax.scan(
-        body, init, (v0, e1, e2, valid, base)
+        body, init, (*fields, valid, base)
     )
     return best_t, best_idx, b1, b2
 
@@ -199,22 +216,31 @@ def _tri_best_pallas(scene: Scene, o, d, t_max):
     return t, idx, jnp.clip(b1, 0.0, 1.0), jnp.clip(b2, 0.0, 1.0)
 
 
-def intersect(scene: Scene, o, d, t_max=None) -> Hit:
-    """Closest-hit query for a batch of rays (R, 3)."""
+def intersect(scene: Scene, o, d, t_max=None, time=None) -> Hit:
+    """Closest-hit query for a batch of rays (R, 3).
+
+    `time` (R,) in [0,1]: per-ray shutter time for motion scenes
+    (scene.motion is not None) — forces the XLA sweep (the Pallas fast
+    paths statically require static geometry)."""
     R = o.shape[0]
     if t_max is None:
         t_max = jnp.full((R,), INF)
-    if _use_pallas(scene, o) or _use_clusters(scene, o):
+    moving = scene.motion is not None and time is not None
+    if not moving and (_use_pallas(scene, o) or _use_clusters(scene, o)):
         tri_t, tri_idx, b1, b2 = _tri_best_pallas(scene, o, d, t_max)
     else:
         tri_t, tri_idx, b1, b2 = _tri_sweep(
-            scene.tris, o, d, t_max, find_best=True
+            scene.tris, o, d, t_max, find_best=True,
+            motion=scene.motion if moving else None, time=time,
         )
-    return _assemble_hit(scene, o, d, t_max, tri_t, tri_idx, b1, b2)
+    return _assemble_hit(scene, o, d, t_max, tri_t, tri_idx, b1, b2,
+                         time=time if moving else None)
 
 
-def _assemble_hit(scene: Scene, o, d, t_max, tri_t, tri_idx, b1, b2) -> Hit:
-    return _assemble_hit_packed(scene, o, d, t_max, tri_t, tri_idx, b1, b2)
+def _assemble_hit(scene: Scene, o, d, t_max, tri_t, tri_idx, b1, b2,
+                  time=None) -> Hit:
+    return _assemble_hit_packed(scene, o, d, t_max, tri_t, tri_idx, b1, b2,
+                                time=time)
 
 
 def _assemble_hit_legacy(scene: Scene, o, d, t_max, tri_t, tri_idx,
@@ -281,10 +307,12 @@ def _assemble_hit_legacy(scene: Scene, o, d, t_max, tri_t, tri_idx,
 
 
 def _assemble_hit_packed(scene: Scene, o, d, t_max, tri_t, tri_idx,
-                         b1, b2) -> Hit:
+                         b1, b2, time=None) -> Hit:
     """Hit assembly with ONE packed-row lookup (one-hot matmul for small
     scenes) instead of a dozen separate gathers.  The row matrix is built
-    from the live triangle fields (gradients flow; hoisted out of scans)."""
+    from the live triangle fields (gradients flow; hoisted out of scans).
+    With `time`, the winner's vertex fields lerp to the ray's shutter
+    time before shading-frame construction (motion blur)."""
     from drmlt_mitsuba_tpu.ops.gather import onehot_gather, pack_rows
 
     tris_ = scene.tris
@@ -299,15 +327,21 @@ def _assemble_hit_packed(scene: Scene, o, d, t_max, tri_t, tri_idx,
 
     ti = jnp.clip(tri_idx, 0, scene.tris.v0.shape[0] - 1)
     row = onehot_gather(tri_shade, ti)          # (R, 26)
-    v0 = row[:, 0:3]
-    e1 = row[:, 3:6]
-    e2 = row[:, 6:9]
+    geo = row[:, 0:18]
+    if time is not None and scene.motion is not None:
+        mo = scene.motion
+        drow = onehot_gather(
+            pack_rows(mo.dv0, mo.de1, mo.de2, mo.dn0, mo.dn1, mo.dn2), ti)
+        geo = geo + time[:, None] * drow
+    v0 = geo[:, 0:3]
+    e1 = geo[:, 3:6]
+    e2 = geo[:, 6:9]
     p_tri = v0 + b1[:, None] * e1 + b2[:, None] * e2
     ng_tri = normalize(jnp.cross(e1, e2))
     w = 1.0 - b1 - b2
     ns_tri = normalize(
-        w[:, None] * row[:, 9:12] + b1[:, None] * row[:, 12:15]
-        + b2[:, None] * row[:, 15:18]
+        w[:, None] * geo[:, 9:12] + b1[:, None] * geo[:, 12:15]
+        + b2[:, None] * geo[:, 15:18]
     )
     uv_tri = jnp.stack([b1, b2], axis=-1)
     tex_tri = (
@@ -348,7 +382,7 @@ def _assemble_hit_packed(scene: Scene, o, d, t_max, tri_t, tri_idx,
     )
 
 
-def intersect_and_occluded(scene: Scene, o, d, so, sd, s_tmax):
+def intersect_and_occluded(scene: Scene, o, d, so, sd, s_tmax, time=None):
     """Fused closest-hit (o, d) + shadow any-hit (so, sd, s_tmax) query.
 
     On the Pallas path both ray sets go through ONE 2R-ray sweep (halves the
@@ -358,6 +392,9 @@ def intersect_and_occluded(scene: Scene, o, d, so, sd, s_tmax):
     """
     R = o.shape[0]
     t_max = jnp.full((R,), INF)
+    if scene.motion is not None and time is not None:
+        hit = intersect(scene, o, d, time=time)
+        return hit, occluded(scene, so, sd, s_tmax, time=time)
     if _use_pallas(scene, o) or _use_clusters(scene, o):
         rays6 = jnp.concatenate(
             [jnp.concatenate([o.T, d.T], axis=0),
@@ -387,13 +424,16 @@ def intersect_and_occluded(scene: Scene, o, d, so, sd, s_tmax):
     return hit, occluded(scene, so, sd, s_tmax)
 
 
-def occluded(scene: Scene, o, d, t_max) -> jnp.ndarray:
+def occluded(scene: Scene, o, d, t_max, time=None) -> jnp.ndarray:
     """Any-hit (shadow ray) query; t_max should already be shortened by eps."""
-    if _use_pallas(scene, o) or _use_clusters(scene, o):
+    moving = scene.motion is not None and time is not None
+    if not moving and (_use_pallas(scene, o) or _use_clusters(scene, o)):
         rays6 = jnp.concatenate([o.T, d.T], axis=0)
         t, idx = _sweep_any(scene, rays6)
         tri_any = (idx >= 0) & (t < t_max)
     else:
-        tri_any = _tri_sweep(scene.tris, o, d, t_max, find_best=False)
+        tri_any = _tri_sweep(scene.tris, o, d, t_max, find_best=False,
+                             motion=scene.motion if moving else None,
+                             time=time)
     sph_t, _ = _sphere_hits(scene.spheres, o, d, t_max)
     return tri_any | (sph_t < INF)

@@ -296,11 +296,76 @@ def pack_mega_tables(scene: Scene):
             jnp.asarray(cam))
 
 
+def pack_mega_tables_jnp(scene: Scene):
+    """Traceable twin of pack_mega_tables: identical packing built with
+    jnp ops on the LIVE scene leaves so the tables (and the kernel fed by
+    them) can sit inside a jit/grad trace.  Shapes and the emitter->tri
+    indirection come from the concrete pytree structure; values may be
+    tracers (e.g. albedo/radiance under jax.grad)."""
+    tris = scene.tris
+    T = tris.v0.shape[0]
+    valid = jnp.asarray(tris.valid, bool)[:, None]
+    zero3 = jnp.zeros_like(jnp.asarray(tris.e1, jnp.float32))
+    tri = jnp.concatenate([
+        jnp.asarray(tris.v0, jnp.float32),
+        jnp.where(valid, jnp.asarray(tris.e1, jnp.float32), zero3),
+        jnp.where(valid, jnp.asarray(tris.e2, jnp.float32), zero3),
+        jnp.asarray(tris.n0, jnp.float32),
+        jnp.asarray(tris.n1, jnp.float32),
+        jnp.asarray(tris.n2, jnp.float32),
+        jnp.asarray(tris.mat_id, jnp.float32)[:, None],
+        jnp.asarray(tris.emitter_id, jnp.float32)[:, None],
+    ], axis=1)
+
+    mats = scene.materials
+    mat = jnp.concatenate([
+        jnp.asarray(mats.kind, jnp.float32)[:, None],
+        jnp.asarray(mats.albedo, jnp.float32),
+        jnp.asarray(mats.eta, jnp.float32),
+        jnp.asarray(mats.k, jnp.float32),
+        jnp.maximum(jnp.asarray(mats.roughness, jnp.float32),
+                    1e-3)[:, None],
+        jnp.asarray(mats.spec_refl, jnp.float32),
+        jnp.asarray(mats.spec_trans, jnp.float32),
+        jnp.zeros((mats.kind.shape[0], 1), jnp.float32),
+    ], axis=1)
+
+    em = scene.emitters
+    ti = jnp.clip(jnp.asarray(em.tri_idx), 0, T - 1)
+    v0e = jnp.asarray(tris.v0, jnp.float32)[ti]
+    e1e = jnp.asarray(tris.e1, jnp.float32)[ti]
+    e2e = jnp.asarray(tris.e2, jnp.float32)[ti]
+    ng = jnp.cross(e1e, e2e)
+    ng = ng / jnp.maximum(
+        jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+    emt = jnp.concatenate([
+        jnp.asarray(em.radiance, jnp.float32),
+        jnp.asarray(em.area, jnp.float32)[:, None],
+        jnp.asarray(em.pmf, jnp.float32)[:, None],
+        jnp.asarray(em.cdf, jnp.float32)[:, None],
+        v0e, e1e, e2e, ng,
+        jnp.zeros((ti.shape[0], _EM_COLS - 18), jnp.float32),
+    ], axis=1)
+
+    c2w = jnp.asarray(scene.camera.to_world, jnp.float32)
+    cam = jnp.concatenate([
+        c2w[:3, :3].reshape(9), c2w[:3, 3],
+        jnp.asarray(scene.camera.tan_half_fov_x, jnp.float32).reshape(1),
+        jnp.asarray(scene.camera.tan_half_fov_y, jnp.float32).reshape(1),
+        jnp.zeros((_CAM_COLS - 14,), jnp.float32),
+    ]).reshape(1, _CAM_COLS)
+    return tri, mat, emt, cam
+
+
 def mega_eligible(scene: Scene, cfg) -> bool:
     """Static host-side check that the megakernel covers this scene."""
     try:
         if getattr(cfg, "thinlens", False):
             return False
+        if getattr(cfg, "motion", False) or scene.motion is not None:
+            return False   # moving geometry needs the per-ray-time sweep
+        if getattr(scene, "subsurface", None):
+            return False   # dipole queries live on the wavefront path
         if scene.medium is not None:
             return False
         if scene.camera.kind != CAMERA_PERSPECTIVE:
@@ -950,4 +1015,84 @@ def make_mega_trace(scene: Scene, cfg, interpret: bool = False):
             lum=lum,
         )
 
+    return trace
+
+
+def make_mega_trace_diff(scene0: Scene, cfg, interpret: bool = False):
+    """Differentiable fast path (VERDICT r2 #7): trace(scene, u)->Splats
+    whose FORWARD runs the Pallas megakernel and whose BACKWARD replays
+    the lane-exact XLA wavefront (trace_paths) under jax.vjp.
+
+    The two implementations compute the same function lane-for-lane
+    (tests/test_megatrace.py), so the wavefront's cotangents are exact
+    for the kernel's primal values; the backward rematerializes the trace
+    from the SAME primary-sample vector u (O(1) PSS replay — no stored
+    intermediates, HBM cost is just the replayed forward).  `scene0`
+    fixes the static structure (kinds, shapes); the scene ARGUMENT
+    carries the live, possibly traced, parameter leaves — the same
+    calling convention as trace_paths, so jax.grad w.r.t. any scene leaf
+    works unchanged.  Ref for the north star: BASELINE.md ("parameter
+    gradients ... backward pass")."""
+    from drmlt_mitsuba_tpu.integrators.path import Splats, trace_paths
+
+    n_tris = np.asarray(scene0.tris.v0).shape[0]
+    n_mats = np.asarray(scene0.materials.kind).shape[0]
+    n_ems = np.asarray(scene0.emitters.kind).shape[0]
+    kinds = tuple(sorted(set(
+        int(k) for k in np.unique(np.asarray(scene0.materials.kind)))))
+    n_dims = cfg.n_dims
+
+    kernel = functools.partial(
+        _mega_kernel, n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
+        max_depth=cfg.max_depth, min_depth=cfg.min_depth,
+        rr_depth=cfg.rr_depth, use_nee=cfg.use_nee, kinds=kinds,
+    )
+
+    def _fwd_impl(scene, u):
+        tri, mat, emt, cam = pack_mega_tables_jnp(scene)
+        R = u.shape[0]
+        R8 = R // 8
+        L = min(R8, 512)
+        while R8 % L:
+            L //= 2
+        uT = u[:, :n_dims].T.reshape(n_dims, 8, R8)
+        out = pl.pallas_call(
+            kernel,
+            grid=(R8 // L,),
+            in_specs=[
+                pl.BlockSpec((n_tris, _TRI_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_mats, _MAT_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_ems, _EM_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_dims, 8, L), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((3, 8, L), lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3, 8, R8), jnp.float32),
+            interpret=interpret,
+        )(tri, mat, emt, cam, uT)
+        value = out.reshape(3, R).T
+        lum = (value * jnp.asarray([0.212671, 0.715160, 0.072169])).sum(-1)
+        return Splats(pos=u[:, None, 0:2], value=value[:, None, :],
+                      lum=lum)
+
+    @jax.custom_vjp
+    def trace(scene, u):
+        return _fwd_impl(scene, u)
+
+    def trace_fwd(scene, u):
+        return _fwd_impl(scene, u), (scene, u)
+
+    def trace_bwd(res, ct):
+        scene, u = res
+        _, vjp = jax.vjp(
+            lambda s, uu: trace_paths(s, cfg, uu[:, :n_dims]), scene, u)
+        return vjp(ct)
+
+    trace.defvjp(trace_fwd, trace_bwd)
     return trace

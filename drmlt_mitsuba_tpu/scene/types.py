@@ -199,6 +199,25 @@ class BVH:
 
 
 @struct.dataclass
+class TriangleMotion:
+    """Linear per-triangle motion over the shutter interval (ref:
+    src/shapes/deformable.cpp keyframe interpolation + the sensor's
+    shutterOpen/shutterClose, include/mitsuba/render/sensor.h:202).
+
+    Deltas are keyframe(shutter_close) - keyframe(shutter_open) in the
+    SAME SoA layout as TriangleSoA, so geometry at normalized path time
+    t in [0,1] is v0 + t*dv0 etc.  Static meshes carry zero deltas; the
+    table exists only when some shape actually moves (presence is
+    static — trace functions specialize, zero cost when None)."""
+    dv0: jnp.ndarray     # (T, 3)
+    de1: jnp.ndarray     # (T, 3)
+    de2: jnp.ndarray     # (T, 3)
+    dn0: jnp.ndarray     # (T, 3) shading-normal deltas (renormalized at t)
+    dn1: jnp.ndarray     # (T, 3)
+    dn2: jnp.ndarray     # (T, 3)
+
+
+@struct.dataclass
 class Scene:
     tris: TriangleSoA
     spheres: SphereSoA
@@ -230,6 +249,15 @@ class Scene:
     # (T, 3, 3) per-corner vertex colors for the vertexcolors texture
     # (materials with tex_id == -2; ref: src/textures/vertexcolors.cpp)
     vcolors: jnp.ndarray | None = None
+    # linear triangle motion over the shutter (TriangleMotion above);
+    # None = static scene (the common case, zero cost).  Motion scenes
+    # use the XLA sweep with per-ray keyframe lerp; Pallas fast paths
+    # and the BVH statically require motion is None.
+    motion: TriangleMotion | None = None
+    # dipole BSSRDF instances (render/subsurface.py DipoleTable, one per
+    # <subsurface> declaration).  Presence is static; attached by
+    # prepare_dipole after scene construction (needs visibility queries).
+    subsurface: tuple | None = None
 
 
 @struct.dataclass
@@ -368,6 +396,33 @@ def make_material_table(mats: list[dict]) -> MaterialTable:
         ) if any(d.get("normal_tex", -1) >= 0 for d in mats) else None,
     )
     return MaterialTable(**fields)
+
+
+def build_motion(tris0: TriangleSoA, tris1: TriangleSoA) -> TriangleMotion:
+    """Per-triangle linear motion deltas from two keyframe SoAs (same
+    topology).  Moving emissive triangles are rejected: NEE samples
+    emitter geometry without a time argument, so a moving light would
+    break MIS consistency (document-first constraint; the reference's
+    deformable scenes don't animate lights either)."""
+    dv0 = np.asarray(tris1.v0) - np.asarray(tris0.v0)
+    moving_rows = np.abs(dv0).max(-1) > 0
+    emitting = np.asarray(tris0.emitter_id) >= 0
+    if bool((moving_rows & emitting).any()):
+        raise ValueError("moving emissive triangles are not supported "
+                         "(NEE samples lights at shutter open)")
+    return TriangleMotion(
+        dv0=jnp.asarray(dv0, jnp.float32),
+        de1=jnp.asarray(np.asarray(tris1.e1) - np.asarray(tris0.e1),
+                        jnp.float32),
+        de2=jnp.asarray(np.asarray(tris1.e2) - np.asarray(tris0.e2),
+                        jnp.float32),
+        dn0=jnp.asarray(np.asarray(tris1.n0) - np.asarray(tris0.n0),
+                        jnp.float32),
+        dn1=jnp.asarray(np.asarray(tris1.n1) - np.asarray(tris0.n1),
+                        jnp.float32),
+        dn2=jnp.asarray(np.asarray(tris1.n2) - np.asarray(tris0.n2),
+                        jnp.float32),
+    )
 
 
 def build_triangles(

@@ -70,6 +70,27 @@ class RenderSettings:
     filter_name: str = "gaussian"
     spp: int = 32
     sampler: str = "independent"
+    # True when the sensor's shutter is open over moving geometry: the
+    # scene carries TriangleMotion and path-technique configs should set
+    # motion=True (one extra trailing PSS time dim)
+    motion: bool = False
+    # dipole subsurface requests (dicts for prepare_dipole); the CLI runs
+    # the irradiance preprocess and attaches Scene.subsurface
+    subsurface: list | None = None
+
+
+# Jensen et al. 2001 measured scattering coefficients (public data; the
+# reference ships the same table in libcore/util lookupMaterial): a few
+# common presets, (sigma_s, sigma_a) in 1/mm.
+SSS_PRESETS = {
+    "skin1": ((0.74, 0.88, 1.01), (0.032, 0.17, 0.48)),
+    "skin2": ((1.09, 1.59, 1.79), (0.013, 0.070, 0.145)),
+    "marble": ((2.19, 2.62, 3.00), (0.0021, 0.0041, 0.0071)),
+    "skimmilk": ((0.70, 1.22, 1.90), (0.0014, 0.0025, 0.0142)),
+    "wholemilk": ((2.55, 3.21, 3.77), (0.0011, 0.0024, 0.014)),
+    "ketchup": ((0.18, 0.07, 0.03), (0.061, 0.97, 1.45)),
+    "potato": ((0.68, 0.70, 0.55), (0.0024, 0.0090, 0.12)),
+}
 
 
 def _subst(text, defaults):
@@ -690,6 +711,17 @@ def load_scene_xml(path: str, defaults: dict | None = None):
     directionals = []  # (direction, irradiance)
     settings = RenderSettings(integrator=dict(type="path"))
     camera = None
+    mesh_motion = {}   # mesh list index -> (v_close, n_close|None)
+    sss_requests = []  # dipole subsurface declarations (prepare at render)
+
+    # shutter interval (pre-parsed: shapes need it before the sensor block;
+    # ref: include/mitsuba/render/sensor.h shutterOpen/shutterClose)
+    shutter_open, shutter_close = 0.0, 0.0
+    _sens0 = root.find("sensor")
+    if _sens0 is not None:
+        _sp0 = _props(_sens0, defaults)
+        shutter_open = float(_sp0.get("shutterOpen", 0.0))
+        shutter_close = float(_sp0.get("shutterClose", shutter_open))
 
     # top-level named bsdfs
     for b in root.findall("bsdf"):
@@ -748,6 +780,32 @@ def load_scene_xml(path: str, defaults: dict | None = None):
             4, dtype=np.float32
         )
         mat_idx = shape_interior(sh, shape_material(sh))
+        sss = sh.find("subsurface")
+        if sss is not None and _subst(sss.get("type"), defaults) == "dipole":
+            # ref: src/subsurface/dipole.cpp — clone the material row so
+            # the dipole instance keys a UNIQUE mat_id (the reference
+            # attaches subsurface to the shape; our tracer keys by
+            # material), then record the request for prepare_dipole.
+            sprops = _props(sss, defaults)
+            ctx["materials"].append(dict(ctx["materials"][mat_idx]))
+            mat_idx = len(ctx["materials"]) - 1
+            preset = SSS_PRESETS.get(str(sprops.get("material", "")))
+            sig_s = np.asarray(sprops.get(
+                "sigmaS", preset[0] if preset else (2.6, 3.2, 3.9)),
+                np.float32)
+            sig_a = np.asarray(sprops.get(
+                "sigmaA", preset[1] if preset else (0.0021, 0.0041, 0.0071)),
+                np.float32)
+            scale_s = float(sprops.get("scale", 1.0))
+            sss_requests.append(dict(
+                mat_id=mat_idx,
+                sigma_s=sig_s * scale_s, sigma_a=sig_a * scale_s,
+                g=float(np.mean(np.asarray(sprops.get("g", 0.0)))),
+                eta=float(sprops.get("intIOR", 1.33))
+                / float(sprops.get("extIOR", 1.0)),
+                irr_samples=int(sprops.get("irrSamples", 16)),
+                indirect=bool(sprops.get("irrIndirect", True)),
+            ))
         em = sh.find("emitter")
         radiance = None
         if em is not None and em.get("type") == "area":
@@ -837,17 +895,16 @@ def load_scene_xml(path: str, defaults: dict | None = None):
             if len(frames) < 1:
                 warnings.warn("deformable without keyframes, skipped")
                 continue
-            t_render = float(defaults.get(
-                "time", 0.5 * (times[0] + times[-1]) if times else 0.0))
             times = times[: len(frames)] or [0.0]
-            idx = int(np.clip(np.searchsorted(times, t_render) - 1, 0,
-                              max(len(frames) - 2, 0)))
-            if len(frames) == 1:
-                v, f, nvec, uv = frames[0]
-            else:
+
+            def lerp_frames(t_eval):
+                if len(frames) == 1:
+                    return frames[0]
+                idx = int(np.clip(np.searchsorted(times, t_eval) - 1, 0,
+                                  max(len(frames) - 2, 0)))
                 t0, t1 = times[idx], times[idx + 1]
                 alpha = 0.0 if t1 == t0 else float(
-                    np.clip((t_render - t0) / (t1 - t0), 0.0, 1.0))
+                    np.clip((t_eval - t0) / (t1 - t0), 0.0, 1.0))
                 v0, f, n0, uv = frames[idx]
                 v1, _, n1, _ = frames[idx + 1]
                 v = ((1.0 - alpha) * v0 + alpha * v1).astype(np.float32)
@@ -857,6 +914,22 @@ def load_scene_xml(path: str, defaults: dict | None = None):
                     nvec = (nvec / np.maximum(np.linalg.norm(
                         nvec, axis=-1, keepdims=True), 1e-12)).astype(
                         np.float32)
+                return v, f, nvec, uv
+
+            if shutter_close > shutter_open and len(frames) > 1:
+                # real motion blur: keyframes at shutter open AND close;
+                # the per-ray time dim lerps between them in the tracer
+                # (ref: deformable.cpp per-ray space-time interpolation)
+                v, f, nvec, uv = lerp_frames(shutter_open)
+                vc, _, nc, _ = lerp_frames(shutter_close)
+                v, nvec = _apply_transform(m, v, nvec)
+                vc, nc = _apply_transform(m, vc, nc)
+                mesh_motion[len(meshes)] = (vc, nc)
+                meshes.append((v, f, nvec, uv, mat_idx, radiance))
+                continue
+            t_render = float(defaults.get(
+                "time", 0.5 * (times[0] + times[-1]) if times else 0.0))
+            v, f, nvec, uv = lerp_frames(t_render)
             v, nvec = _apply_transform(m, v, nvec)
             meshes.append((v, f, nvec, uv, mat_idx, radiance))
         elif stype == "hair":
@@ -1350,6 +1423,37 @@ def load_scene_xml(path: str, defaults: dict | None = None):
             n2=pick(normals[f2], gn),
         )
 
+    # ---- motion deltas (deformable under an open shutter) ----------------
+    motion = None
+    if mesh_motion:
+        verts_c = np.concatenate([
+            mesh_motion[i][0] if i in mesh_motion else v
+            for i, (v, *_rest) in enumerate(meshes)
+        ])
+        normals_c = None
+        if normals is not None:
+            normals_c = np.concatenate([
+                (mesh_motion[i][1] if i in mesh_motion
+                 and mesh_motion[i][1] is not None else
+                 (n if n is not None else np.zeros_like(v)))
+                for i, (v, f_, n, *_rest) in enumerate(meshes)
+            ])
+        tris_c = st.build_triangles(
+            verts_c, faces, np.concatenate(all_mat),
+            np.concatenate(all_emid), normals=None, uvs=uvs,
+        )
+        if normals_c is not None:
+            gn_c = np.cross(np.asarray(tris_c.e1), np.asarray(tris_c.e2))
+            gn_c /= np.maximum(
+                np.linalg.norm(gn_c, axis=-1, keepdims=True), 1e-20)
+            f0, f1, f2 = faces[:, 0], faces[:, 1], faces[:, 2]
+            tris_c = tris_c.replace(
+                n0=pick(normals_c[f0], gn_c), n1=pick(normals_c[f1], gn_c),
+                n2=pick(normals_c[f2], gn_c),
+            )
+        motion = st.build_motion(tris, tris_c)
+        settings.motion = True
+
     if emitter_rads:
         rad_table = np.stack(emitter_rads)
     else:
@@ -1403,5 +1507,8 @@ def load_scene_xml(path: str, defaults: dict | None = None):
         media=st.make_medium_table(ctx["media"]) if ctx["media"] else None,
         irawan=ctx.get("irawan"),
         vcolors=None if vcolors_tri is None else jnp.asarray(vcolors_tri),
+        motion=motion,
     )
+    if sss_requests:
+        settings.subsurface = sss_requests
     return scene, settings

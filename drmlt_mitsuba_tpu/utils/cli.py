@@ -79,7 +79,9 @@ def build_trace(scene, settings, icfg):
 
         pcfg = PathConfig(max_depth=max_depth, rr_depth=100,
                           min_depth=int(icfg.get("minDepth", 1)),
-                          thinlens=tl)
+                          thinlens=tl,
+                          motion=getattr(settings, "motion", False)
+                          and scene.motion is not None)
         n = pcfg.n_dims + pcfg.n_dims % 2
         trace = make_path_trace(scene, pcfg)   # Pallas megakernel on TPU
         return trace, n, jnp.zeros((n,), bool), jnp.zeros((n,), bool), {}
@@ -150,7 +152,9 @@ def render(scene, settings, args, log):
         if itype == "direct":
             depth = 2
         pcfg = PathConfig(max_depth=max(1, depth), rr_depth=100,
-                          thinlens=_thinlens(scene))
+                          thinlens=_thinlens(scene),
+                          motion=getattr(settings, "motion", False)
+                          and scene.motion is not None)
         film = render_pt(scene, pcfg, key, W * H * settings.spp, fc,
                          mode="accum",
                          sampler=getattr(settings, "sampler",
@@ -562,6 +566,23 @@ def main(argv=None):
     scene, settings = load_scene_xml(args.scene, defaults)
     if args.spp:
         settings.spp = args.spp
+    if getattr(settings, "subsurface", None):
+        # dipole preprocess: irradiance point clouds (needs the built
+        # scene for visibility; ref dipole.cpp preprocess())
+        import jax as _jax
+
+        from drmlt_mitsuba_tpu.render.subsurface import prepare_dipole
+
+        tables = []
+        for i, req in enumerate(settings.subsurface):
+            log.info("subsurface dipole preprocess (mat %d)...",
+                     req["mat_id"])
+            tables.append(prepare_dipole(
+                scene, req["mat_id"], req["sigma_s"], req["sigma_a"],
+                g=req["g"], eta=req["eta"],
+                irr_samples=req["irr_samples"], indirect=req["indirect"],
+                key=_jax.random.PRNGKey(4321 + i)))
+        scene = scene.replace(subsurface=tuple(tables))
     log.info("scene: %d triangles, %d spheres, %dx%d film",
              scene.tris.v0.shape[0], scene.spheres.center.shape[0],
              settings.width, settings.height)
