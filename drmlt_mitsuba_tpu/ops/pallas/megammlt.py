@@ -47,6 +47,10 @@ def mega_mmlt_eligible(scene: Scene, cfg) -> bool:
     scene/config (megatrace's scene subset; surface-only, pinhole)."""
     if getattr(cfg, "thinlens", False) or getattr(cfg, "medium", False):
         return False
+    # the MMLT trace tile has no env handling on escaped eye walks yet
+    # (megatrace-only feature); constant-env scenes stay on the XLA path
+    if float(np.abs(np.asarray(scene.emitters.env_radiance)).sum()) > 0:
+        return False
 
     class _P:   # adapt: mega_eligible reads path-config style fields
         thinlens = False

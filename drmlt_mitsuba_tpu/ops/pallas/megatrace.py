@@ -61,7 +61,7 @@ _DELTA_KINDS = (BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_MIRROR, BSDF_NULL)
 _TRI_COLS = 20   # v0 e1 e2 n0 n1 n2 mat_id erow
 _MAT_COLS = 18   # kind albedo eta k rough spec_refl spec_trans
 _EM_COLS = 20    # rad area pmf cdf v0 e1 e2 ng
-_CAM_COLS = 16   # R00..R22 t0..t2 thx thy
+_CAM_COLS = 24   # R00..R22 t0..t2 thx thy aperture focus env_rgb pad
 
 
 # ---------------------------------------------------------------- SoA math
@@ -292,6 +292,9 @@ def pack_mega_tables(scene: Scene):
     cam[0, 9:12] = c2w[:3, 3]
     cam[0, 12] = float(np.asarray(scene.camera.tan_half_fov_x))
     cam[0, 13] = float(np.asarray(scene.camera.tan_half_fov_y))
+    cam[0, 14] = float(np.asarray(scene.camera.aperture_radius))
+    cam[0, 15] = float(np.asarray(scene.camera.focus_distance))
+    cam[0, 16:19] = np.asarray(scene.emitters.env_radiance, np.float32)
     return (jnp.asarray(tri), jnp.asarray(mat), jnp.asarray(emt),
             jnp.asarray(cam))
 
@@ -352,7 +355,10 @@ def pack_mega_tables_jnp(scene: Scene):
         c2w[:3, :3].reshape(9), c2w[:3, 3],
         jnp.asarray(scene.camera.tan_half_fov_x, jnp.float32).reshape(1),
         jnp.asarray(scene.camera.tan_half_fov_y, jnp.float32).reshape(1),
-        jnp.zeros((_CAM_COLS - 14,), jnp.float32),
+        jnp.asarray(scene.camera.aperture_radius, jnp.float32).reshape(1),
+        jnp.asarray(scene.camera.focus_distance, jnp.float32).reshape(1),
+        jnp.asarray(scene.emitters.env_radiance, jnp.float32).reshape(3),
+        jnp.zeros((_CAM_COLS - 19,), jnp.float32),
     ]).reshape(1, _CAM_COLS)
     return tri, mat, emt, cam
 
@@ -360,8 +366,6 @@ def pack_mega_tables_jnp(scene: Scene):
 def mega_eligible(scene: Scene, cfg) -> bool:
     """Static host-side check that the megakernel covers this scene."""
     try:
-        if getattr(cfg, "thinlens", False):
-            return False
         if getattr(cfg, "motion", False) or scene.motion is not None:
             return False   # moving geometry needs the per-ray-time sweep
         if getattr(scene, "subsurface", None):
@@ -370,7 +374,11 @@ def mega_eligible(scene: Scene, cfg) -> bool:
             return False
         if scene.camera.kind != CAMERA_PERSPECTIVE:
             return False
-        if float(np.asarray(scene.camera.aperture_radius)) > 0:
+        if getattr(scene.camera, "rdist", False):
+            return False   # Newton-inverted radial distortion: wavefront
+        # aperture > 0 is fine iff the config samples the lens dims
+        if (float(np.asarray(scene.camera.aperture_radius)) > 0
+                and not getattr(cfg, "thinlens", False)):
             return False
         if scene.textures is not None:
             return False
@@ -380,9 +388,8 @@ def mega_eligible(scene: Scene, cfg) -> bool:
             return False   # woven cloth needs the uv-aware wavefront
         em = scene.emitters
         if em.env_image is not None:
-            return False
-        if float(np.abs(np.asarray(em.env_radiance)).sum()) > 0:
-            return False
+            return False   # image env needs CDF NEE tables in-kernel
+        # constant env_radiance IS supported (escape add, no NEE row)
         if not bool(np.all(np.asarray(em.kind) == EMITTER_AREA)):
             return False
         if bool(np.any(np.asarray(scene.spheres.valid))):
@@ -406,7 +413,7 @@ def mega_eligible(scene: Scene, cfg) -> bool:
 # ---------------------------------------------------------------- kernel
 def _mega_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
                  n_tris, n_mats, n_ems, max_depth, min_depth, rr_depth,
-                 use_nee, kinds):
+                 use_nee, kinds, thinlens=False, env_const=False):
     f32 = jnp.float32
 
     def udim(j):
@@ -416,19 +423,35 @@ def _mega_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
     zero = jnp.zeros(shape, f32)
     one = jnp.ones(shape, f32)
 
-    # ---- camera ray (pinhole perspective; mirrors sensor.py) -------------
+    # ---- camera ray (perspective; mirrors sensor.py sample_ray) ----------
     ux = udim(0)
     uy = udim(1)
     x = (2.0 * ux - 1.0) * cam_ref[0, 12]
     y = (1.0 - 2.0 * uy) * cam_ref[0, 13]
     dcx, dcy, dcz = x, y, one
+    ocx = ocy = ocz = zero
+    if thinlens:
+        # thin lens: origin on the aperture disk, direction through the
+        # focus-plane point (sensor.py thinlens branch, u[2:4] uniforms)
+        lx, ly = _concentric_disk(udim(2), udim(3))
+        lx = lx * cam_ref[0, 14]
+        ly = ly * cam_ref[0, 14]
+        f_d = cam_ref[0, 15]
+        dcx = x * f_d - lx
+        dcy = y * f_d - ly
+        dcz = jnp.broadcast_to(f_d, shape)
+        ocx, ocy = lx, ly
     dx = cam_ref[0, 0] * dcx + cam_ref[0, 1] * dcy + cam_ref[0, 2] * dcz
     dy = cam_ref[0, 3] * dcx + cam_ref[0, 4] * dcy + cam_ref[0, 5] * dcz
     dz = cam_ref[0, 6] * dcx + cam_ref[0, 7] * dcy + cam_ref[0, 8] * dcz
     dx, dy, dz = _normalize(dx, dy, dz)
-    ox = jnp.broadcast_to(cam_ref[0, 9], shape)
-    oy = jnp.broadcast_to(cam_ref[0, 10], shape)
-    oz = jnp.broadcast_to(cam_ref[0, 11], shape)
+    ox = cam_ref[0, 0] * ocx + cam_ref[0, 1] * ocy + cam_ref[0, 9]
+    oy = cam_ref[0, 3] * ocx + cam_ref[0, 4] * ocy + cam_ref[0, 10]
+    oz = cam_ref[0, 6] * ocx + cam_ref[0, 7] * ocy + cam_ref[0, 11]
+    if not thinlens:
+        ox = jnp.broadcast_to(cam_ref[0, 9], shape)
+        oy = jnp.broadcast_to(cam_ref[0, 10], shape)
+        oz = jnp.broadcast_to(cam_ref[0, 11], shape)
 
     tpx = tpy = tpz = one
     Lx = Ly = Lz = zero
@@ -602,6 +625,14 @@ def _mega_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
         Lx = Lx + jnp.where(hit_emitter, tpx * e_radx * w_bsdf, 0.0)
         Ly = Ly + jnp.where(hit_emitter, tpy * e_rady * w_bsdf, 0.0)
         Lz = Lz + jnp.where(hit_emitter, tpz * e_radz * w_bsdf, 0.0)
+
+        if env_const:
+            # constant environment on escape (no NEE row exists for a
+            # constant env, so no MIS weight — mirrors trace_paths)
+            escaped = active & (~hit_valid) & depth_ok
+            Lx = Lx + jnp.where(escaped, tpx * cam_ref[0, 16], 0.0)
+            Ly = Ly + jnp.where(escaped, tpy * cam_ref[0, 17], 0.0)
+            Lz = Lz + jnp.where(escaped, tpz * cam_ref[0, 18], 0.0)
 
         active = active & hit_valid
 
@@ -977,6 +1008,10 @@ def make_mega_trace(scene: Scene, cfg, interpret: bool = False):
         _mega_kernel, n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
         max_depth=cfg.max_depth, min_depth=cfg.min_depth,
         rr_depth=cfg.rr_depth, use_nee=cfg.use_nee, kinds=kinds,
+        thinlens=getattr(cfg, "thinlens", False),
+        env_const=bool(
+            float(np.abs(np.asarray(scene.emitters.env_radiance)).sum())
+            > 0),
     )
 
     @jax.jit
@@ -1046,6 +1081,10 @@ def make_mega_trace_diff(scene0: Scene, cfg, interpret: bool = False):
         _mega_kernel, n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
         max_depth=cfg.max_depth, min_depth=cfg.min_depth,
         rr_depth=cfg.rr_depth, use_nee=cfg.use_nee, kinds=kinds,
+        thinlens=getattr(cfg, "thinlens", False),
+        env_const=bool(
+            float(np.abs(np.asarray(scene.emitters.env_radiance)).sum())
+            > 0),
     )
 
     def _fwd_impl(scene, u):

@@ -129,6 +129,56 @@ def run_kernel_smoke(verbose: bool = False) -> dict:
         _check(f"megatrace[depth={depth}]",
                lambda depth=depth: megatrace_case(depth), results)
 
+    # ---- round-3 kernel variants: thinlens ray gen + constant env --------
+    def megatrace_variant_case(thinlens, env):
+        from drmlt_mitsuba_tpu.ops.pallas.megatrace import (
+            make_mega_trace, mega_eligible,
+        )
+
+        sc = scene
+        if thinlens:
+            sc = sc.replace(camera=sc.camera.replace(
+                aperture_radius=jnp.float32(25.0),
+                focus_distance=jnp.float32(800.0)))
+        if env:
+            sc = sc.replace(emitters=sc.emitters.replace(
+                env_radiance=jnp.asarray([0.4, 0.5, 0.7])))
+        pcfg = PathConfig(max_depth=4, rr_depth=100, thinlens=thinlens)
+        assert mega_eligible(sc, pcfg)
+        trace = make_mega_trace(sc, pcfg)
+        u = jax.random.uniform(key, (2048, pcfg.n_dims))
+        sp = trace(u)
+        ref = trace_paths(sc, pcfg, u[:256])
+        got = np.asarray(sp.lum[:256])
+        want = np.asarray(ref.lum[:256])
+        rel = np.abs(got - want) / (np.abs(want) + 1e-4)
+        assert (rel > 1e-2).mean() < 0.15, f"{(rel > 1e-2).sum()} lanes"
+
+    _check("megatrace[thinlens]",
+           lambda: megatrace_variant_case(True, False), results)
+    _check("megatrace[const-env]",
+           lambda: megatrace_variant_case(False, True), results)
+
+    def megatrace_veach_case():
+        from drmlt_mitsuba_tpu.ops.pallas.megatrace import (
+            make_mega_trace, mega_eligible,
+        )
+        from drmlt_mitsuba_tpu.scene.builders import veach_door
+
+        sc = veach_door(64, 64)
+        pcfg = PathConfig(max_depth=5, rr_depth=100)
+        assert mega_eligible(sc, pcfg)   # rough-diffuse kind in-kernel
+        trace = make_mega_trace(sc, pcfg)
+        u = jax.random.uniform(key, (2048, pcfg.n_dims))
+        sp = trace(u)
+        ref = trace_paths(sc, pcfg, u[:256])
+        got = np.asarray(sp.lum[:256])
+        want = np.asarray(ref.lum[:256])
+        rel = np.abs(got - want) / (np.abs(want) + 1e-4)
+        assert (rel > 1e-2).mean() < 0.15, f"{(rel > 1e-2).sum()} lanes"
+
+    _check("megatrace[veach-door]", megatrace_veach_case, results)
+
     # ---- MMLT megakernel vs XLA selected-strategy trace -------------------
     def megammlt_case(depth):
         from drmlt_mitsuba_tpu.ops.pallas.megammlt import make_mega_mmlt

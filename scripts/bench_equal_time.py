@@ -12,10 +12,15 @@ EQUAL_TIME.json + prints a table.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+if os.environ.get("DRMLT_CPU"):       # CI smoke without the TPU tunnel
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,14 +45,15 @@ def _rmse(img, ref):
 
 def _reference(scene, fc, W, H, depth, spp=4096):
     pcfg = PathConfig(max_depth=depth, rr_depth=100)
-    film = filmlib.new_film(fc)
     batch = W * H * 64
-    n = spp // 64
+    n = max(1, spp // 64)
+    acc = None
     for i in range(n):
         film = render_pt(scene, pcfg, jax.random.fold_in(
-            jax.random.PRNGKey(77), i), batch, fc, mode="accum",
-            film=film)
-    return np.asarray(filmlib.develop(fc, film, mode="accum"))
+            jax.random.PRNGKey(77), i), batch, fc, mode="accum")
+        img = np.asarray(filmlib.develop(fc, film, mode="accum"))
+        acc = img if acc is None else acc + img
+    return acc / n
 
 
 def run_drmlt(scene, fc, depth, variant, seconds, n_chains, avg_lum):
@@ -83,7 +89,7 @@ def run_pssmlt(scene, fc, depth, seconds, n_chains, avg_lum):
     def block(state, film, i0):
         def body(carry, i):
             (st, fi), _ = pssmlt_step(
-                trace, cfg, fc, carry, jax.random.fold_in(key, i), b)
+                trace, cfg, b, fc, carry, jax.random.fold_in(key, i))
             return (st, fi), 0.0
         (state, film), _ = jax.lax.scan(body, (state, film),
                                         i0 + jnp.arange(16))
@@ -105,9 +111,11 @@ def run_pssmlt(scene, fc, depth, seconds, n_chains, avg_lum):
 def main():
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 20.0
     W = H = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    n_chains = int(sys.argv[3]) if len(sys.argv) > 3 else 65536
+    ref_spp = int(sys.argv[4]) if len(sys.argv) > 4 else 4096
     depth = 6
     out = {"budget_s": seconds, "film": [W, H], "depth": depth,
-           "scenes": {}}
+           "chains": n_chains, "scenes": {}}
     scenes = {
         "glass-cornell": prepare_scene(
             cornell_box(W, H, tall_box_material="glass")),
@@ -115,18 +123,19 @@ def main():
     }
     for name, scene in scenes.items():
         fc = filmlib.make_film_config(W, H, "box")
-        ref = _reference(scene, fc, W, H, depth)
+        ref = _reference(scene, fc, W, H, depth, spp=ref_spp)
         avg = float((ref[..., 0] * 0.212671 + ref[..., 1] * 0.715160
                      + ref[..., 2] * 0.072169).mean())
         rows = {}
-        img, dt, steps = run_pssmlt(scene, fc, depth, seconds, 65536, None)
+        img, dt, steps = run_pssmlt(scene, fc, depth, seconds, n_chains,
+                                    None)
         rows["pssmlt"] = {"rmse": _rmse(img, ref), "time_s": round(dt, 1),
                           "steps": steps}
         print(f"{name:14s} pssmlt  rmse {rows['pssmlt']['rmse']:.4f} "
               f"({dt:.1f}s)", flush=True)
         for variant in ("green", "mira", "orbital"):
             img, dt, steps = run_drmlt(scene, fc, depth, variant, seconds,
-                                       65536, None)
+                                       n_chains, None)
             rows[f"drmlt-{variant}"] = {"rmse": _rmse(img, ref),
                                         "time_s": round(dt, 1),
                                         "steps": steps}
