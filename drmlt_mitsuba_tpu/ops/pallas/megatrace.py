@@ -1083,7 +1083,7 @@ def make_mega_trace_diff(scene0: Scene, cfg, interpret: bool = False):
         rr_depth=cfg.rr_depth, use_nee=cfg.use_nee, kinds=kinds,
         thinlens=getattr(cfg, "thinlens", False),
         env_const=bool(
-            float(np.abs(np.asarray(scene.emitters.env_radiance)).sum())
+            float(np.abs(np.asarray(scene0.emitters.env_radiance)).sum())
             > 0),
     )
 

@@ -57,22 +57,29 @@ def _reference(scene, fc, W, H, depth, spp=4096):
 
 
 def run_drmlt(scene, fc, depth, variant, seconds, n_chains, avg_lum):
-    """Equal-time depth-grouped DRMLT-over-MMLT; returns developed img."""
+    """Equal-time depth-grouped DRMLT-over-MMLT; returns developed img.
+
+    Compile time is excluded the same way run_pssmlt's timed loop
+    excludes it: every shape is rendered once to warm the jit cache,
+    then the measured render reruns the identical shapes."""
     bcfg = BDPTConfig(max_depth=depth)
-    # scale the step budget from a 1-block timing probe
     dcfg = DRMLTConfig(type=variant, n_chains=n_chains, n_bootstrap=32768)
+
+    def render(n_steps):
+        img, aux = render_drmlt_mmlt_grouped(
+            scene, bcfg, dcfg, fc, jax.random.PRNGKey(5), n_steps=n_steps,
+            average_luminance=avg_lum)
+        return np.asarray(img)
+
+    render(64)                       # compile probe shapes
     t0 = time.perf_counter()
-    img, aux = render_drmlt_mmlt_grouped(
-        scene, bcfg, dcfg, fc, jax.random.PRNGKey(5), n_steps=64,
-        average_luminance=avg_lum)
+    render(64)                       # warm probe -> steady-state rate
     dt_probe = time.perf_counter() - t0
     n_steps = max(64, int(64 * seconds / max(dt_probe, 1e-3)))
+    render(n_steps)                  # compile final shapes
     t0 = time.perf_counter()
-    img, aux = render_drmlt_mmlt_grouped(
-        scene, bcfg, dcfg, fc, jax.random.PRNGKey(5), n_steps=n_steps,
-        average_luminance=avg_lum)
-    np.asarray(img)
-    return np.asarray(img), time.perf_counter() - t0, n_steps
+    img = render(n_steps)            # measured steady-state render
+    return img, time.perf_counter() - t0, n_steps
 
 
 def run_pssmlt(scene, fc, depth, seconds, n_chains, avg_lum):
