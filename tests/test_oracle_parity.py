@@ -116,6 +116,25 @@ def test_pt_glass_sphere_parity(tmp_path):
     assert np.all(rel < 0.03), rel
 
 
+def test_pt_veach_door_parity(tmp_path):
+    """Second bench scene vs the oracle: cross-validates the Oren-Nayar
+    rough-diffuse term in BOTH implementations (the oracle gained the
+    real ON factor alongside the megakernel kind)."""
+    from drmlt_mitsuba_tpu.scene.builders import veach_door
+
+    scene = veach_door(W, H)
+    fc = FilmConfig(width=W, height=H, filter=make_filter("box"))
+    scene_bin = str(tmp_path / "veach.bin")
+    dump_scene(scene, fc, scene_bin)
+    a = _jax_pt(scene, fc, SPP * 2, 5)
+    b = _oracle_pt(scene_bin, str(tmp_path / "o.raw"), SPP * 2, 5)
+    rel = np.abs(a.mean(axis=(0, 1)) - b.mean(axis=(0, 1)))
+    rel /= np.maximum(b.mean(axis=(0, 1)), 1e-9)
+    # a high-variance scene (lit through the door gap): channel means to
+    # 4% at 1024 spp
+    assert np.all(rel < 0.04), rel
+
+
 def _oracle_mmltmc(scene_bin, out, spp, depth):
     r = subprocess.run(
         [ORACLE, "mmltmc", scene_bin, out, str(spp), str(depth)],
