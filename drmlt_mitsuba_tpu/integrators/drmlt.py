@@ -65,6 +65,14 @@ class DRMLTConfig:
     #                                  unless the chain is light-tracing
     #                                  (drmlt_proc.cpp:133-141)
     n_bootstrap: int = 100_000
+    splat_mode: str = "three"        # three | sampled — "sampled" resamples
+    #                                  the Rao-Blackwellized 3-state splat
+    #                                  (one state picked with prob = its
+    #                                  weight, splatted at weight 1):
+    #                                  unbiased, 3x fewer splat MACs in the
+    #                                  megadrmlt kernel (the k=1 group is
+    #                                  splat-MXU-bound, ROOFLINE.md); only
+    #                                  the megakernel path consumes it.
     fuse_traces: bool | None = None  # batch the stage-1/stage-2 (and green
     #                                  reverse) traces into ONE trace_fn call
     #                                  — proposals never depend on each

@@ -151,7 +151,8 @@ def _run_group_mega(scene, cfg_k, dcfg, film_cfg, trace_k, lums, sample_u,
     state = _group_starts(trace_k, sample_u, lums, boot_key, n_chains)
     arr = pack_chain_state(state, n_dims)
     step = make_mega_drmlt(scene, cfg_k, dcfg, film_cfg, cfg_k.max_depth,
-                           n_dims, n_mut=n_mut, weight_channel=False)
+                           n_dims, n_mut=n_mut, weight_channel=False,
+                           splat_mode=dcfg.splat_mode)
     seed0 = jax.random.randint(run_key, (), 0, 2**31 - 1, jnp.int32)
 
     @jax.jit

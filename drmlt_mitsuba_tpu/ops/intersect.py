@@ -18,6 +18,8 @@ All functions broadcast over a single leading ray axis R.
 """
 from __future__ import annotations
 
+import contextlib
+
 import flax.struct as struct
 import jax
 import jax.numpy as jnp
@@ -166,18 +168,37 @@ def _on_tpu() -> bool:
         return False
 
 
+_FORCE_XLA_DEPTH = [0]
+
+
+@contextlib.contextmanager
+def force_xla_intersect():
+    """Force the pure-XLA sweep while tracing inside this context.
+
+    Pallas calls carry no autodiff rules, so any code path that will be
+    differentiated (e.g. the wavefront replay inside megatrace's
+    custom-VJP backward) must trace its intersections through XLA even
+    on TPU.  The dispatch decisions below are made at Python trace time,
+    so a trace-time context manager is sufficient and jit-safe."""
+    _FORCE_XLA_DEPTH[0] += 1
+    try:
+        yield
+    finally:
+        _FORCE_XLA_DEPTH[0] -= 1
+
+
 def _use_pallas(scene: Scene, o) -> bool:
     """Static decision: the brute Pallas sweep (small scenes) on TPU."""
     if scene.tris_packed is None or o.shape[0] % 8 != 0:
         return False
-    return _on_tpu()
+    return _on_tpu() and not _FORCE_XLA_DEPTH[0]
 
 
 def _use_clusters(scene: Scene, o) -> bool:
     """Static decision: the clustered Pallas sweep (large scenes) on TPU."""
     if scene.cluster_aabbs is None or o.shape[0] % 8 != 0:
         return False
-    return _on_tpu()
+    return _on_tpu() and not _FORCE_XLA_DEPTH[0]
 
 
 def _sweep_any(scene: Scene, rays6):

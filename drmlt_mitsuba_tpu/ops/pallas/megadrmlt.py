@@ -109,7 +109,7 @@ def _mega_drmlt_kernel(
         n_dims, n_core, n_mut, drtype, p_large, s1, s2, sigma,
         scale_second, rho, kelemen_scale, timid_after_large,
         fix_emitter_path, em_lo, em_hi, film_h, film_w, n_chan, passes,
-        debug_uniforms, n_rand):
+        splat_mode, debug_uniforms, n_rand):
     f32 = jnp.float32
     D = n_dims
     shape = state_ref.shape[1:]          # (8, L)
@@ -315,9 +315,26 @@ def _mega_drmlt_kernel(
         w_y = a1
         w_z = (1.0 - a1) * a2
         w_x = 1.0 - w_y - w_z
-        splat3([(px_x, py_x, vr_x, vg_x, vb_x, w_x),
-                (px_y, py_y, vr_y, vg_y, vb_y, w_y),
-                (px_z, py_z, vr_z, vg_z, vb_z, w_z)])
+        if splat_mode == "sampled":
+            # Resample the Rao-Blackwellized 3-state mixture: the weights
+            # sum to exactly 1, so picking one state with prob w_s and
+            # splatting it at weight 1 is unbiased (E = three-state splat)
+            # and cuts splat MACs 3x — the k=1 group is splat-MXU-bound
+            # (ROOFLINE.md).
+            u_sel = next_u()
+            pick_y = u_sel < w_y
+            pick_z = (~pick_y) & (u_sel < w_y + w_z)
+
+            def sel(ay, az, ax):
+                return jnp.where(pick_y, ay, jnp.where(pick_z, az, ax))
+
+            splat3([(sel(px_y, px_z, px_x), sel(py_y, py_z, py_x),
+                     sel(vr_y, vr_z, vr_x), sel(vg_y, vg_z, vg_x),
+                     sel(vb_y, vb_z, vb_x), jnp.ones(shape, f32))])
+        else:
+            splat3([(px_x, py_x, vr_x, vg_x, vb_x, w_x),
+                    (px_y, py_y, vr_y, vg_y, vb_y, w_y),
+                    (px_z, py_z, vr_z, vg_z, vb_z, w_z)])
 
         # ---- state select: accept1 wins, then accept2 --------------------
         a1m = accept1
@@ -392,6 +409,7 @@ def unpack_chain_state(arr, n_dims):
 def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
                     n_dims: int, *, n_mut: int = 16, interpret: bool = False,
                     passes: int = 1, weight_channel: bool = True,
+                    splat_mode: str = "three",
                     debug_uniforms: bool = False, lane_block: int | None = None):
     """Build step_block(state_arr, seed2, [uniforms]) ->
     (state_arr, film_delta, stats) running n_mut whole DRMLT mutations of
@@ -420,6 +438,8 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
         n_rand = 3 + n_dims + n_dims + 2 * n_dims
     else:
         n_rand = 3 + n_dims + n_dims + 2 * n_dims
+    if splat_mode == "sampled":
+        n_rand += 1                       # u_sel, drawn after coin2
 
     # interpret mode (CPU tests) has no Mosaic PRNG: feed uniforms as an
     # input there; on real TPU the in-kernel PRNG is the fast path
@@ -436,7 +456,8 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
         timid_after_large=bool(dcfg.timid_after_large),
         fix_emitter_path=bool(dcfg.fix_emitter_path),
         em_lo=em_lo, em_hi=em_hi, film_h=H, film_w=W, n_chan=n_chan,
-        passes=passes, debug_uniforms=debug_uniforms, n_rand=n_rand,
+        passes=passes, splat_mode=splat_mode,
+        debug_uniforms=debug_uniforms, n_rand=n_rand,
     )
 
     NR = n_dims + 6

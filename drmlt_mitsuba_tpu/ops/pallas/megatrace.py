@@ -1129,8 +1129,14 @@ def make_mega_trace_diff(scene0: Scene, cfg, interpret: bool = False):
 
     def trace_bwd(res, ct):
         scene, u = res
-        _, vjp = jax.vjp(
-            lambda s, uu: trace_paths(s, cfg, uu[:, :n_dims]), scene, u)
+        # the replay MUST trace through the XLA sweeps: the Pallas
+        # intersect kernels carry no autodiff rules, so on TPU the
+        # default dispatch would make jax.vjp fail to linearize
+        from drmlt_mitsuba_tpu.ops.intersect import force_xla_intersect
+
+        with force_xla_intersect():
+            _, vjp = jax.vjp(
+                lambda s, uu: trace_paths(s, cfg, uu[:, :n_dims]), scene, u)
         return vjp(ct)
 
     trace.defvjp(trace_fwd, trace_bwd)

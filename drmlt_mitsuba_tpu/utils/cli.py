@@ -290,6 +290,7 @@ def render(scene, settings, args, log):
             use_mixture=_pbool(icfg.get("useMixture"), False),
             fix_emitter_path=_pbool(icfg.get("fixEmitterPath"), False),
             n_bootstrap=int(icfg.get("luminanceSamples", 100_000)),
+            splat_mode=icfg.get("splatMode", "three"),
         )
         n_steps = max(1, W * H * settings.spp // n_chains)
         avg_lum = (float(icfg["averageLuminance"])

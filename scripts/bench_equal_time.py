@@ -56,14 +56,16 @@ def _reference(scene, fc, W, H, depth, spp=4096):
     return acc / n
 
 
-def run_drmlt(scene, fc, depth, variant, seconds, n_chains, avg_lum):
+def run_drmlt(scene, fc, depth, variant, seconds, n_chains, avg_lum,
+              splat_mode="three"):
     """Equal-time depth-grouped DRMLT-over-MMLT; returns developed img.
 
     Compile time is excluded the same way run_pssmlt's timed loop
     excludes it: every shape is rendered once to warm the jit cache,
     then the measured render reruns the identical shapes."""
     bcfg = BDPTConfig(max_depth=depth)
-    dcfg = DRMLTConfig(type=variant, n_chains=n_chains, n_bootstrap=32768)
+    dcfg = DRMLTConfig(type=variant, n_chains=n_chains, n_bootstrap=32768,
+                       splat_mode=splat_mode)
 
     def render(n_steps):
         img, aux = render_drmlt_mmlt_grouped(
@@ -140,15 +142,17 @@ def main():
                           "steps": steps}
         print(f"{name:14s} pssmlt  rmse {rows['pssmlt']['rmse']:.4f} "
               f"({dt:.1f}s)", flush=True)
-        for variant in ("green", "mira", "orbital"):
+        for variant, smode in (("green", "three"), ("mira", "three"),
+                               ("orbital", "three"),
+                               ("orbital", "sampled")):
             img, dt, steps = run_drmlt(scene, fc, depth, variant, seconds,
-                                       n_chains, None)
-            rows[f"drmlt-{variant}"] = {"rmse": _rmse(img, ref),
-                                        "time_s": round(dt, 1),
-                                        "steps": steps}
-            print(f"{name:14s} drmlt-{variant:8s} rmse "
-                  f"{rows[f'drmlt-{variant}']['rmse']:.4f} ({dt:.1f}s)",
-                  flush=True)
+                                       n_chains, None, splat_mode=smode)
+            tag = (f"drmlt-{variant}" if smode == "three"
+                   else f"drmlt-{variant}-sampled")
+            rows[tag] = {"rmse": _rmse(img, ref), "time_s": round(dt, 1),
+                         "steps": steps}
+            print(f"{name:14s} {tag:22s} rmse {rows[tag]['rmse']:.4f} "
+                  f"({dt:.1f}s)", flush=True)
         out["scenes"][name] = rows
     with open("EQUAL_TIME.json", "w") as f:
         json.dump(out, f, indent=1)

