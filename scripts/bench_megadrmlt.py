@@ -29,6 +29,7 @@ def main():
                            else "1,2,3,4,5,6".split(","))]
     passes_list = [int(x) for x in (sys.argv[2].split(",")
                                     if len(sys.argv) > 2 else [1])]
+    splat_mode = sys.argv[3] if len(sys.argv) > 3 else "three"
     width = height = 256
     scene = prepare_scene(cornell_box(width, height))
     fc = filmlib.make_film_config(width, height, "box")
@@ -46,7 +47,8 @@ def main():
         for passes in passes_list:
             step = make_mega_drmlt(scene, cfg_k, dcfg, fc, k, n_dims,
                                    n_mut=N_MUT, passes=passes,
-                                   weight_channel=False)
+                                   weight_channel=False,
+                                   splat_mode=splat_mode)
 
             @jax.jit
             def run(arr, film, i0):
