@@ -184,30 +184,79 @@ def main():
 
     pcfg = PathConfig(max_depth=6, rr_depth=5)
     n_path = pcfg.n_dims + pcfg.n_dims % 2
-    rate_path = bench_xla(make_path_trace(scene, pcfg), n_path,
-                          jnp.zeros((n_path,), bool))
+    rate_path_xla = bench_xla(make_path_trace(scene, pcfg), n_path,
+                              jnp.zeros((n_path,), bool))
 
-    # ---- differentiable fast path: forward+backward grads/s --------------
+    # path technique through the multi-mutation megakernel (round 4):
+    # the reference's default technique (drmlt.cpp:434-444) now runs the
+    # same VMEM-resident chain loop as the MMLT flagship
+    from drmlt_mitsuba_tpu.ops.pallas.megadrmlt import (
+        mega_drmlt_path_eligible,
+    )
+    assert mega_drmlt_path_eligible(scene, pcfg, dcfg, fc)
+    u0p = jax.random.uniform(jax.random.fold_in(root, 11),
+                             (N_CHAINS, n_path))
+    trace_p = make_path_trace(scene, pcfg)
+    state_p = state_from_splats(u0p, trace_p(u0p))
+    arr_p = pack_chain_state(state_p, n_path)
+    step_p = make_mega_drmlt(scene, pcfg, dcfg, fc, pcfg.max_depth,
+                             n_path, n_mut=N_MUT, passes=1,
+                             weight_channel=False, technique="path")
+
+    @jax.jit
+    def run_p(arr, film, i):
+        arr, delta, stats = step_p(arr, jnp.stack([jnp.int32(77), i]))
+        return arr, film + delta
+
+    film_p = jnp.zeros((fc.height, fc.width, 3))
+    a_p, f_p = run_p(arr_p, film_p, jnp.int32(0))
+    jax.block_until_ready(f_p)
+    t0 = time.perf_counter()
+    for c in range(4):
+        a_p, f_p = run_p(a_p, f_p, jnp.int32(c + 1))
+    jax.block_until_ready(f_p)
+    rate_path = N_CHAINS / ((time.perf_counter() - t0) / (4 * N_MUT))
+
+    # ---- differentiable fast paths: forward+backward grads/s -------------
     from drmlt_mitsuba_tpu.integrators.path import make_path_trace_diff
-    dtrace = make_path_trace_diff(scene, pcfg)
+    from drmlt_mitsuba_tpu.ops.pallas.megatrace import make_mega_trace_rad
     u_g = jax.random.uniform(jax.random.fold_in(root, 9),
                              (N_CHAINS, pcfg.n_dims))
 
+    # (a) in-kernel radiance adjoint (round 4): the kernel emits the
+    # per-lane linear coefficients during the forward; backward = einsum
+    trace_r = make_mega_trace_rad(scene, pcfg)
+
     @jax.jit
-    def grad_step(radiance):
+    def grad_step_fast(radiance):
+        return jax.grad(lambda r: jnp.mean(trace_r(r, u_g).lum))(radiance)
+
+    g = grad_step_fast(scene.emitters.radiance)
+    jax.block_until_ready(g)
+    t0 = time.perf_counter()
+    n_calls = 6
+    for _ in range(n_calls):
+        g = grad_step_fast(scene.emitters.radiance)
+    jax.block_until_ready(g)
+    rate_grad = n_calls * N_CHAINS / (time.perf_counter() - t0)
+
+    # (b) generic replay backward (any scene leaf; kept for honesty)
+    dtrace = make_path_trace_diff(scene, pcfg)
+
+    @jax.jit
+    def grad_step_replay(radiance):
         def loss(r):
             s = scene.replace(emitters=scene.emitters.replace(radiance=r))
             return jnp.mean(dtrace(s, u_g).lum)
         return jax.grad(loss)(radiance)
 
-    g = grad_step(scene.emitters.radiance)
-    jax.block_until_ready(g)
+    g2 = grad_step_replay(scene.emitters.radiance)
+    jax.block_until_ready(g2)
     t0 = time.perf_counter()
-    n_calls = 3
-    for _ in range(n_calls):
-        g = grad_step(scene.emitters.radiance)
-    jax.block_until_ready(g)
-    rate_grad = n_calls * N_CHAINS / (time.perf_counter() - t0)
+    for _ in range(2):
+        g2 = grad_step_replay(scene.emitters.radiance)
+    jax.block_until_ready(g2)
+    rate_grad_replay = 2 * N_CHAINS / (time.perf_counter() - t0)
 
     bcfg = BDPTConfig(max_depth=6)
     frozen, pinned, n_mmlt = mmlt_masks(bcfg)
@@ -237,11 +286,20 @@ def main():
             "drmlt_path_orbital_mutations_per_sec": round(rate_path, 1),
             "path_vs_baseline": round(rate_path / CPU_ANCHOR_PATH_PER_SEC,
                                       3),
+            "drmlt_path_xla_wavefront_mutations_per_sec":
+                round(rate_path_xla, 1),
             "drmlt_mmlt_pooled_mutations_per_sec": round(rate_pooled, 1),
             "grad_paths_per_sec": round(rate_grad, 1),
-            "grad_note": "forward+backward paths/s through the diff fast "
-                         "path (megakernel fwd, wavefront-replay bwd; "
-                         "depth-6 Cornell, d lum / d emitter-radiance)",
+            "grad_note": "forward+backward paths/s, d lum / d "
+                         "emitter-radiance via the in-kernel linear-"
+                         "coefficient adjoint (megatrace "
+                         "make_mega_trace_rad: Jacobian rows accumulated "
+                         "during the forward, backward = one einsum; "
+                         "pinned vs jax.grad of the wavefront in "
+                         "tests/test_gradients.py)",
+            "grad_replay_paths_per_sec": round(rate_grad_replay, 1),
+            "grad_replay_note": "generic any-leaf VJP (megakernel fwd, "
+                                "wavefront-replay bwd)",
             "cpu_anchor_mmlt_mutations_per_sec": CPU_ANCHOR_MMLT_PER_SEC,
             "cpu_anchor_path_mutations_per_sec": CPU_ANCHOR_PATH_PER_SEC,
             "anchor_note": "measured cpu_oracle orbital/depth6 per "

@@ -84,6 +84,14 @@ class DRMLTConfig:
     #                                  efficiency knee; 2026-08-18 A/B:
     #                                  +14% at 7168 chains, -3% at 65536)
 
+    def __post_init__(self):
+        if self.splat_mode not in ("three", "sampled"):
+            raise ValueError(
+                f"splat_mode must be 'three' or 'sampled', got "
+                f"{self.splat_mode!r}")
+        if self.type not in (TYPE_GREEN, TYPE_MIRA, TYPE_ORBITAL):
+            raise ValueError(f"unknown DRMLT type {self.type!r}")
+
     def stage1_kernel(self):
         if self.type == TYPE_ORBITAL:
             return kernels.Kelemen(self.s1 * self.kelemen_scale,
@@ -372,3 +380,68 @@ def render_drmlt(trace_fn, cfg: DRMLTConfig, film_cfg, root_key, n_dims: int,
     n_per_pixel = cfg.n_chains * n_steps / film_cfg.npixels
     img = filmlib.develop(film_cfg, film, mode="splat", scale=b / n_per_pixel)
     return img, dict(b=b, state=state, stats=stats, accmap=accmap)
+
+
+def render_drmlt_path(scene, pcfg, cfg: DRMLTConfig, film_cfg, root_key,
+                      n_steps: int, average_luminance=None, n_mut: int = 64,
+                      force_xla: bool = False):
+    """DRMLT over the unidirectional path technique, with the
+    multi-mutation Pallas megakernel fast path (the reference's default,
+    highest-volume configuration: drmlt.cpp:434-444 technique=path).
+
+    Eligible scenes on TPU run n_mut whole mutations per launch with the
+    chain state, both stage traces (ops/pallas/megatrace.py
+    path_trace_tile) and the batched one-hot film splat VMEM-resident;
+    everything else falls back to the XLA wavefront render_drmlt.
+    Returns (image, aux) like render_drmlt."""
+    from drmlt_mitsuba_tpu.integrators.path import make_path_trace
+    from drmlt_mitsuba_tpu.ops.intersect import _on_tpu
+    from drmlt_mitsuba_tpu.ops.pallas.megadrmlt import (
+        make_mega_drmlt, mega_drmlt_path_eligible, pack_chain_state,
+    )
+
+    n_dims = pcfg.n_dims + pcfg.n_dims % 2   # orbital needs even dims
+    trace_fn = make_path_trace(scene, pcfg)
+    if (force_xla or not _on_tpu() or cfg.n_chains % 2048
+            or cfg.use_mixture
+            or not mega_drmlt_path_eligible(scene, pcfg, cfg, film_cfg)):
+        return render_drmlt(trace_fn, cfg, film_cfg, root_key, n_dims,
+                            n_steps, average_luminance=average_luminance)
+
+    k_boot, k_run = jax.random.split(root_key)
+    state, b = bootstrap(trace_fn, k_boot, n_dims, cfg.n_bootstrap,
+                         cfg.n_chains)
+    if average_luminance is not None:
+        b = jnp.float32(average_luminance)
+    arr = pack_chain_state(state, n_dims)
+    if n_steps < 32:
+        n_mut = 16
+    n_launches = max(1, -(-n_steps // n_mut))
+    steps_eff = n_launches * n_mut
+    step = make_mega_drmlt(scene, pcfg, cfg, film_cfg, pcfg.max_depth,
+                           n_dims, n_mut=n_mut, weight_channel=False,
+                           splat_mode=cfg.splat_mode, technique="path")
+    seed0 = jax.random.randint(k_run, (), 0, 2 ** 31 - 1, jnp.int32)
+
+    @jax.jit
+    def run(arr):
+        film = jnp.zeros((film_cfg.height, film_cfg.width, 3))
+
+        def body(carry, i):
+            arr, film = carry
+            arr, delta, stats = step(arr, jnp.stack([seed0, i]))
+            return (arr, film + delta), stats
+
+        (arr, film), stats = jax.lax.scan(
+            body, (arr, film), jnp.arange(n_launches))
+        return arr, film, stats.sum(0)
+
+    arr, film, stats = run(arr)
+    n_per_pixel = cfg.n_chains * steps_eff / film_cfg.npixels
+    img = film * (b / n_per_pixel)
+    denom = cfg.n_chains * steps_eff
+    stats_d = dict(a1=stats[0] / denom, a2=stats[1] / denom,
+                   accept1=stats[2] / denom, accept2=stats[3] / denom,
+                   large=stats[4] / denom)
+    return img, dict(b=b, state=None, stats=stats_d, accmap=None,
+                     steps=steps_eff, mega=True)

@@ -102,9 +102,18 @@ def mlt_eligible(scene: Scene) -> bool:
             return False
         if not bool(np.all(np.asarray(em.kind) == EMITTER_AREA)):
             return False
-        if bool(np.any(np.asarray(scene.spheres.valid))):
+        # spheres are fine as PATH vertices: intersect() returns their
+        # exact analytic normal (ns == ng pointwise, so no shading-normal
+        # transport asymmetry) and every weight/mutator consumes only the
+        # stored (pos, ng, mat).  Only sphere EMITTERS are out: the light
+        # vertex anchor samples emitters.tri_idx triangles (ref:
+        # src/libbidir/vertex.cpp:37-350 is shape-generic; our emitter
+        # anchor is triangle-only).
+        sph_valid = np.asarray(scene.spheres.valid)
+        if bool(np.any(sph_valid
+                       & (np.asarray(scene.spheres.emitter_id) >= 0))):
             return False
-        # flat shading required (ns == ng)
+        # flat shading required for TRIANGLES (ns == ng)
         tris = scene.tris
         ng = np.cross(np.asarray(tris.e1), np.asarray(tris.e2))
         ng /= np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
@@ -932,6 +941,167 @@ def mut_lens(scene, cfg: MLTConfig, key, ps: PathState, res_x, res_y):
     return prop, a, ok
 
 
+def mut_mchain(scene, cfg: MLTConfig, key, ps: PathState, res_x, res_y):
+    """Multi-chain perturbation (mut_mchain.cpp:70-230): an annulus jump
+    of the image point propagated through SUCCESSIVE eye-side specular
+    chains — at every intermediate connectable (separator) vertex the old
+    outgoing direction is cone-perturbed (log-exponential theta, the same
+    symmetric kernel as the caustic perturbation) and the next chain is
+    retraced deterministically; the final vertex reconnects to the
+    retained suffix.  Both the screen and the cone densities are
+    symmetric, so the acceptance is the cached-weight ratio
+    a = lum(W(y))/lum(W(x)) with W = chain weights x connection
+    contribution — delta vertices contribute their component weight, and
+    separators contribute f |cos| (mut_mchain.cpp Q: EValueCosineRad; no
+    pdf division because the cone density cancels)."""
+    kmax = cfg.max_depth
+    C = ps.k.shape[0]
+    V = ps.pos.shape[1]
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    # ---- structure scan (mut_mchain.cpp:72-80 translated to camera-first
+    # indexing): walk i = 1.. while NOT (conn(v_i) & conn(v_{i+1})),
+    # counting connectable v_i (chain ends); j_end = first i where both
+    # are connectable; eligible iff >= 2 chains were crossed
+    j_end = jnp.full((C,), -1, jnp.int32)
+    nch = jnp.ones((C,), jnp.int32)
+    scanning = jnp.ones((C,), bool)
+    for i in range(1, kmax + 1):
+        fi = jnp.full((C,), i)
+        in_path = fi < ps.k           # v_{i+1} exists (may be the light)
+        conn_i = ~_is_delta_v(scene, ps, min(i, V - 1))
+        conn_n = ~_is_delta_v(scene, ps, min(i + 1, V - 1))
+        stop = scanning & in_path & conn_i & conn_n
+        j_end = jnp.where(stop, i, j_end)
+        nch = jnp.where(scanning & ~stop & in_path & conn_i,
+                        nch + 1, nch)
+        scanning = scanning & ~stop & in_path
+    ok = (j_end >= 1) & (nch >= 2)
+
+    # ---- screen-space annulus jump (identical to mut_lens) --------------
+    d01, _ = _dirto(ps.pos[:, 0], ps.pos[:, 1])
+    _, pix0, ins0 = sensor_importance(scene.camera, d01)
+    r2 = math.sqrt(cfg.lens_frac / math.pi)
+    r1 = cfg.lens_r1 / max(res_x, res_y)
+    r = r2 * jnp.exp(-math.log(r2 / r1) * jax.random.uniform(k1, (C,)))
+    phi0 = jax.random.uniform(k2, (C,)) * 2 * math.pi
+    pix = pix0 + jnp.stack([r * jnp.cos(phi0), r * jnp.sin(phi0)], -1)
+    inside = (pix[:, 0] > 0) & (pix[:, 0] < 1) & (pix[:, 1] > 0) \
+        & (pix[:, 1] < 1)
+    ok = ok & inside & ins0
+
+    from drmlt_mitsuba_tpu.render.sensor import sample_ray
+    _, d_new = sample_ray(scene.camera, pix)[:2]
+
+    # ---- multi-chain retrace -------------------------------------------
+    out = dict(pos=jnp.zeros((C, kmax, 3)), ng=jnp.zeros((C, kmax, 3)),
+               mat=jnp.full((C, kmax), -1, jnp.int32),
+               w=jnp.ones((C, kmax, 3)),
+               valid=jnp.zeros((C, kmax), bool))
+    p = jnp.broadcast_to(scene.camera.to_world[:3, 3], (C, 3))
+    d = d_new
+    active = j_end > 0
+    t1, t2 = cfg.caustic_t1, cfg.caustic_t2
+    for j in range(kmax):
+        o = p + d * RAY_EPS * 10.0
+        hit = intersect(scene, o, d)
+        step_ok = active & hit.valid
+        out["pos"] = out["pos"].at[:, j].set(hit.p)
+        out["ng"] = out["ng"].at[:, j].set(hit.ng)
+        out["mat"] = out["mat"].at[:, j].set(hit.mat_id)
+        out["valid"] = out["valid"].at[:, j].set(step_ok)
+        src_i = min(j + 1, V - 1)
+        src_delta = _is_delta_v(scene, ps, src_i)
+        wi_l = frame.to_local(hit.ng, -d)
+        albedo = scene.materials.albedo[jnp.clip(hit.mat_id, 0, None)]
+        # delta branch: re-resolve the SAME discrete component
+        src_p = _gslot(ps.pos, jnp.full((C,), src_i))
+        src_nxt = _gslot(ps.pos, jnp.clip(
+            jnp.full((C,), src_i + 1), 0, V - 1))
+        w_src_dir, _ = _dirto(src_p, src_nxt)
+        ng_src = _gslot(ps.ng, jnp.full((C,), src_i))
+        wi_src, _ = _dirto(src_p, _gslot(ps.pos, jnp.clip(
+            jnp.full((C,), src_i - 1), 0, V - 1)))
+        src_same = (jnp.sum(wi_src * ng_src, -1)
+                    * jnp.sum(w_src_dir * ng_src, -1)) > 0
+        uc = jnp.where(src_same, 0.0, 0.999)
+        u3 = jnp.stack([uc, jnp.full_like(uc, 0.5),
+                        jnp.full_like(uc, 0.5)], -1)
+        bs = sample_bsdf(scene.materials, hit.mat_id, albedo, wi_l, u3)
+        d_delta = frame.to_world(hit.ng, bs.wo)
+        # separator branch: cone-perturb the source outgoing direction
+        th = t2 * jnp.exp(-math.log(t2 / t1) * jax.random.uniform(
+            jax.random.fold_in(k3, 2 * j), (C,)))
+        ph = jax.random.uniform(jax.random.fold_in(k3, 2 * j + 1),
+                                (C,)) * 2 * math.pi
+        s_, t_ = frame.coordinate_system(w_src_dir)
+        d_pert = (w_src_dir * jnp.cos(th)[:, None]
+                  + (s_ * jnp.cos(ph)[:, None] + t_ * jnp.sin(ph)[:, None])
+                  * jnp.sin(th)[:, None])
+        w_sep = _f_raw(scene, hit.mat_id, hit.ng, -d, d_pert)
+        w_j = jnp.where(src_delta[:, None], bs.weight, w_sep)
+        d_next = jnp.where(src_delta[:, None], d_delta, d_pert)
+        out["w"] = out["w"].at[:, j].set(
+            jnp.where(step_ok[:, None], w_j, 1.0))
+        p = jnp.where(step_ok[:, None], hit.p, p)
+        d = jnp.where(step_ok[:, None], d_next, d)
+        active = step_ok & (j_end > j + 1) & (luminance(w_j) > 0)
+
+    # structure: every replaced slot must land with matching delta-ness
+    for j in range(kmax):
+        fj = jnp.full((C,), j)
+        need = fj < j_end
+        src_delta = _is_delta_v(scene, ps, min(j + 1, V - 1))
+        new_mat = out["mat"][:, j]
+        new_delta = is_delta_kind(scene.materials, new_mat) & (new_mat >= 0)
+        ok = ok & (~need | (out["valid"][:, j]
+                            & (new_delta == src_delta)))
+
+    Wy, blocked, _ = _chain_W(scene, ps, j_end, True, out, j_end, kmax)
+    ok = ok & ~blocked
+
+    # reverse weight from the source path's own chain: delta vertices use
+    # the cached component weight, separators use f |cos| (symmetric cone)
+    wsrc = jnp.ones((C, kmax, 3))
+    for j in range(kmax):
+        i = min(j + 1, V - 1)
+        wi, _ = _dirto(ps.pos[:, i], ps.pos[:, max(i - 1, 0)])
+        wo, _ = _dirto(ps.pos[:, i], ps.pos[:, min(i + 1, V - 1)])
+        sd = _is_delta_v(scene, ps, i)
+        w_v = _vw(scene, ps.mat[:, i], ps.ng[:, i], wi, wo)
+        w_f = _f_raw(scene, ps.mat[:, i], ps.ng[:, i], wi, wo)
+        wsrc = wsrc.at[:, j].set(jnp.where(sd[:, None], w_v, w_f))
+    src_retrace = dict(
+        pos=ps.pos[:, 1:kmax + 1], ng=ps.ng[:, 1:kmax + 1],
+        mat=ps.mat[:, 1:kmax + 1], w=wsrc,
+        valid=jnp.ones((C, kmax), bool))
+    Wx, blocked_x, _ = _chain_W(scene, ps, j_end, True, src_retrace,
+                                j_end, kmax)
+
+    a = jnp.where(ok & (luminance(Wx) > 1e-30),
+                  jnp.minimum(safe_div(luminance(Wy), luminance(Wx)), 1.0),
+                  0.0)
+
+    # assemble: slots 1..j_end replaced
+    prop_pos, prop_ng, prop_mat = [ps.pos[:, 0]], [ps.ng[:, 0]], \
+        [ps.mat[:, 0]]
+    for i in range(1, V):
+        fi = jnp.full((C,), i)
+        in_chain = fi <= j_end
+        jj = jnp.clip(fi - 1, 0, kmax - 1)
+        prop_pos.append(jnp.where(in_chain[:, None],
+                                  _gslot(out["pos"], jj),
+                                  ps.pos[:, i]))
+        prop_ng.append(jnp.where(in_chain[:, None],
+                                 _gslot(out["ng"], jj), ps.ng[:, i]))
+        prop_mat.append(jnp.where(in_chain, _gslot(out["mat"], jj),
+                                  ps.mat[:, i]))
+    prop = PathState(pos=jnp.stack(prop_pos, 1), ng=jnp.stack(prop_ng, 1),
+                     mat=jnp.stack(prop_mat, 1).astype(jnp.int32),
+                     em=ps.em, k=ps.k)
+    return prop, a, ok
+
+
 def mut_caustic(scene, cfg: MLTConfig, key, ps: PathState):
     """Caustic perturbation (mut_caustic.cpp): cone-perturb the emission
     direction, retrace through the light-side specular chain, reconnect
@@ -1119,7 +1289,7 @@ def build_seed_paths(scene: Scene, cfg: MLTConfig, key, n_chains: int,
 # ---------------------------------------------------------------- driver
 def render_mlt(scene: Scene, cfg: MLTConfig, film_cfg, root_key,
                n_steps: int, mutators=("bidir", "lens", "bidir",
-                                       "caustic")):
+                                       "caustic", "bidir", "mchain")):
     """Veach path-space MLT render (ref: mlt.cpp / mlt_proc.cpp).
 
     Cycles the mutator set per step; splats current/proposal with
@@ -1140,6 +1310,8 @@ def render_mlt(scene: Scene, cfg: MLTConfig, film_cfg, root_key,
             prop, a, ok = mut_bidir(scene, cfg, key, ps)
         elif which == "lens":
             prop, a, ok = mut_lens(scene, cfg, key, ps, *res)
+        elif which == "mchain":
+            prop, a, ok = mut_mchain(scene, cfg, key, ps, *res)
         else:
             prop, a, ok = mut_caustic(scene, cfg, key, ps)
         pval, plum, ppix, pok = eval_path(scene, prop, cfg.max_depth)

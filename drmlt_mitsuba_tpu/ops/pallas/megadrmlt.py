@@ -104,18 +104,29 @@ def _wrapped_cauchy_cos_sin(u, rho):
 # --------------------------------------------------------------- kernel
 def _mega_drmlt_kernel(
         tri_ref, mat_ref, em_ref, cam_ref, seed_ref, unif_ref,
-        state_ref, out_state_ref, film_ref, stats_ref, *,
+        tri_vmem_ref, sph_ref, tex_ref, state_ref, out_state_ref,
+        film_ref, stats_ref, rec_ref, *,
         n_tris, n_mats, n_ems, k_depth, light_image, kinds, eye_dims,
         n_dims, n_core, n_mut, drtype, p_large, s1, s2, sigma,
         scale_second, rho, kelemen_scale, timid_after_large,
         fix_emitter_path, em_lo, em_hi, film_h, film_w, n_chan, passes,
-        splat_mode, debug_uniforms, n_rand):
+        splat_mode, debug_uniforms, n_rand, splat_batch,
+        technique="mmlt", min_depth=1, rr_depth=1000, use_nee=True,
+        thinlens=False, env_const=False, n_sphs=0, tex_shape=None):
     f32 = jnp.float32
+    bf16 = jnp.bfloat16
     D = n_dims
     shape = state_ref.shape[1:]          # (8, L)
     L = shape[1]
     K = 8 * L
     zero = jnp.zeros(shape, f32)
+    # MMLT freezes the strategy dim (index 0) on small steps; the path
+    # technique has no frozen dims (dims 0/1 are the film position)
+    frozen0 = technique == "mmlt"
+    n_states = 1 if splat_mode == "sampled" else 3
+    mb = splat_batch                     # mutations batched per splat flush
+    NS = mb * n_states                   # splat slots per flush
+    NN = NS * K                          # contraction width of the flush
 
     if not debug_uniforms:
         pltpu.prng_seed(seed_ref[0]
@@ -126,64 +137,97 @@ def _mega_drmlt_kernel(
     def _init_film():
         film_ref[...] = jnp.zeros_like(film_ref)
 
-    # loop-invariant iotas for the splat one-hots
+    # loop-invariant iotas for the splat one-hots (i32 compares — the
+    # one Mosaic-proven lowering; bf16 cmpf on packed vectors fails to
+    # lower on real TPU, caught on-chip 2026-08-20)
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (film_h, K), 0)
-    colsC = jax.lax.broadcasted_iota(jnp.int32, (n_chan * film_w, K), 0)
-    cols_mod = colsC % film_w
-    chanC = colsC // film_w
+    cols_iota = jax.lax.broadcasted_iota(jnp.int32, (film_w, K), 0)
 
     # fixed-depth MMLT: dim 0 of the kernel's PSS layout is the (pinned)
     # depth; the chain's dims follow (strategy, eye..., light...)
     u_depth = jnp.full(shape, 1.0 - 0.5 / k_depth, f32)
 
     def trace(u_tiles):
-        vx, vy, vz, px, py = mmlt_trace_tile(
-            tri_ref, mat_ref, em_ref, cam_ref,
-            lambda j: u_depth if j == 0 else u_tiles[j - 1],
-            shape, n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
-            max_depth=k_depth, light_image=light_image, kinds=kinds,
-            eye_dims=eye_dims)
-        inv = 1.0 / k_depth          # undo the uniform-depth pmf factor
-        vx, vy, vz = vx * inv, vy * inv, vz * inv
+        if technique == "path":
+            from drmlt_mitsuba_tpu.ops.pallas.megatrace import (
+                path_trace_tile,
+            )
+            vx, vy, vz = path_trace_tile(
+                tri_ref, mat_ref, em_ref, cam_ref,
+                lambda j: u_tiles[j], shape, n_tris=n_tris,
+                n_mats=n_mats, n_ems=n_ems, max_depth=k_depth,
+                min_depth=min_depth, rr_depth=rr_depth, use_nee=use_nee,
+                kinds=kinds, thinlens=thinlens, env_const=env_const,
+                tri_vmem_ref=tri_vmem_ref, sph_ref=sph_ref,
+                n_sphs=n_sphs, tex_ref=tex_ref, tex_shape=tex_shape)
+            px, py = u_tiles[0], u_tiles[1]
+        else:
+            vx, vy, vz, px, py = mmlt_trace_tile(
+                tri_ref, mat_ref, em_ref, cam_ref,
+                lambda j: u_depth if j == 0 else u_tiles[j - 1],
+                shape, n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
+                max_depth=k_depth, light_image=light_image, kinds=kinds,
+                eye_dims=eye_dims, tri_vmem_ref=tri_vmem_ref)
+            inv = 1.0 / k_depth      # undo the uniform-depth pmf factor
+            vx, vy, vz = vx * inv, vy * inv, vz * inv
         lum = _lum(vx, vy, vz)
         lum = jnp.where(jnp.isfinite(lum) & (lum >= 0), lum, 0.0)
         li = jnp.where(lum > 0, 1.0 / jnp.maximum(lum, 1e-30), 0.0)
         return lum, px, py, vx * li, vy * li, vz * li
 
-    def splat3(states):
-        """Accumulate the weighted three-state splat into the VMEM film.
+    def stash_splats(m, states):
+        """Record this mutation's splat states into the VMEM ring buffer
+        and flush the batched one-hot matmul every `mb` mutations.
 
         states: list of (px, py, vr, vg, vb, w) tiles, pos in [0,1).
         Out-of-range pixels (pos == 1.0 after wrap) produce all-zero
-        one-hot rows, matching the XLA path's zero-weight drop.
+        one-hot columns, matching the XLA path's zero-weight drop.
+
+        Batching the splat across mutations is free: the film is a pure
+        accumulation, so only the CHAIN state is sequentially dependent —
+        deferring splats lengthens the matmul contraction dim (K -> NN)
+        for better MXU utilization and amortizes the one-hot builds.
         """
-        delta = jnp.zeros((film_h, n_chan * film_w), f32)
-        for (px, py, vr, vg, vb, w) in states:
-            pyi = jnp.floor(py * film_h).astype(jnp.int32).reshape(1, K)
-            pxi = jnp.floor(px * film_w).astype(jnp.int32).reshape(1, K)
-            A = (rows_iota == pyi).astype(jnp.bfloat16)
-            cr = (vr * w).reshape(1, K)
-            cg = (vg * w).reshape(1, K)
-            cb = (vb * w).reshape(1, K)
-            onc = cols_mod == pxi
-            B = (jnp.where(onc & (chanC == 0), cr, 0.0)
-                 + jnp.where(onc & (chanC == 1), cg, 0.0)
-                 + jnp.where(onc & (chanC == 2), cb, 0.0))
-            if n_chan == 4:
-                B = B + jnp.where(onc & (chanC == 3), w.reshape(1, K), 0.0)
+        slot0 = (m % mb) * n_states
+        for s, (px, py, vr, vg, vb, w) in enumerate(states):
+            r0 = (slot0 + s) * 6
+            pyi = jnp.floor(py * film_h)
+            pxi = jnp.floor(px * film_w)
+            for c, tile in enumerate((pyi, pxi, vr, vg, vb, w)):
+                rec_ref[pl.dslice(r0 + c, 1)] = tile[None]
+
+        @pl.when(m % mb == mb - 1)
+        def _flush():
             dn = (((1,), (1,)), ((), ()))
-            if passes == 2:
-                B_hi = B.astype(jnp.bfloat16)
-                B_lo = (B - B_hi.astype(f32)).astype(jnp.bfloat16)
-                delta += jax.lax.dot_general(
-                    A, B_hi, dn, preferred_element_type=f32)
-                delta += jax.lax.dot_general(
-                    A, B_lo, dn, preferred_element_type=f32)
-            else:
-                delta += jax.lax.dot_general(
-                    A, B.astype(jnp.bfloat16), dn,
-                    preferred_element_type=f32)
-        film_ref[0] += delta
+            b0 = jnp.zeros((), bf16)
+            deltas = [None] * n_chan
+            for i in range(NS):
+                pyi = rec_ref[i * 6 + 0].astype(jnp.int32).reshape(1, K)
+                pxi = rec_ref[i * 6 + 1].astype(jnp.int32).reshape(1, K)
+                w = rec_ref[i * 6 + 5].reshape(1, K)
+                eq_rows = rows_iota == pyi               # (H, K) bool
+                Bcol = (cols_iota == pxi).astype(bf16)   # (W, K)
+                for c in range(n_chan):
+                    if c < 3:
+                        v = rec_ref[i * 6 + 2 + c].reshape(1, K) * w
+                    else:
+                        v = w                            # weight channel
+                    if passes == 2:
+                        v_hi = v.astype(bf16)
+                        v_lo = (v - v_hi.astype(f32)).astype(bf16)
+                        A = jnp.where(eq_rows, v_hi, b0)
+                        d = jax.lax.dot_general(
+                            A, Bcol, dn, preferred_element_type=f32)
+                        A = jnp.where(eq_rows, v_lo, b0)
+                        d += jax.lax.dot_general(
+                            A, Bcol, dn, preferred_element_type=f32)
+                    else:
+                        A = jnp.where(eq_rows, v.astype(bf16), b0)
+                        d = jax.lax.dot_general(
+                            A, Bcol, dn, preferred_element_type=f32)
+                    deltas[c] = d if deltas[c] is None else deltas[c] + d
+            for c in range(n_chan):
+                film_ref[c] += deltas[c]
 
     # ---- mutation loop ---------------------------------------------------
     def uniform_fn(m):
@@ -220,7 +264,7 @@ def _mega_drmlt_kernel(
                 ang = u_ang[p] * (2.0 * _PI)
                 du0 = d * jnp.cos(ang)
                 du1 = d * jnp.sin(ang)
-                if 2 * p == 0:          # frozen strategy dim (index 0)
+                if 2 * p == 0 and frozen0:   # frozen strategy dim (MMLT)
                     du0 = zero
                 y_raw[2 * p] = x[2 * p] + du0
                 y_raw[2 * p + 1] = x[2 * p + 1] + du1
@@ -228,7 +272,7 @@ def _mega_drmlt_kernel(
             u_kel = [next_u() for _ in range(D)]
             for dd in range(D):
                 du = _kelemen_sample(u_kel[dd], s1, s2)
-                if dd == 0:
+                if dd == 0 and frozen0:
                     du = zero
                 y_raw[dd] = x[dd] + du
         y_raw = [jnp.where(large, ul, yr) for ul, yr in zip(u_large, y_raw)]
@@ -246,7 +290,8 @@ def _mega_drmlt_kernel(
                 #   z = y + |y-x| * (cos, sin)(th + atan2(-du1, -du0))
                 z_raw[2 * p] = y_raw[2 * p] - cth * du0 + sth * du1
                 z_raw[2 * p + 1] = y_raw[2 * p + 1] - sth * du0 - cth * du1
-            z_raw[0] = x[0]             # frozen dim anchors to current
+            if frozen0:
+                z_raw[0] = x[0]         # frozen dim anchors to current
         else:
             sig2 = scale_second * sigma
             u_g1 = [next_u() for _ in range(D)]
@@ -254,8 +299,9 @@ def _mega_drmlt_kernel(
             for dd in range(D):
                 z_raw[dd] = x[dd] + _gaussian_sample(u_g1[dd], u_g2[dd],
                                                      sig2)
-            z_raw[0] = x[0]
-        if fix_emitter_path:
+            if frozen0:
+                z_raw[0] = x[0]
+        if fix_emitter_path and technique == "mmlt":
             # stage-2 identity on emitter dims unless light-tracing
             # (drmlt_proc.cpp:133-141); s == k  <=>  t == 1
             s_cur = jnp.minimum(jnp.floor(x[0] * (k_depth + 1)),
@@ -290,7 +336,7 @@ def _mega_drmlt_kernel(
         elif drtype == "mira":
             a_rev = _clamp01_ratio(lum_y / jnp.maximum(lum_z, 1e-30))
             lq = zero
-            for dd in range(1, D):      # dim 0 frozen -> skipped
+            for dd in range(1 if frozen0 else 0, D):  # frozen dim skipped
                 lq = lq + (_kelemen_log_pdf(z_raw[dd] - y_raw[dd], s1, s2)
                            - _kelemen_log_pdf(x[dd] - y_raw[dd], s1, s2))
             q_ratio = jnp.where(large, 1.0, jnp.exp(lq))
@@ -328,13 +374,13 @@ def _mega_drmlt_kernel(
             def sel(ay, az, ax):
                 return jnp.where(pick_y, ay, jnp.where(pick_z, az, ax))
 
-            splat3([(sel(px_y, px_z, px_x), sel(py_y, py_z, py_x),
-                     sel(vr_y, vr_z, vr_x), sel(vg_y, vg_z, vg_x),
-                     sel(vb_y, vb_z, vb_x), jnp.ones(shape, f32))])
+            stash_splats(m, [(sel(px_y, px_z, px_x), sel(py_y, py_z, py_x),
+                              sel(vr_y, vr_z, vr_x), sel(vg_y, vg_z, vg_x),
+                              sel(vb_y, vb_z, vb_x), jnp.ones(shape, f32))])
         else:
-            splat3([(px_x, py_x, vr_x, vg_x, vb_x, w_x),
-                    (px_y, py_y, vr_y, vg_y, vb_y, w_y),
-                    (px_z, py_z, vr_z, vg_z, vb_z, w_z)])
+            stash_splats(m, [(px_x, py_x, vr_x, vg_x, vb_x, w_x),
+                             (px_y, py_y, vr_y, vg_y, vb_y, w_y),
+                             (px_z, py_z, vr_z, vg_z, vb_z, w_z)])
 
         # ---- state select: accept1 wins, then accept2 --------------------
         a1m = accept1
@@ -381,6 +427,24 @@ def mega_drmlt_eligible(scene, bcfg_k, dcfg, film_cfg) -> bool:
     return mega_mmlt_eligible(scene, bcfg_k)
 
 
+def mega_drmlt_path_eligible(scene, pcfg, dcfg, film_cfg) -> bool:
+    """Static host-side coverage check for the PATH-technique variant of
+    the multi-mutation kernel (megatrace's scene subset)."""
+    from drmlt_mitsuba_tpu.ops.pallas.megatrace import mega_eligible
+
+    if dcfg.use_mixture or dcfg.acceptance_map:
+        return False
+    if dcfg.type not in ("orbital", "mira", "green"):
+        return False
+    if film_cfg.filter.footprint != 1:       # box filter only
+        return False
+    if film_cfg.height % 8 or film_cfg.width % 128:
+        return False
+    if scene.emitters.env_image is not None:
+        return False   # image-env tables not yet wired into this kernel
+    return mega_eligible(scene, pcfg)
+
+
 def pack_chain_state(state, n_dims):
     """ChainState (C, D)/(C,)/(C, 1, 2)/(C, 1, 3) -> (D+6, 8, C//8)."""
     C = state.u.shape[0]
@@ -410,10 +474,14 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
                     n_dims: int, *, n_mut: int = 16, interpret: bool = False,
                     passes: int = 1, weight_channel: bool = True,
                     splat_mode: str = "three",
-                    debug_uniforms: bool = False, lane_block: int | None = None):
+                    debug_uniforms: bool = False,
+                    lane_block: int | None = None,
+                    technique: str = "mmlt"):
     """Build step_block(state_arr, seed2, [uniforms]) ->
     (state_arr, film_delta, stats) running n_mut whole DRMLT mutations of
-    a fixed-depth-k MMLT group in ONE Pallas launch.
+    a fixed-depth-k MMLT group (or, technique="path", of the
+    unidirectional path technique — bcfg_k is then a PathConfig and
+    k_depth its max_depth) in ONE Pallas launch.
 
     state_arr: (n_dims+6, 8, C//8) packed chain state (pack_chain_state).
     seed2: (2,) int32 [root seed, launch counter].
@@ -421,16 +489,34 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
     stats: (6,) sums over chains x mutations of [a1, a2, accept1,
     accept2, large, moved].
     """
-    tri, mat, emt, cam = pack_mega_tables(scene)
+    (tri, mat, emt, cam, sph, tri_ext, tex,
+     env_tab, env_col, env_row) = pack_mega_tables(scene)
     n_tris, n_mats, n_ems = tri.shape[0], mat.shape[0], emt.shape[0]
     kinds = tuple(sorted(set(
         int(k) for k in np.unique(np.asarray(scene.materials.kind)))))
-    n_core_chain = 1 + bcfg_k.eye_dims + bcfg_k.light_dims
+    if technique == "path":
+        n_core_chain = bcfg_k.n_dims
+        path_kw = dict(
+            technique="path", min_depth=bcfg_k.min_depth,
+            rr_depth=bcfg_k.rr_depth, use_nee=bcfg_k.use_nee,
+            thinlens=bool(getattr(bcfg_k, "thinlens", False)),
+            env_const=bool(float(np.abs(np.asarray(
+                scene.emitters.env_radiance)).sum()) > 0),
+            n_sphs=(sph.shape[0] if bool(np.any(
+                np.asarray(scene.spheres.valid))) else 0),
+            tex_shape=(tuple(np.asarray(scene.textures.data).shape[:3])
+                       if scene.textures is not None else None))
+    else:
+        n_core_chain = 1 + bcfg_k.eye_dims + bcfg_k.light_dims
+        path_kw = dict(technique="mmlt")
     assert n_dims >= n_core_chain and n_dims % 2 == 0
     H, W = film_cfg.height, film_cfg.width
     n_chan = 4 if weight_channel else 3
-    em_lo = 1 + bcfg_k.eye_dims
-    em_hi = em_lo + bcfg_k.light_dims
+    if technique == "path":
+        em_lo = em_hi = 0
+    else:
+        em_lo = 1 + bcfg_k.eye_dims
+        em_hi = em_lo + bcfg_k.light_dims
 
     if dcfg.type == "orbital":
         n_rand = 3 + n_dims + n_dims // 2 + n_dims // 2 + n_dims // 2
@@ -445,22 +531,8 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
     # input there; on real TPU the in-kernel PRNG is the fast path
     debug_uniforms = debug_uniforms or interpret
 
-    kernel = functools.partial(
-        _mega_drmlt_kernel, n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
-        k_depth=k_depth, light_image=bool(bcfg_k.light_image), kinds=kinds,
-        eye_dims=bcfg_k.eye_dims, n_dims=n_dims, n_core=n_core_chain,
-        n_mut=n_mut, drtype=dcfg.type, p_large=float(dcfg.p_large),
-        s1=float(dcfg.s1), s2=float(dcfg.s2), sigma=float(dcfg.sigma),
-        scale_second=float(dcfg.scale_second), rho=float(dcfg.rho),
-        kelemen_scale=float(dcfg.kelemen_scale),
-        timid_after_large=bool(dcfg.timid_after_large),
-        fix_emitter_path=bool(dcfg.fix_emitter_path),
-        em_lo=em_lo, em_hi=em_hi, film_h=H, film_w=W, n_chan=n_chan,
-        passes=passes, splat_mode=splat_mode,
-        debug_uniforms=debug_uniforms, n_rand=n_rand,
-    )
-
     NR = n_dims + 6
+    n_states = 1 if splat_mode == "sampled" else 3
 
     @jax.jit
     def step_block(state_arr, seed2, uniforms=None):
@@ -471,6 +543,12 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
             # measured on v5e (scripts/tune_megadrmlt.py): L=256 beats 128
             # and 512 at every depth (k=4: 29.2 vs 25.0/26.3 M mut/s)
             L = 256 if R8 % 256 == 0 else (128 if R8 % 128 == 0 else R8)
+        # splat batch: defer splats until the matmul contraction width
+        # reaches ~8192 columns (VMEM budget for the (H, NN) one-hots),
+        # constrained to divide n_mut so the last flush is never partial
+        mb = max(1, min(n_mut, 8192 // (n_states * 8 * L)))
+        while n_mut % mb:
+            mb -= 1
         if uniforms is None and debug_uniforms:
             key = jax.random.PRNGKey(0)
             key = jax.random.fold_in(key, seed2[0])
@@ -478,6 +556,24 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
             uniforms = jax.random.uniform(key, (n_mut * n_rand, 8, R8))
         elif uniforms is None:
             uniforms = jnp.zeros((1, 8, R8), jnp.float32)
+        kernel = functools.partial(
+            _mega_drmlt_kernel, n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
+            k_depth=k_depth,
+            light_image=bool(getattr(bcfg_k, "light_image", False)),
+            kinds=kinds, eye_dims=getattr(bcfg_k, "eye_dims", 0),
+            n_dims=n_dims,
+            n_core=n_core_chain, n_mut=n_mut, drtype=dcfg.type,
+            p_large=float(dcfg.p_large), s1=float(dcfg.s1),
+            s2=float(dcfg.s2), sigma=float(dcfg.sigma),
+            scale_second=float(dcfg.scale_second), rho=float(dcfg.rho),
+            kelemen_scale=float(dcfg.kelemen_scale),
+            timid_after_large=bool(dcfg.timid_after_large),
+            fix_emitter_path=bool(dcfg.fix_emitter_path),
+            em_lo=em_lo, em_hi=em_hi, film_h=H, film_w=W, n_chan=n_chan,
+            passes=passes, splat_mode=splat_mode,
+            debug_uniforms=debug_uniforms, n_rand=n_rand, splat_batch=mb,
+            **path_kw,
+        )
         out_state, film, stats = pl.pallas_call(
             kernel,
             grid=(R8 // L,),
@@ -493,22 +589,31 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((uniforms.shape[0], 8, L),
                              lambda i: (0, 0, i)),
+                pl.BlockSpec((n_tris, 28), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((sph.shape[0], 8), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tex.shape[0], 4), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((NR, 8, L), lambda i: (0, 0, i)),
             ],
             out_specs=[
                 pl.BlockSpec((NR, 8, L), lambda i: (0, 0, i)),
-                pl.BlockSpec((1, H, n_chan * W), lambda i: (0, 0, 0)),
+                pl.BlockSpec((n_chan, H, W), lambda i: (0, 0, 0)),
                 pl.BlockSpec((6, 8, L), lambda i: (0, 0, i)),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((NR, 8, R8), jnp.float32),
-                jax.ShapeDtypeStruct((1, H, n_chan * W), jnp.float32),
+                jax.ShapeDtypeStruct((n_chan, H, W), jnp.float32),
                 jax.ShapeDtypeStruct((6, 8, R8), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((mb * n_states * 6, 8, L), jnp.float32),
             ],
             interpret=interpret,
         )(tri, mat, emt, cam, jnp.asarray(seed2, jnp.int32), uniforms,
-          state_arr)
-        film_delta = film[0].reshape(H, n_chan, W).transpose(0, 2, 1)
+          tri_ext, sph, tex, state_arr)
+        film_delta = film.transpose(1, 2, 0)
         return out_state, film_delta, stats.sum(axis=(1, 2))
 
     return step_block

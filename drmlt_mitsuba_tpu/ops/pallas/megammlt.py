@@ -51,6 +51,12 @@ def mega_mmlt_eligible(scene: Scene, cfg) -> bool:
     # (megatrace-only feature); constant-env scenes stay on the XLA path
     if float(np.abs(np.asarray(scene.emitters.env_radiance)).sum()) > 0:
         return False
+    # the MMLT walk has no sphere vertices / bitmap albedos yet
+    # (megatrace-only features)
+    if bool(np.any(np.asarray(scene.spheres.valid))):
+        return False
+    if scene.textures is not None:
+        return False
 
     class _P:   # adapt: mega_eligible reads path-config style fields
         thinlens = False
@@ -143,7 +149,8 @@ def _sel_copy(dst, sel, src):
     return {k: jnp.where(sel, src[k], dst[k]) for k in _VTX_KEYS}
 
 
-def _mega_mmlt_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
+def _mega_mmlt_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref,
+                      tri_vmem_ref, out_ref, *,
                       n_tris, n_mats, n_ems, max_depth, light_image, kinds,
                       eye_dims):
     """One MMLT mutation trace per lane (8, L) tile."""
@@ -151,7 +158,7 @@ def _mega_mmlt_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
         tri_ref, mat_ref, em_ref, cam_ref, lambda j: u_ref[j],
         u_ref.shape[1:], n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
         max_depth=max_depth, light_image=light_image, kinds=kinds,
-        eye_dims=eye_dims)
+        eye_dims=eye_dims, tri_vmem_ref=tri_vmem_ref)
     out_ref[0] = vx
     out_ref[1] = vy
     out_ref[2] = vz
@@ -161,7 +168,7 @@ def _mega_mmlt_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
 
 def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
                     n_tris, n_mats, n_ems, max_depth, light_image, kinds,
-                    eye_dims):
+                    eye_dims, tri_vmem_ref=None):
     """The whole selected-strategy MMLT trace on one (8, L) tile.
 
     `udim(j)` yields PSS dim j as a tile (a ref read for the one-shot
@@ -227,8 +234,16 @@ def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
         pnx, pny, pnz = src_ns
 
         for v in range(1, n_slots):
-            best_t, av = _closest_sweep(tri_ref, n_tris, shape,
-                                        ox, oy, oz, dx, dy, dz)
+            if tri_vmem_ref is not None:
+                from drmlt_mitsuba_tpu.ops.pallas.megatrace import (
+                    closest_sweep_idx, fetch_tri_attrs,
+                )
+                best_t, best_id = closest_sweep_idx(
+                    tri_ref, n_tris, shape, ox, oy, oz, dx, dy, dz)
+                av = fetch_tri_attrs(tri_vmem_ref, n_tris, shape, best_id)
+            else:
+                best_t, av = _closest_sweep(tri_ref, n_tris, shape,
+                                            ox, oy, oz, dx, dy, dz)
             hit_valid = best_t < _INF
             t_hit = jnp.where(hit_valid, best_t, _INF)
             active = act & hit_valid
@@ -708,7 +723,8 @@ def make_mega_mmlt(scene: Scene, cfg, interpret: bool = False):
     n_strats scalings are applied inside the kernel."""
     from drmlt_mitsuba_tpu.integrators.path import Splats
 
-    tri, mat, emt, cam = pack_mega_tables(scene)
+    (tri, mat, emt, cam, _sph, tri_ext,
+     *_rest) = pack_mega_tables(scene)
     n_tris, n_mats, n_ems = tri.shape[0], mat.shape[0], emt.shape[0]
     kinds = tuple(sorted(set(
         int(k) for k in np.unique(np.asarray(scene.materials.kind)))))
@@ -742,12 +758,14 @@ def make_mega_mmlt(scene: Scene, cfg, interpret: bool = False):
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((n_core, 8, L), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_tris, 28), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((5, 8, L), lambda i: (0, 0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((5, 8, R8), jnp.float32),
             interpret=interpret,
-        )(tri, mat, emt, cam, uT)
+        )(tri, mat, emt, cam, uT, tri_ext)
         value = out[0:3].reshape(3, R).T
         pos = out[3:5].reshape(2, R).T
         lum = (value * jnp.asarray([0.212671, 0.715160, 0.072169])).sum(-1)

@@ -62,6 +62,9 @@ _TRI_COLS = 20   # v0 e1 e2 n0 n1 n2 mat_id erow
 _MAT_COLS = 18   # kind albedo eta k rough spec_refl spec_trans
 _EM_COLS = 20    # rad area pmf cdf v0 e1 e2 ng
 _CAM_COLS = 24   # R00..R22 t0..t2 thx thy aperture focus env_rgb pad
+_SPH_COLS = 8    # center radius mat_id emitter_id valid pad
+_TRI_EXT_COLS = 28  # _TRI_COLS attrs + uv0 uv1 uv2 + pad (VMEM fetch table)
+_TEX_COLS = 4    # rgb + pad (flattened texture atlas rows)
 
 
 # ---------------------------------------------------------------- SoA math
@@ -270,6 +273,7 @@ def pack_mega_tables(scene: Scene):
     mat[:, 10] = np.maximum(np.asarray(mats.roughness, np.float32), 1e-3)
     mat[:, 11:14] = np.asarray(mats.spec_refl, np.float32)
     mat[:, 14:17] = np.asarray(mats.spec_trans, np.float32)
+    mat[:, 17] = np.asarray(mats.tex_id, np.float32)
 
     em = scene.emitters
     E = np.asarray(em.kind).shape[0]
@@ -285,6 +289,7 @@ def pack_mega_tables(scene: Scene):
     ng = np.cross(e1[ti], e2[ti])
     ng /= np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
     emt[:, 15:18] = ng
+    emt[:, 18] = np.asarray(em.kind, np.float32)
 
     cam = np.zeros((1, _CAM_COLS), np.float32)
     c2w = np.asarray(scene.camera.to_world, np.float32)
@@ -295,8 +300,54 @@ def pack_mega_tables(scene: Scene):
     cam[0, 14] = float(np.asarray(scene.camera.aperture_radius))
     cam[0, 15] = float(np.asarray(scene.camera.focus_distance))
     cam[0, 16:19] = np.asarray(scene.emitters.env_radiance, np.float32)
+
+    sp = scene.spheres
+    sv = np.asarray(sp.valid, bool)
+    S = max(1, sv.shape[0])
+    sph = np.zeros((S, _SPH_COLS), np.float32)
+    if sv.shape[0]:
+        sph[:sv.shape[0], 0:3] = np.asarray(sp.center, np.float32)
+        sph[:sv.shape[0], 3] = np.asarray(sp.radius, np.float32)
+        sph[:sv.shape[0], 4] = np.asarray(sp.mat_id, np.float32)
+        sph[:sv.shape[0], 5] = np.asarray(sp.emitter_id, np.float32)
+        sph[:sv.shape[0], 6] = sv.astype(np.float32)
+
+    # VMEM fetch table: the 20 sweep attrs + interpolatable uvs, padded
+    # to a 512-row multiple for the chunked big-scene sweeps (padding has
+    # zero edges -> det 0 -> never hits)
+    Tp = -(-T // 512) * 512
+    tri_ext = np.zeros((Tp, _TRI_EXT_COLS), np.float32)
+    tri_ext[:T, :_TRI_COLS] = tri
+    tri_ext[:T, 20:22] = np.asarray(tris.uv0, np.float32)
+    tri_ext[:T, 22:24] = np.asarray(tris.uv1, np.float32)
+    tri_ext[:T, 24:26] = np.asarray(tris.uv2, np.float32)
+
+    # flattened texture atlas (N, H, W, 3) -> (N*H*W, 4)
+    if scene.textures is not None:
+        td = np.asarray(scene.textures.data, np.float32)
+        tex = np.zeros((td.shape[0] * td.shape[1] * td.shape[2],
+                        _TEX_COLS), np.float32)
+        tex[:, 0:3] = td.reshape(-1, 3)
+    else:
+        tex = np.zeros((1, _TEX_COLS), np.float32)
+
+    # image environment: flattened (He*We, 4) [rgb pmf] + cdf tables
+    if em.env_image is not None:
+        ei = np.asarray(em.env_image, np.float32)
+        he, we = ei.shape[:2]
+        env_tab = np.zeros((he * we, _TEX_COLS), np.float32)
+        env_tab[:, 0:3] = ei.reshape(-1, 3)
+        env_tab[:, 3] = np.asarray(em.env_pmf, np.float32).reshape(-1)
+        env_col = np.asarray(em.env_col_cdf, np.float32)
+        env_row = np.asarray(em.env_row_cdf, np.float32)[:, None]
+    else:
+        env_tab = np.zeros((1, _TEX_COLS), np.float32)
+        env_col = np.zeros((1, 1), np.float32)
+        env_row = np.zeros((1, 1), np.float32)
     return (jnp.asarray(tri), jnp.asarray(mat), jnp.asarray(emt),
-            jnp.asarray(cam))
+            jnp.asarray(cam), jnp.asarray(sph), jnp.asarray(tri_ext),
+            jnp.asarray(tex), jnp.asarray(env_tab), jnp.asarray(env_col),
+            jnp.asarray(env_row))
 
 
 def pack_mega_tables_jnp(scene: Scene):
@@ -330,7 +381,7 @@ def pack_mega_tables_jnp(scene: Scene):
                     1e-3)[:, None],
         jnp.asarray(mats.spec_refl, jnp.float32),
         jnp.asarray(mats.spec_trans, jnp.float32),
-        jnp.zeros((mats.kind.shape[0], 1), jnp.float32),
+        jnp.asarray(mats.tex_id, jnp.float32)[:, None],
     ], axis=1)
 
     em = scene.emitters
@@ -347,7 +398,8 @@ def pack_mega_tables_jnp(scene: Scene):
         jnp.asarray(em.pmf, jnp.float32)[:, None],
         jnp.asarray(em.cdf, jnp.float32)[:, None],
         v0e, e1e, e2e, ng,
-        jnp.zeros((ti.shape[0], _EM_COLS - 18), jnp.float32),
+        jnp.asarray(em.kind, jnp.float32)[:, None],
+        jnp.zeros((ti.shape[0], _EM_COLS - 19), jnp.float32),
     ], axis=1)
 
     c2w = jnp.asarray(scene.camera.to_world, jnp.float32)
@@ -360,7 +412,54 @@ def pack_mega_tables_jnp(scene: Scene):
         jnp.asarray(scene.emitters.env_radiance, jnp.float32).reshape(3),
         jnp.zeros((_CAM_COLS - 19,), jnp.float32),
     ]).reshape(1, _CAM_COLS)
-    return tri, mat, emt, cam
+    sp = scene.spheres
+    sv = jnp.asarray(sp.valid, bool)
+    S = max(1, sv.shape[0])
+    if sv.shape[0]:
+        sph = jnp.concatenate([
+            jnp.asarray(sp.center, jnp.float32),
+            jnp.asarray(sp.radius, jnp.float32)[:, None],
+            jnp.asarray(sp.mat_id, jnp.float32)[:, None],
+            jnp.asarray(sp.emitter_id, jnp.float32)[:, None],
+            sv.astype(jnp.float32)[:, None],
+            jnp.zeros((sv.shape[0], _SPH_COLS - 7), jnp.float32),
+        ], axis=1)
+    else:
+        sph = jnp.zeros((S, _SPH_COLS), jnp.float32)
+
+    tri_ext = jnp.concatenate([
+        tri,
+        jnp.asarray(tris.uv0, jnp.float32),
+        jnp.asarray(tris.uv1, jnp.float32),
+        jnp.asarray(tris.uv2, jnp.float32),
+        jnp.zeros((T, _TRI_EXT_COLS - _TRI_COLS - 6), jnp.float32),
+    ], axis=1)
+    Tp = -(-T // 512) * 512
+    tri_ext = jnp.concatenate([
+        tri_ext,
+        jnp.zeros((Tp - T, _TRI_EXT_COLS), jnp.float32)], axis=0)
+    if scene.textures is not None:
+        td = jnp.asarray(scene.textures.data, jnp.float32)
+        flat = td.reshape(-1, 3)
+        tex = jnp.concatenate(
+            [flat, jnp.zeros((flat.shape[0], _TEX_COLS - 3),
+                             jnp.float32)], axis=1)
+    else:
+        tex = jnp.zeros((1, _TEX_COLS), jnp.float32)
+
+    if em.env_image is not None:
+        ei = jnp.asarray(em.env_image, jnp.float32)
+        env_tab = jnp.concatenate([
+            ei.reshape(-1, 3),
+            jnp.asarray(em.env_pmf, jnp.float32).reshape(-1, 1),
+        ], axis=1)
+        env_col = jnp.asarray(em.env_col_cdf, jnp.float32)
+        env_row = jnp.asarray(em.env_row_cdf, jnp.float32)[:, None]
+    else:
+        env_tab = jnp.zeros((1, _TEX_COLS), jnp.float32)
+        env_col = jnp.zeros((1, 1), jnp.float32)
+        env_row = jnp.zeros((1, 1), jnp.float32)
+    return tri, mat, emt, cam, sph, tri_ext, tex, env_tab, env_col, env_row
 
 
 def mega_eligible(scene: Scene, cfg) -> bool:
@@ -381,19 +480,40 @@ def mega_eligible(scene: Scene, cfg) -> bool:
                 and not getattr(cfg, "thinlens", False)):
             return False
         if scene.textures is not None:
-            return False
+            td = np.asarray(scene.textures.data)
+            # in-kernel bilinear atlas fetch (round 4): small atlases
+            # only — the one-hot build costs n_texels x lanes VPU ops
+            if td.shape[0] * td.shape[1] * td.shape[2] > 16384:
+                return False
+            mtm = scene.materials
+            if getattr(mtm, "has_normalmap", False):
+                return False   # normal pages still wavefront-only
         if getattr(scene, "vcolors", None) is not None:
             return False   # per-vertex colors need the wavefront albedo
         if getattr(scene, "irawan", None) is not None:
             return False   # woven cloth needs the uv-aware wavefront
         em = scene.emitters
         if em.env_image is not None:
-            return False   # image env needs CDF NEE tables in-kernel
+            # in-kernel image env (round 4): escape bilinear + CDF NEE
+            # tables via one-hot fetches — small lat-long maps only
+            ei = np.asarray(em.env_image)
+            if ei.shape[0] * ei.shape[1] > 8192 or ei.shape[0] > 64:
+                return False
+            kinds_ok = np.isin(np.asarray(em.kind), (EMITTER_AREA, 4))
+            if not bool(np.all(kinds_ok)):
+                return False
         # constant env_radiance IS supported (escape add, no NEE row)
-        if not bool(np.all(np.asarray(em.kind) == EMITTER_AREA)):
+        elif not bool(np.all(np.asarray(em.kind) == EMITTER_AREA)):
             return False
-        if bool(np.any(np.asarray(scene.spheres.valid))):
-            return False
+        sv = np.asarray(scene.spheres.valid)
+        if bool(np.any(sv)):
+            # analytic spheres are in-kernel (round 4); sphere EMITTERS
+            # and very large sphere counts stay on the wavefront
+            if bool(np.any(sv & (np.asarray(scene.spheres.emitter_id)
+                                 >= 0))):
+                return False
+            if sv.shape[0] > 64:    # SMEM table budget
+                return False
         mt = scene.materials
         if mt.has_mask or mt.has_mixture or mt.has_coating:
             return False   # modifier wrappers live only in render/bsdf.py
@@ -403,23 +523,260 @@ def mega_eligible(scene: Scene, cfg) -> bool:
         if not kinds.issubset(set(SUPPORTED_KINDS)):
             return False
         T = np.asarray(scene.tris.v0).shape[0]
-        if T > 8192:      # SMEM scalar-table budget
+        if T > 65536:     # VMEM chunked-sweep budget (SMEM path <= 8192)
             return False
         return True
     except Exception:
         return False
 
 
-# ---------------------------------------------------------------- kernel
-def _mega_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
-                 n_tris, n_mats, n_ems, max_depth, min_depth, rr_depth,
-                 use_nee, kinds, thinlens=False, env_const=False):
+# ---------------------------------------------------------------- sweeps
+def closest_sweep_idx(tri_ref, n_tris, shape, ox, oy, oz, dx, dy, dz):
+    """Closest-hit sweep carrying ONLY (best_t, best_idx).
+
+    The round-3 sweep carried all 20 winner attributes through the
+    triangle loop — 21 selects per (ray, triangle) on top of ~25
+    intersection ops.  Carrying the index alone cuts the loop to ~27
+    ops/triangle; the winner's attributes are fetched afterwards with one
+    one-hot MXU matmul (fetch_tri_attrs)."""
     f32 = jnp.float32
 
-    def udim(j):
-        return u_ref[j]
+    def body(t, carry):
+        best_t, best_id = carry
+        v0x, v0y, v0z = tri_ref[t, 0], tri_ref[t, 1], tri_ref[t, 2]
+        e1x, e1y, e1z = tri_ref[t, 3], tri_ref[t, 4], tri_ref[t, 5]
+        e2x, e2y, e2z = tri_ref[t, 6], tri_ref[t, 7], tri_ref[t, 8]
+        px, py, pz = _cross(dx, dy, dz, e2x, e2y, e2z)
+        det = e1x * px + e1y * py + e1z * pz
+        ok = jnp.abs(det) > 1e-12
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+        b1 = (tx * px + ty * py + tz * pz) * inv
+        qx, qy, qz = _cross(tx, ty, tz, e1x, e1y, e1z)
+        b2 = (dx * qx + dy * qy + dz * qz) * inv
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+        hit = (ok & (b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+               & (tt > RAY_EPS) & (tt < best_t))
+        best_t = jnp.where(hit, tt, best_t)
+        best_id = jnp.where(hit, t, best_id)
+        return best_t, best_id
 
-    shape = u_ref.shape[1:]          # (8, L)
+    return jax.lax.fori_loop(
+        0, n_tris, body,
+        (jnp.full(shape, _INF, f32), jnp.full(shape, -1, jnp.int32)))
+
+
+def closest_sweep_chunked(tri_vmem_ref, n_tris, shape,
+                          ox, oy, oz, dx, dy, dz, chunk=512):
+    """Closest-hit sweep for scenes past the SMEM scalar-table budget:
+    triangle data streams from the VMEM fetch table in (chunk, 1) column
+    slices broadcast against per-sublane (1, L) ray rows — O(T) work like
+    the brute sweep, but bounded only by VMEM (~65k tris), not SMEM.
+
+    Returns (best_t, best_id) as (8, L) tiles."""
+    f32 = jnp.float32
+    L = shape[1]
+    n_chunks = -(-n_tris // chunk)
+    BIG = jnp.float32(3.0e37)
+
+    bt_rows, bi_rows = [], []
+    for sub in range(shape[0]):
+        oxs = ox[sub:sub + 1]
+        oys = oy[sub:sub + 1]
+        ozs = oz[sub:sub + 1]
+        dxs = dx[sub:sub + 1]
+        dys = dy[sub:sub + 1]
+        dzs = dz[sub:sub + 1]
+
+        def body(c, carry, oxs=oxs, oys=oys, ozs=ozs, dxs=dxs, dys=dys,
+                 dzs=dzs):
+            best_t, best_id = carry
+            rows = tri_vmem_ref[pl.dslice(c * chunk, chunk), :]
+            v0x = rows[:, 0:1]
+            v0y = rows[:, 1:2]
+            v0z = rows[:, 2:3]
+            e1x = rows[:, 3:4]
+            e1y = rows[:, 4:5]
+            e1z = rows[:, 5:6]
+            e2x = rows[:, 6:7]
+            e2y = rows[:, 7:8]
+            e2z = rows[:, 8:9]
+            px = dys * e2z - dzs * e2y        # (chunk, L)
+            py = dzs * e2x - dxs * e2z
+            pz = dxs * e2y - dys * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            ok = jnp.abs(det) > 1e-12
+            inv = 1.0 / jnp.where(ok, det, 1.0)
+            tx = oxs - v0x
+            ty = oys - v0y
+            tz = ozs - v0z
+            b1 = (tx * px + ty * py + tz * pz) * inv
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            b2 = (dxs * qx + dys * qy + dzs * qz) * inv
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+            hit = (ok & (b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+                   & (tt > RAY_EPS))
+            # padding rows past n_tris have zero edges -> det 0 -> miss
+            t_m = jnp.where(hit, tt, BIG)
+            m = jnp.min(t_m, axis=0, keepdims=True)       # (1, L)
+            iota = (jax.lax.broadcasted_iota(jnp.int32, (chunk, L), 0)
+                    + c * chunk)
+            idx = jnp.min(jnp.where(t_m == m, iota, jnp.int32(2 ** 30)),
+                          axis=0, keepdims=True)
+            better = m < best_t
+            best_t = jnp.where(better, m, best_t)
+            best_id = jnp.where(better, idx, best_id)
+            return best_t, best_id
+
+        bt, bi = jax.lax.fori_loop(
+            0, n_chunks, body,
+            (jnp.full((1, L), _INF, f32), jnp.full((1, L), -1, jnp.int32)))
+        bt_rows.append(bt)
+        bi_rows.append(bi)
+    return (jnp.concatenate(bt_rows, axis=0),
+            jnp.concatenate(bi_rows, axis=0))
+
+
+def shadow_sweep_chunked(tri_vmem_ref, n_tris, shape,
+                         ox, oy, oz, dx, dy, dz, tmax, chunk=512):
+    """Any-hit version of closest_sweep_chunked."""
+    L = shape[1]
+    n_chunks = -(-n_tris // chunk)
+    out_rows = []
+    for sub in range(shape[0]):
+        oxs = ox[sub:sub + 1]
+        oys = oy[sub:sub + 1]
+        ozs = oz[sub:sub + 1]
+        dxs = dx[sub:sub + 1]
+        dys = dy[sub:sub + 1]
+        dzs = dz[sub:sub + 1]
+        tms = tmax[sub:sub + 1]
+
+        def body(c, blocked, oxs=oxs, oys=oys, ozs=ozs, dxs=dxs, dys=dys,
+                 dzs=dzs, tms=tms):
+            rows = tri_vmem_ref[pl.dslice(c * chunk, chunk), :]
+            v0x = rows[:, 0:1]
+            v0y = rows[:, 1:2]
+            v0z = rows[:, 2:3]
+            e1x = rows[:, 3:4]
+            e1y = rows[:, 4:5]
+            e1z = rows[:, 5:6]
+            e2x = rows[:, 6:7]
+            e2y = rows[:, 7:8]
+            e2z = rows[:, 8:9]
+            px = dys * e2z - dzs * e2y
+            py = dzs * e2x - dxs * e2z
+            pz = dxs * e2y - dys * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            ok = jnp.abs(det) > 1e-12
+            inv = 1.0 / jnp.where(ok, det, 1.0)
+            tx = oxs - v0x
+            ty = oys - v0y
+            tz = ozs - v0z
+            b1 = (tx * px + ty * py + tz * pz) * inv
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            b2 = (dxs * qx + dys * qy + dzs * qz) * inv
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+            hit = (ok & (b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+                   & (tt > RAY_EPS) & (tt < tms))
+            any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0,
+                              keepdims=True)
+            return jnp.maximum(blocked, any_hit)
+
+        out_rows.append(jax.lax.fori_loop(
+            0, n_chunks, body, jnp.zeros((1, L), jnp.float32)))
+    return jnp.concatenate(out_rows, axis=0) > 0.5
+
+
+def fetch_rows(table_ref, n_rows, shape, row_id, passes=3, chunk=None):
+    """Per-lane row select from a VMEM table via one-hot MXU matmuls:
+    table(R, COLS)^T @ onehot(R, K).  Returns one (8, L) tile per column.
+
+    row_id == -1 (miss) produces an all-zero one-hot column, so every
+    column reads 0 — callers mask accordingly.
+
+    passes: telescoped bf16 splits of the f32 table.  3 passes (hi +
+    (x-hi) + (x-hi-mid)) capture 3x8 = 24 mantissa bits; each residual
+    subtraction is exact in f32, so the sum reconstructs the selected
+    value bit-for-bit.  2 passes give ~16 bits (plenty for [0,1] colors);
+    1 pass is plain bf16."""
+    K = shape[0] * shape[1]
+    ids = row_id.reshape(1, K)
+    dn = (((0,), (0,)), ((), ()))
+    if chunk is not None:
+        # big tables: stream (chunk, COLS) slices so the bf16 splits and
+        # one-hots never materialize at full table size
+        n_cols = table_ref.shape[1]
+        n_chunks = -(-n_rows // chunk)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (chunk, K), 0)
+
+        def body(c, out):
+            rows = table_ref[pl.dslice(c * chunk, chunk), :]
+            oh = (iota_c == (ids - c * chunk)).astype(jnp.bfloat16)
+            rem = rows
+            for _ in range(passes):
+                part = rem.astype(jnp.bfloat16)
+                rem = rem - part.astype(jnp.float32)
+                out += jax.lax.dot_general(
+                    part, oh, dn, preferred_element_type=jnp.float32)
+            return out
+
+        out = jax.lax.fori_loop(
+            0, n_chunks, body, jnp.zeros((n_cols, K), jnp.float32))
+        tab = table_ref
+    else:
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n_rows, K), 0)
+        onehot = (iota == ids).astype(jnp.bfloat16)
+        tab = table_ref[...] if hasattr(table_ref, "shape") else table_ref
+        out = None
+        rem = tab
+        for _ in range(passes):
+            part = rem.astype(jnp.bfloat16)
+            rem = rem - part.astype(jnp.float32)
+            d = jax.lax.dot_general(part, onehot, dn,
+                                    preferred_element_type=jnp.float32)
+            out = d if out is None else out + d
+    # un-flatten (COLS, K) rows back to (8, L) tiles.  A direct
+    # reshape(K) -> (8, L) does NOT lower in Mosaic (tpu.reshape
+    # vector<Kxf32> -> vector<8xLxf32>, caught on-chip 2026-08-20); lane
+    # slices at L-multiples + a sublane concat do.
+    L = shape[1]
+    res = []
+    for c in range(tab.shape[1]):
+        rows = [out[c:c + 1, s * L:(s + 1) * L] for s in range(shape[0])]
+        res.append(jnp.concatenate(rows, axis=0))
+    return tuple(res)
+
+
+def fetch_tri_attrs(tri_vmem_ref, n_tris, shape, best_id, chunk=None):
+    """Winner-attribute fetch (see fetch_rows; exact 3-pass select)."""
+    return fetch_rows(tri_vmem_ref, tri_vmem_ref.shape[0], shape, best_id,
+                      passes=3, chunk=chunk)
+
+
+# ---------------------------------------------------------------- kernel
+def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
+                    n_tris, n_mats, n_ems, max_depth, min_depth, rr_depth,
+                    use_nee, kinds, thinlens=False, env_const=False,
+                    tri_vmem_ref=None, sph_ref=None, n_sphs=0,
+                    tex_ref=None, tex_shape=None, env_tab_ref=None,
+                    env_col_ref=None, env_row_ref=None, env_shape=None,
+                    env_row_pick=0.0, emit_grad=False, big_scene=False):
+    """The whole unidirectional path trace on one (8, L) lane tile.
+
+    udim(j) -> (8, L) tile of PSS dim j (integrators/layout.py order).
+    Returns (Lx, Ly, Lz) radiance tiles.  Reusable from other kernels
+    (the path-technique DRMLT megakernel embeds it in its chain loop the
+    same way megadrmlt embeds mmlt_trace_tile).
+
+    tri_vmem_ref: optional VMEM copy of the triangle table — enables the
+    idx-carry sweep + one-hot MXU attribute fetch (~1.6x on the sweep);
+    None falls back to the attribute-carry sweep."""
+    f32 = jnp.float32
     zero = jnp.zeros(shape, f32)
     one = jnp.ones(shape, f32)
 
@@ -455,6 +812,13 @@ def _mega_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
 
     tpx = tpy = tpz = one
     Lx = Ly = Lz = zero
+    # per-lane emitter-radiance Jacobian rows: T[e][c] accumulates the
+    # throughput-weight of every contribution that is LINEAR in
+    # emitters.radiance[e, c] — value[c] = sum_e T[e][c] * rad[e, c] plus
+    # radiance-independent terms, so d value[c]/d rad[e, c] = T[e][c]
+    # exactly (the in-kernel fast adjoint, round 4)
+    if emit_grad:
+        Tacc = [[zero, zero, zero] for _ in range(n_ems)]
     active = jnp.ones(shape, bool)
     prev_pdf = zero
     prev_delta = jnp.ones(shape, bool)
@@ -466,6 +830,24 @@ def _mega_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
 
         carry: best_t + 20 attribute tiles (v0 e1 e2 n0 n1 n2 mat erow).
         """
+        if big_scene:
+            # past the SMEM table budget: chunked VMEM sweep + fetch
+            best_t, best_id = closest_sweep_chunked(
+                tri_vmem_ref, n_tris, shape, ox, oy, oz, dx, dy, dz)
+            av = fetch_tri_attrs(tri_vmem_ref, n_tris, shape, best_id,
+                                 chunk=512)
+            av = (av[:19] + (jnp.where(best_id >= 0, av[19], -1.0),)
+                  + av[20:])
+            return best_t, av
+        if tri_vmem_ref is not None:
+            best_t, best_id = closest_sweep_idx(
+                tri_ref, n_tris, shape, ox, oy, oz, dx, dy, dz)
+            av = fetch_tri_attrs(tri_vmem_ref, n_tris, shape, best_id)
+            # miss value contract: erow (col 19) must be -1, not 0
+            av = (av[:19] + (jnp.where(best_id >= 0, av[19], -1.0),)
+                  + av[20:])
+            return best_t, av
+
         def body(t, carry):
             (best_t, av) = carry
             v0x = tri_ref[t, 0]
@@ -503,6 +885,12 @@ def _mega_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
         return best_t, av
 
     def shadow_sweep(ox, oy, oz, dx, dy, dz, tmax):
+        if big_scene:
+            return shadow_sweep_chunked(tri_vmem_ref, n_tris, shape,
+                                        ox, oy, oz, dx, dy, dz, tmax)
+        return _shadow_sweep_smem(ox, oy, oz, dx, dy, dz, tmax)
+
+    def _shadow_sweep_smem(ox, oy, oz, dx, dy, dz, tmax):
         # NOTE: the any-hit flag is carried as f32 0/1, not bool — Mosaic
         # (2026-08 jaxlib) miscompiles i1 fori_loop carries into mismatched
         # packed-vector ranks (vector<8x128x32xi1> vs vector<8x128xi1>).
@@ -535,11 +923,107 @@ def _mega_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
             0, n_tris, body, jnp.zeros(shape, jnp.float32))
         return blocked > 0.5
 
+    def sphere_closest(ox, oy, oz, dx, dy, dz, best_t):
+        """Analytic sphere sweep (mirrors ops/intersect._sphere_hits);
+        carries (t, center, radius, mat, erow) of the winner."""
+        bt = best_t
+        scx = scy = scz = srr = zero
+        smat = jnp.full(shape, -1.0, f32)
+        sem = jnp.full(shape, -1.0, f32)
+        hit_any = jnp.zeros(shape, bool)
+        for si in range(n_sphs):
+            cx, cy, cz = sph_ref[si, 0], sph_ref[si, 1], sph_ref[si, 2]
+            r = sph_ref[si, 3]
+            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+            bq = ocx * dx + ocy * dy + ocz * dz
+            cq = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = bq * bq - cq
+            ok = (disc >= 0.0) & (sph_ref[si, 6] > 0.5)
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t0 = -bq - sq
+            t1 = -bq + sq
+            t = jnp.where(t0 > RAY_EPS, t0, t1)
+            hit = ok & (t > RAY_EPS) & (t < bt)
+            bt = jnp.where(hit, t, bt)
+            scx = jnp.where(hit, cx, scx)
+            scy = jnp.where(hit, cy, scy)
+            scz = jnp.where(hit, cz, scz)
+            srr = jnp.where(hit, r, srr)
+            smat = jnp.where(hit, sph_ref[si, 4], smat)
+            sem = jnp.where(hit, sph_ref[si, 5], sem)
+            hit_any = hit_any | hit
+        return bt, hit_any, scx, scy, scz, srr, smat, sem
+
+    def sphere_blocked(ox, oy, oz, dx, dy, dz, tmax):
+        blocked = jnp.zeros(shape, bool)
+        for si in range(n_sphs):
+            cx, cy, cz = sph_ref[si, 0], sph_ref[si, 1], sph_ref[si, 2]
+            r = sph_ref[si, 3]
+            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+            bq = ocx * dx + ocy * dy + ocz * dz
+            cq = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = bq * bq - cq
+            ok = (disc >= 0.0) & (sph_ref[si, 6] > 0.5)
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t0 = -bq - sq
+            t1 = -bq + sq
+            t = jnp.where(t0 > RAY_EPS, t0, t1)
+            blocked = blocked | (ok & (t > RAY_EPS) & (t < tmax))
+        return blocked
+
+    def env_dir_uv(dx, dy, dz):
+        """Lat-long uv of a world direction (emitter.env_dir_to_uv)."""
+        theta = jnp.arccos(jnp.clip(dy, -1.0, 1.0))
+        phi = jnp.arctan2(dx, -dz)
+        return (phi / _PI + 1.0) * 0.5, theta / _PI
+
+    def env_bilinear(u, v):
+        """Bilinear env radiance at lat-long (u, v) (emitter.env_lookup)
+        via 4 one-hot corner fetches (2-pass bf16 split)."""
+        He, We = env_shape
+        x = jnp.clip(u, 0.0, 1.0 - 1e-6) * We - 0.5
+        y = jnp.clip(v, 0.0, 1.0 - 1e-6) * He - 0.5
+        x0 = jnp.clip(jnp.floor(x), 0.0, We - 1.0)
+        y0 = jnp.clip(jnp.floor(y), 0.0, He - 1.0)
+        x1 = jnp.mod(x0 + 1.0, float(We))
+        y1 = jnp.minimum(y0 + 1.0, He - 1.0)
+        fx = jnp.clip(x - x0, 0.0, 1.0)
+        fy = jnp.clip(y - y0, 0.0, 1.0)
+        er = eg = eb = zero
+        for yc, xc, wgt in ((y0, x0, (1 - fx) * (1 - fy)),
+                            (y0, x1, fx * (1 - fy)),
+                            (y1, x0, (1 - fx) * fy),
+                            (y1, x1, fx * fy)):
+            idx = (yc * We + xc).astype(jnp.int32)
+            cr, cg, cb, _p = fetch_rows(env_tab_ref, He * We, shape, idx,
+                                        passes=2)
+            er += wgt * cr
+            eg += wgt * cg
+            eb += wgt * cb
+        return er, eg, eb
+
+    def env_pdf_sa(u, v, dy):
+        """Solid-angle env NEE pdf for a direction (emitter.env_pdf_dir),
+        WITHOUT the row-pick factor."""
+        He, We = env_shape
+        xn = jnp.clip(jnp.floor(u * We), 0.0, We - 1.0)
+        yn = jnp.clip(jnp.floor(v * He), 0.0, He - 1.0)
+        idx = (yn * We + xn).astype(jnp.int32)
+        _r, _g, _b, pmf = fetch_rows(env_tab_ref, He * We, shape, idx,
+                                     passes=2)
+        theta = jnp.arccos(jnp.clip(dy, -1.0, 1.0))
+        sin_t = jnp.maximum(jnp.sin(theta), 1e-6)
+        return pmf * (He * We) / (2.0 * _PI * _PI * sin_t)
+
     # ---------------------------------------------------------- bounces
     for depth in range(1, max_depth + 1):
         base = SENSOR_DIMS + (depth - 1) * BOUNCE_DIMS
 
         best_t, av = closest_sweep(ox, oy, oz, dx, dy, dz)
+        use_sph = jnp.zeros(shape, bool)
+        if n_sphs:
+            (best_t, use_sph, scx, scy, scz, srr, smat,
+             sem) = sphere_closest(ox, oy, oz, dx, dy, dz, best_t)
         hit_valid = best_t < _INF
         t_hit = jnp.where(hit_valid, best_t, _INF)
         v0x, v0y, v0z = av[0], av[1], av[2]
@@ -547,6 +1031,9 @@ def _mega_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
         e2x, e2y, e2z = av[6], av[7], av[8]
         mat_id = av[18]
         erow = jnp.where(hit_valid, av[19], -1.0)
+        if n_sphs:
+            mat_id = jnp.where(use_sph, smat, mat_id)
+            erow = jnp.where(use_sph, sem, erow)
 
         # hit point + barycentrics (Cramer recompute like _tri_best_pallas)
         hpx = ox + t_hit * dx
@@ -567,6 +1054,18 @@ def _mega_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
         nsy = w0 * av[10] + b1 * av[13] + b2 * av[16]
         nsz = w0 * av[11] + b1 * av[14] + b2 * av[17]
         nsx, nsy, nsz = _normalize(nsx, nsy, nsz)
+        if n_sphs:
+            # analytic sphere normal (exact: ns == ng)
+            inv_r = 1.0 / jnp.maximum(srr, 1e-20)
+            sngx = (hpx - scx) * inv_r
+            sngy = (hpy - scy) * inv_r
+            sngz = (hpz - scz) * inv_r
+            ngx = jnp.where(use_sph, sngx, ngx)
+            ngy = jnp.where(use_sph, sngy, ngy)
+            ngz = jnp.where(use_sph, sngz, ngz)
+            nsx = jnp.where(use_sph, sngx, nsx)
+            nsy = jnp.where(use_sph, sngy, nsy)
+            nsz = jnp.where(use_sph, sngz, nsz)
 
         # ---- material row select (loop over M) ---------------------------
         kind = zero
@@ -576,8 +1075,11 @@ def _mega_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
         rough = jnp.full(shape, 1e-3, f32)
         srx = sry = srz = zero
         stx = sty = stz = zero
+        tid = jnp.full(shape, -1.0, f32)
         for m in range(n_mats):
             sel = mat_id == m
+            if tex_shape is not None:
+                tid = jnp.where(sel, mat_ref[m, 17], tid)
             kind = jnp.where(sel, mat_ref[m, 0], kind)
             alx = jnp.where(sel, mat_ref[m, 1], alx)
             aly = jnp.where(sel, mat_ref[m, 2], aly)
@@ -595,6 +1097,42 @@ def _mega_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
             stx = jnp.where(sel, mat_ref[m, 14], stx)
             sty = jnp.where(sel, mat_ref[m, 15], sty)
             stz = jnp.where(sel, mat_ref[m, 16], stz)
+
+        # ---- bitmap albedo (bilinear atlas fetch; mirrors path._albedo) --
+        if tex_shape is not None:
+            n_pages, th, tw = tex_shape
+            tu = w0 * av[20] + b1 * av[22] + b2 * av[24]
+            tv = w0 * av[21] + b1 * av[23] + b2 * av[25]
+            if n_sphs:
+                # lat-long sphere parametrization (ops/intersect uv_sph)
+                stu = jnp.arccos(jnp.clip(sngz, -1.0, 1.0)) / _PI
+                stv = jnp.arctan2(sngy, sngx) / (2.0 * _PI) + 0.5
+                tu = jnp.where(use_sph, stu, tu)
+                tv = jnp.where(use_sph, stv, tv)
+            x = jnp.clip(jnp.mod(tu, 1.0), 0.0, 1.0) * (tw - 1)
+            y = jnp.clip(jnp.mod(tv, 1.0), 0.0, 1.0) * (th - 1)
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            x1 = jnp.minimum(x0 + 1.0, tw - 1.0)
+            y1 = jnp.minimum(y0 + 1.0, th - 1.0)
+            fx = x - x0
+            fy = y - y0
+            page = jnp.clip(tid, 0.0, n_pages - 1.0) * float(th * tw)
+            tex_r = tex_g = tex_b = zero
+            for yc, xc, wgt in ((y0, x0, (1 - fx) * (1 - fy)),
+                                (y0, x1, fx * (1 - fy)),
+                                (y1, x0, (1 - fx) * fy),
+                                (y1, x1, fx * fy)):
+                idx = (page + yc * tw + xc).astype(jnp.int32)
+                cr, cg, cb, _p = fetch_rows(
+                    tex_ref, n_pages * th * tw, shape, idx, passes=2)
+                tex_r += wgt * cr
+                tex_g += wgt * cg
+                tex_b += wgt * cb
+            has_t = tid >= 0
+            alx = jnp.where(has_t, tex_r, alx)
+            aly = jnp.where(has_t, tex_g, aly)
+            alz = jnp.where(has_t, tex_b, alz)
 
         # ---- emitted radiance + MIS (mirrors path.py) --------------------
         e_radx = e_rady = e_radz = zero
@@ -625,8 +1163,29 @@ def _mega_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
         Lx = Lx + jnp.where(hit_emitter, tpx * e_radx * w_bsdf, 0.0)
         Ly = Ly + jnp.where(hit_emitter, tpy * e_rady * w_bsdf, 0.0)
         Lz = Lz + jnp.where(hit_emitter, tpz * e_radz * w_bsdf, 0.0)
+        if emit_grad:
+            for e in range(n_ems):
+                m_e = hit_emitter & (erow == e)
+                Tacc[e][0] += jnp.where(m_e, tpx * w_bsdf, 0.0)
+                Tacc[e][1] += jnp.where(m_e, tpy * w_bsdf, 0.0)
+                Tacc[e][2] += jnp.where(m_e, tpz * w_bsdf, 0.0)
 
-        if env_const:
+        if env_shape is not None:
+            # image environment on escape, MIS'd against env NEE
+            # (mirrors trace_paths escape block + emitter.env_pdf_dir)
+            escaped = active & (~hit_valid) & depth_ok
+            eu, ev = env_dir_uv(dx, dy, dz)
+            er, eg, eb = env_bilinear(eu, ev)
+            if use_nee:
+                e_pdf = env_pdf_sa(eu, ev, dy) * env_row_pick
+                w_env = jnp.where(prev_delta, 1.0,
+                                  _mis_power(prev_pdf, e_pdf))
+            else:
+                w_env = one
+            Lx = Lx + jnp.where(escaped, tpx * er * w_env, 0.0)
+            Ly = Ly + jnp.where(escaped, tpy * eg * w_env, 0.0)
+            Lz = Lz + jnp.where(escaped, tpz * eb * w_env, 0.0)
+        elif env_const:
             # constant environment on escape (no NEE row exists for a
             # constant env, so no MIS weight — mirrors trace_paths)
             escaped = active & (~hit_valid) & depth_ok
@@ -683,6 +1242,11 @@ def _mega_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
                 lngx = jnp.where(sel, em_ref[e, 15], lngx)
                 lngy = jnp.where(sel, em_ref[e, 16], lngy)
                 lngz = jnp.where(sel, em_ref[e, 17], lngz)
+            if env_shape is not None:
+                l_kind = zero
+                for e in range(n_ems):
+                    l_kind = jnp.where(row == e, em_ref[e, 18], l_kind)
+                is_env_l = l_kind == 4.0            # EMITTER_ENV
             # uniform triangle (sqrt warp, mirrors core/warp.py)
             tw = jnp.sqrt(jnp.maximum(1.0 - u_l1, 0.0))
             lb0 = 1.0 - tw
@@ -703,6 +1267,67 @@ def _mega_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
                 lcos * l_area > 0,
                 l_pmf * dist2 / jnp.maximum(lcos * l_area, 1e-30), 0.0)
             ds_pdf = jnp.where(lcos > 1e-7, ds_pdf, 0.0)
+            if env_shape is not None:
+                # ---- env row: importance-sample the lat-long image via
+                # the marginal row cdf + per-row col cdf (mirrors
+                # emitter.sample_emitter_direct env branch incl. the
+                # cdf-residual within-pixel jitter)
+                He, We = env_shape
+                y_e = zero
+                for r in range(He):
+                    y_e = y_e + jnp.where(u_l1 >= env_row_ref[r, 0],
+                                          1.0, 0.0)
+                y_e = jnp.minimum(y_e, He - 1.0)
+                colrow = fetch_rows(env_col_ref, He, shape,
+                                    y_e.astype(jnp.int32), passes=3)
+                x_e = zero
+                for w in range(We):
+                    x_e = x_e + jnp.where(u_l2 >= colrow[w], 1.0, 0.0)
+                x_e = jnp.minimum(x_e, We - 1.0)
+                row_lo = zero
+                row_hi = one
+                for r in range(He):
+                    selr = y_e == r
+                    row_lo = jnp.where(
+                        selr, env_row_ref[r - 1, 0] if r > 0 else 0.0,
+                        row_lo)
+                    row_hi = jnp.where(selr, env_row_ref[r, 0], row_hi)
+                ju = jnp.clip((u_l1 - row_lo)
+                              / jnp.maximum(row_hi - row_lo, 1e-12),
+                              0.0, 1.0 - 1e-6)
+                col_lo = zero
+                col_hi = one
+                for w in range(We):
+                    selw = x_e == w
+                    col_lo = jnp.where(
+                        selw, colrow[w - 1] if w > 0 else zero, col_lo)
+                    col_hi = jnp.where(selw, colrow[w], col_hi)
+                jv = jnp.clip((u_l2 - col_lo)
+                              / jnp.maximum(col_hi - col_lo, 1e-12),
+                              0.0, 1.0 - 1e-6)
+                ue = (x_e + jv) / We
+                ve = (y_e + ju) / He
+                th_e = ve * _PI
+                st_e = jnp.sin(th_e)
+                ph_e = (ue * 2.0 - 1.0) * _PI
+                edx = st_e * jnp.sin(ph_e)
+                edy = jnp.cos(th_e)
+                edz = -st_e * jnp.cos(ph_e)
+                idx_e = (y_e * We + x_e).astype(jnp.int32)
+                _r0, _g0, _b0, pmf_e = fetch_rows(
+                    env_tab_ref, He * We, shape, idx_e, passes=2)
+                pdf_e = pmf_e * (He * We) / (
+                    2.0 * _PI * _PI * jnp.maximum(st_e, 1e-6))
+                er_l, eg_l, eb_l = env_bilinear(ue, ve)
+                # merge into the area-row lane state
+                ldx = jnp.where(is_env_l, edx, ldx)
+                ldy = jnp.where(is_env_l, edy, ldy)
+                ldz = jnp.where(is_env_l, edz, ldz)
+                dist = jnp.where(is_env_l, 1.0e7, dist)   # _DIR_DIST
+                ds_pdf = jnp.where(is_env_l, l_pmf * pdf_e, ds_pdf)
+                l_radx = jnp.where(is_env_l, er_l, l_radx)
+                l_rady = jnp.where(is_env_l, eg_l, l_rady)
+                l_radz = jnp.where(is_env_l, eb_l, l_radz)
             # f_val / f_pdf for the sampled direction (non-delta kinds)
             wox, woy, woz = _to_local((nsx, nsy, nsz), (ldx, ldy, ldz))
             f_vx, f_vy, f_vz, f_pdf = _eval_kinds(
@@ -719,6 +1344,9 @@ def _mega_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
             shz = hpz + ldz * eps_sh
             sh_tmax = jnp.where(nee_ok, dist * (1.0 - 1e-3) - RAY_EPS, 0.0)
             blocked = shadow_sweep(shx, shy, shz, ldx, ldy, ldz, sh_tmax)
+            if n_sphs:
+                blocked = blocked | sphere_blocked(shx, shy, shz,
+                                                   ldx, ldy, ldz, sh_tmax)
             w_nee = _mis_power(ds_pdf, f_pdf)
             inv_pdf = jnp.where(ds_pdf > 0, w_nee
                                 / jnp.maximum(ds_pdf, 1e-20), 0.0)
@@ -726,6 +1354,12 @@ def _mega_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
             Lx = Lx + jnp.where(add, tpx * f_vx * l_radx * inv_pdf, 0.0)
             Ly = Ly + jnp.where(add, tpy * f_vy * l_rady * inv_pdf, 0.0)
             Lz = Lz + jnp.where(add, tpz * f_vz * l_radz * inv_pdf, 0.0)
+            if emit_grad:
+                for e in range(n_ems):
+                    m_e = add & (row == e)
+                    Tacc[e][0] += jnp.where(m_e, tpx * f_vx * inv_pdf, 0.0)
+                    Tacc[e][1] += jnp.where(m_e, tpy * f_vy * inv_pdf, 0.0)
+                    Tacc[e][2] += jnp.where(m_e, tpz * f_vz * inv_pdf, 0.0)
 
         # ---- BSDF sampling (mirrors sample_bsdf for supported kinds) -----
         uc = udim(base + OFF_BSDF_CMP)
@@ -772,6 +1406,29 @@ def _mega_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, out_ref, *,
         prev_delta = bs_delta
         active = alive
 
+    if emit_grad:
+        return Lx, Ly, Lz, Tacc
+    return Lx, Ly, Lz
+
+
+def _mega_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, tri_vmem_ref,
+                 sph_ref, tex_ref, env_tab_ref, env_col_ref, env_row_ref,
+                 out_ref, *,
+                 n_tris, n_mats, n_ems, n_sphs, max_depth, min_depth,
+                 rr_depth, use_nee, kinds, thinlens=False, env_const=False,
+                 tex_shape=None, env_shape=None, env_row_pick=0.0,
+                 big_scene=False):
+    Lx, Ly, Lz = path_trace_tile(
+        tri_ref, mat_ref, em_ref, cam_ref, lambda j: u_ref[j],
+        u_ref.shape[1:], n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
+        max_depth=max_depth, min_depth=min_depth, rr_depth=rr_depth,
+        use_nee=use_nee, kinds=kinds, thinlens=thinlens,
+        env_const=env_const, tri_vmem_ref=tri_vmem_ref,
+        sph_ref=sph_ref, n_sphs=n_sphs, tex_ref=tex_ref,
+        tex_shape=tex_shape, env_tab_ref=env_tab_ref,
+        env_col_ref=env_col_ref, env_row_ref=env_row_ref,
+        env_shape=env_shape, env_row_pick=env_row_pick,
+        big_scene=big_scene)
     out_ref[0] = Lx
     out_ref[1] = Ly
     out_ref[2] = Lz
@@ -991,21 +1648,184 @@ def _sample_kinds(kinds, kind, cos_i, sign_i, wix, wiy, wiz, uc, ub1, ub2,
 
 
 # ---------------------------------------------------------------- wrapper
-def make_mega_trace(scene: Scene, cfg, interpret: bool = False):
-    """Build trace(u) -> Splats running the whole path trace in one Pallas
-    kernel.  Caller must have checked mega_eligible(scene, cfg)."""
+def _mega_kernel_rad(tri_ref, mat_ref, em_ref, cam_ref, u_ref,
+                     tri_vmem_ref, sph_ref, tex_ref, env_tab_ref,
+                     env_col_ref, env_row_ref, out_ref, *,
+                     n_tris, n_mats, n_ems, n_sphs, max_depth, min_depth,
+                     rr_depth, use_nee, kinds, thinlens=False,
+                     env_const=False, tex_shape=None, env_shape=None,
+                     env_row_pick=0.0, big_scene=False):
+    """Forward + per-lane emitter-radiance Jacobian rows (emit_grad)."""
+    Lx, Ly, Lz, Tacc = path_trace_tile(
+        tri_ref, mat_ref, em_ref, cam_ref, lambda j: u_ref[j],
+        u_ref.shape[1:], n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
+        max_depth=max_depth, min_depth=min_depth, rr_depth=rr_depth,
+        use_nee=use_nee, kinds=kinds, thinlens=thinlens,
+        env_const=env_const, tri_vmem_ref=tri_vmem_ref,
+        sph_ref=sph_ref, n_sphs=n_sphs, tex_ref=tex_ref,
+        tex_shape=tex_shape, env_tab_ref=env_tab_ref,
+        env_col_ref=env_col_ref, env_row_ref=env_row_ref,
+        env_shape=env_shape, env_row_pick=env_row_pick, emit_grad=True,
+        big_scene=big_scene)
+    out_ref[0] = Lx
+    out_ref[1] = Ly
+    out_ref[2] = Lz
+    for e in range(n_ems):
+        for c in range(3):
+            out_ref[3 + e * 3 + c] = Tacc[e][c]
+
+
+def make_mega_trace_rad(scene0: Scene, cfg, interpret: bool = False):
+    """trace(radiance, u) -> Splats with an EXACT kernel-speed VJP with
+    respect to emitters.radiance — the inverse-emission fast path.
+
+    Every radiance occurrence in the estimator is LINEAR (emitter-hit and
+    NEE terms; the sampling pmf/cdf are separate EmitterTable leaves, the
+    same independence jax.grad of trace_paths sees), so the kernel
+    accumulates the coefficient rows T[e][c] per lane during the FORWARD
+    and the backward is one einsum — no wavefront replay.  Ref north
+    star: BASELINE.md ("parameter gradients ... backward pass")."""
     from drmlt_mitsuba_tpu.integrators.path import Splats
 
-    tri, mat, emt, cam = pack_mega_tables(scene)
+    n_tris = np.asarray(scene0.tris.v0).shape[0]
+    n_mats = np.asarray(scene0.materials.kind).shape[0]
+    n_ems = np.asarray(scene0.emitters.kind).shape[0]
+    n_sphs = (np.asarray(scene0.spheres.valid).shape[0]
+              if bool(np.any(np.asarray(scene0.spheres.valid))) else 0)
+    tex_shape0 = (tuple(np.asarray(scene0.textures.data).shape[:3])
+                  if scene0.textures is not None else None)
+    if scene0.emitters.env_image is not None:
+        env_shape0 = tuple(np.asarray(scene0.emitters.env_image).shape[:2])
+        env_row_pick0 = float(np.sum(np.where(
+            np.asarray(scene0.emitters.kind) == 4,
+            np.asarray(scene0.emitters.pmf), 0.0)))
+    else:
+        env_shape0, env_row_pick0 = None, 0.0
+    kinds = tuple(sorted(set(
+        int(k) for k in np.unique(np.asarray(scene0.materials.kind)))))
+    n_dims = cfg.n_dims
+    lum_w = jnp.asarray([0.212671, 0.715160, 0.072169])
+
+    big_scene = n_tris > 8192
+    kernel = functools.partial(
+        _mega_kernel_rad, n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
+        n_sphs=n_sphs, tex_shape=tex_shape0, env_shape=env_shape0,
+        env_row_pick=env_row_pick0, big_scene=big_scene,
+        max_depth=cfg.max_depth, min_depth=cfg.min_depth,
+        rr_depth=cfg.rr_depth, use_nee=cfg.use_nee, kinds=kinds,
+        thinlens=getattr(cfg, "thinlens", False),
+        env_const=bool(float(np.abs(np.asarray(
+            scene0.emitters.env_radiance)).sum()) > 0),
+    )
+    NO = 3 + n_ems * 3
+
+    def _fwd_impl(radiance, u):
+        scene = scene0.replace(
+            emitters=scene0.emitters.replace(radiance=radiance))
+        (tri, mat, emt, cam, sph, tri_ext, tex,
+         env_tab, env_col, env_row) = pack_mega_tables_jnp(scene)
+        if big_scene:
+            tri = tri[:1]            # chunked sweeps read tri_ext only
+        R = u.shape[0]
+        R8 = R // 8
+        L = min(R8, 512)
+        while R8 % L:
+            L //= 2
+        uT = u[:, :n_dims].T.reshape(n_dims, 8, R8)
+        out = pl.pallas_call(
+            kernel,
+            grid=(R8 // L,),
+            in_specs=[
+                pl.BlockSpec(tuple(tri.shape), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_mats, _MAT_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_ems, _EM_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_dims, 8, L), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(tuple(tri_ext.shape), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((sph.shape[0], _SPH_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tex.shape[0], _TEX_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((env_tab.shape[0], _TEX_COLS),
+                             lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(tuple(env_col.shape), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(tuple(env_row.shape), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((NO, 8, L), lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((NO, 8, R8), jnp.float32),
+            interpret=interpret,
+        )(tri, mat, emt, cam, uT, tri_ext, sph, tex, env_tab, env_col,
+          env_row)
+        value = out[0:3].reshape(3, R).T
+        T = out[3:].reshape(n_ems, 3, R).transpose(2, 0, 1)   # (R, E, 3)
+        lum = (value * lum_w).sum(-1)
+        return Splats(pos=u[:, None, 0:2], value=value[:, None, :],
+                      lum=lum), T
+
+    @jax.custom_vjp
+    def trace(radiance, u):
+        return _fwd_impl(radiance, u)[0]
+
+    def trace_fwd(radiance, u):
+        sp, T = _fwd_impl(radiance, u)
+        return sp, (T, u.shape)
+
+    def trace_bwd(res, ct):
+        T, u_shape = res
+        # value[r, c] = sum_e T[r, e, c] * rad[e, c] + const;
+        # lum folds through the luminance weights
+        ctv = ct.value[:, 0, :] + ct.lum[:, None] * lum_w[None, :]
+        g = jnp.einsum("rc,rec->ec", ctv, T)
+        return g, jnp.zeros(u_shape, jnp.float32)
+
+    trace.defvjp(trace_fwd, trace_bwd)
+    return trace
+
+
+def make_mega_trace(scene: Scene, cfg, interpret: bool = False,
+                    force_big: bool = False):
+    """Build trace(u) -> Splats running the whole path trace in one Pallas
+    kernel.  Caller must have checked mega_eligible(scene, cfg).
+    force_big: take the chunked big-scene sweep path regardless of
+    triangle count (tests exercise it on small scenes)."""
+    from drmlt_mitsuba_tpu.integrators.path import Splats
+
+    (tri, mat, emt, cam, sph, tri_ext, tex,
+     env_tab, env_col, env_row) = pack_mega_tables(scene)
     n_tris = tri.shape[0]
     n_mats = mat.shape[0]
     n_ems = emt.shape[0]
+    n_sphs = (sph.shape[0]
+              if bool(np.any(np.asarray(scene.spheres.valid))) else 0)
+    tex_shape = (tuple(np.asarray(scene.textures.data).shape[:3])
+                 if scene.textures is not None else None)
+    if scene.emitters.env_image is not None:
+        env_shape = tuple(np.asarray(scene.emitters.env_image).shape[:2])
+        env_row_pick = float(np.sum(np.where(
+            np.asarray(scene.emitters.kind) == 4,
+            np.asarray(scene.emitters.pmf), 0.0)))
+    else:
+        env_shape, env_row_pick = None, 0.0
     kinds = tuple(sorted(set(
         int(k) for k in np.unique(np.asarray(scene.materials.kind)))))
     n_dims = cfg.n_dims
 
+    big_scene = force_big or n_tris > 8192   # SMEM scalar-table budget
+    if big_scene:
+        tri = tri[:1]                # chunked sweeps read tri_ext only
     kernel = functools.partial(
         _mega_kernel, n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
+        n_sphs=n_sphs, tex_shape=tex_shape, env_shape=env_shape,
+        env_row_pick=env_row_pick, big_scene=big_scene,
         max_depth=cfg.max_depth, min_depth=cfg.min_depth,
         rr_depth=cfg.rr_depth, use_nee=cfg.use_nee, kinds=kinds,
         thinlens=getattr(cfg, "thinlens", False),
@@ -1026,7 +1846,7 @@ def make_mega_trace(scene: Scene, cfg, interpret: bool = False):
             kernel,
             grid=(R8 // L,),
             in_specs=[
-                pl.BlockSpec((n_tris, _TRI_COLS), lambda i: (0, 0),
+                pl.BlockSpec(tuple(tri.shape), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((n_mats, _MAT_COLS), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
@@ -1036,12 +1856,25 @@ def make_mega_trace(scene: Scene, cfg, interpret: bool = False):
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((n_dims, 8, L), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec(tuple(tri_ext.shape), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((sph.shape[0], _SPH_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tex.shape[0], _TEX_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((env_tab.shape[0], _TEX_COLS),
+                             lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(tuple(env_col.shape), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(tuple(env_row.shape), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec((3, 8, L), lambda i: (0, 0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((3, 8, R8), jnp.float32),
             interpret=interpret,
-        )(tri, mat, emt, cam, uT)
+        )(tri, mat, emt, cam, uT, tri_ext, sph, tex, env_tab, env_col,
+          env_row)
         value = out.reshape(3, R).T
         lum = (value * jnp.asarray([0.212671, 0.715160, 0.072169])).sum(-1)
         return Splats(
@@ -1073,12 +1906,26 @@ def make_mega_trace_diff(scene0: Scene, cfg, interpret: bool = False):
     n_tris = np.asarray(scene0.tris.v0).shape[0]
     n_mats = np.asarray(scene0.materials.kind).shape[0]
     n_ems = np.asarray(scene0.emitters.kind).shape[0]
+    n_sphs = (np.asarray(scene0.spheres.valid).shape[0]
+              if bool(np.any(np.asarray(scene0.spheres.valid))) else 0)
+    tex_shape0 = (tuple(np.asarray(scene0.textures.data).shape[:3])
+                  if scene0.textures is not None else None)
+    if scene0.emitters.env_image is not None:
+        env_shape0 = tuple(np.asarray(scene0.emitters.env_image).shape[:2])
+        env_row_pick0 = float(np.sum(np.where(
+            np.asarray(scene0.emitters.kind) == 4,
+            np.asarray(scene0.emitters.pmf), 0.0)))
+    else:
+        env_shape0, env_row_pick0 = None, 0.0
     kinds = tuple(sorted(set(
         int(k) for k in np.unique(np.asarray(scene0.materials.kind)))))
     n_dims = cfg.n_dims
 
+    big_scene = n_tris > 8192
     kernel = functools.partial(
         _mega_kernel, n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
+        n_sphs=n_sphs, tex_shape=tex_shape0, env_shape=env_shape0,
+        env_row_pick=env_row_pick0, big_scene=big_scene,
         max_depth=cfg.max_depth, min_depth=cfg.min_depth,
         rr_depth=cfg.rr_depth, use_nee=cfg.use_nee, kinds=kinds,
         thinlens=getattr(cfg, "thinlens", False),
@@ -1088,7 +1935,10 @@ def make_mega_trace_diff(scene0: Scene, cfg, interpret: bool = False):
     )
 
     def _fwd_impl(scene, u):
-        tri, mat, emt, cam = pack_mega_tables_jnp(scene)
+        (tri, mat, emt, cam, sph, tri_ext, tex,
+         env_tab, env_col, env_row) = pack_mega_tables_jnp(scene)
+        if big_scene:
+            tri = tri[:1]            # chunked sweeps read tri_ext only
         R = u.shape[0]
         R8 = R // 8
         L = min(R8, 512)
@@ -1099,7 +1949,7 @@ def make_mega_trace_diff(scene0: Scene, cfg, interpret: bool = False):
             kernel,
             grid=(R8 // L,),
             in_specs=[
-                pl.BlockSpec((n_tris, _TRI_COLS), lambda i: (0, 0),
+                pl.BlockSpec(tuple(tri.shape), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((n_mats, _MAT_COLS), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
@@ -1109,12 +1959,25 @@ def make_mega_trace_diff(scene0: Scene, cfg, interpret: bool = False):
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((n_dims, 8, L), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec(tuple(tri_ext.shape), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((sph.shape[0], _SPH_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tex.shape[0], _TEX_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((env_tab.shape[0], _TEX_COLS),
+                             lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(tuple(env_col.shape), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(tuple(env_row.shape), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec((3, 8, L), lambda i: (0, 0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((3, 8, R8), jnp.float32),
             interpret=interpret,
-        )(tri, mat, emt, cam, uT)
+        )(tri, mat, emt, cam, uT, tri_ext, sph, tex, env_tab, env_col,
+          env_row)
         value = out.reshape(3, R).T
         lum = (value * jnp.asarray([0.212671, 0.715160, 0.072169])).sum(-1)
         return Splats(pos=u[:, None, 0:2], value=value[:, None, :],

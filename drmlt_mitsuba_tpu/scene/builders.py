@@ -49,10 +49,14 @@ def cornell_box(
     height: int = 128,
     light_radiance=(18.4, 15.6, 8.0),
     tall_box_material: str = "diffuse",
+    sphere_material: str | None = None,
 ) -> st.Scene:
     """The classic Cornell box (dimensions after the CG-standard 556-unit
     box), camera on -z looking in.  tall_box_material picks the round-trip
     hard case: "diffuse" | "mirror" | "glass" | "roughconductor".
+    sphere_material (same choices) adds an analytic sphere like the one in
+    tests/data/cornell.xml (center 400,90,300 radius 90) for shape-mix
+    coverage.
     """
     verts: list = []
     faces: list = []
@@ -127,6 +131,8 @@ def cornell_box(
         dict(kind=st.BSDF_DIFFUSE, albedo=(0.78, 0.78, 0.78)),    # light surf
         tall_mats[tall_box_material],                              # tall box
     ]
+    if sphere_material is not None:
+        mats.append(tall_mats[sphere_material])                    # sphere
 
     tris = st.build_triangles(
         np.asarray(verts, np.float32),
@@ -150,9 +156,21 @@ def cornell_box(
         fov_x_deg=39.3077,
         aspect=width / height,
     )
+    if sphere_material is not None:
+        import jax.numpy as jnp
+
+        spheres = st.SphereSoA(
+            center=jnp.asarray([[400.0, 90.0, 300.0]], jnp.float32),
+            radius=jnp.asarray([90.0], jnp.float32),
+            mat_id=jnp.asarray([len(mats) - 1], jnp.int32),
+            emitter_id=jnp.asarray([-1], jnp.int32),
+            valid=jnp.asarray([True]),
+        )
+    else:
+        spheres = st.empty_spheres()
     return st.Scene(
         tris=tris,
-        spheres=st.empty_spheres(),
+        spheres=spheres,
         materials=st.make_material_table(mats),
         emitters=emitters,
         camera=cam,

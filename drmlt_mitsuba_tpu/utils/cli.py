@@ -307,6 +307,44 @@ def render(scene, settings, args, log):
                if aux.get("accmap") is not None else None)
         return np.asarray(img), stats, acc
 
+    # DRMLT over the path technique: multi-mutation megakernel driver
+    # (render_drmlt_path falls back to the XLA wavefront for ineligible
+    # scenes — results never change, only speed)
+    if (itype == "drmlt"
+            and icfg.get("technique", "path") == "path"
+            and not icfg.get("twoStage") and not icfg.get("separateDirect")
+            and not _pbool(icfg.get("acceptanceMap"), False)
+            and not _pbool(icfg.get("useMixture"), False)
+            and not (args.shard and len(jax.devices()) > 1)):
+        from drmlt_mitsuba_tpu.integrators.drmlt import render_drmlt_path
+
+        n_chains = int(icfg.get("chains", args.chains))
+        dcfg = DRMLTConfig(
+            type=icfg.get("variant", "green"),
+            n_chains=n_chains,
+            p_large=float(icfg.get("pLarge", 0.3)),
+            sigma=float(icfg.get("sigma", 1 / 64)),
+            scale_second=float(icfg.get("scaleSecond", 0.1)),
+            timid_after_large=_pbool(icfg.get("timidAfterLarge"), False),
+            n_bootstrap=int(icfg.get("luminanceSamples", 100_000)),
+            splat_mode=icfg.get("splatMode", "three"),
+        )
+        md = int(icfg.get("maxDepth", 8))
+        pcfg_d = PathConfig(max_depth=md if md > 0 else 12,
+                            rr_depth=100,   # no RR inside MCMC (build_trace)
+                            min_depth=int(icfg.get("minDepth", 1)),
+                            thinlens=_thinlens(scene),
+                            motion=getattr(settings, "motion", False)
+                            and scene.motion is not None)
+        n_steps = max(1, W * H * settings.spp // n_chains)
+        avg_lum = (float(icfg["averageLuminance"])
+                   if float(icfg.get("averageLuminance", -1)) > 0 else None)
+        img, aux = render_drmlt_path(scene, pcfg_d, dcfg, fc, key, n_steps,
+                                     average_luminance=avg_lum)
+        log.info("b = %.6f (megakernel=%s)", aux["b"],
+                 aux.get("mega", False))
+        return np.asarray(img)[..., :3], stats, None
+
     # ---- MCMC integrators -------------------------------------------------
     trace, n_dims, frozen, pinned, extras = build_trace(scene, settings, icfg)
 

@@ -235,6 +235,156 @@ def run_kernel_smoke(verbose: bool = False) -> dict:
     _check("megadrmlt[orbital,passes=2]",
            lambda: megadrmlt_case("orbital", 2), results)
 
+    # ---- round-4 features: spheres / textures / image env in-kernel ------
+    def megatrace_sphere_case():
+        from drmlt_mitsuba_tpu.ops.pallas.megatrace import (
+            make_mega_trace, mega_eligible,
+        )
+
+        sc = prepare_scene(cornell_box(64, 64, sphere_material="mirror"))
+        pcfg = PathConfig(max_depth=4, rr_depth=100)
+        assert mega_eligible(sc, pcfg)
+        trace = make_mega_trace(sc, pcfg)
+        u = jax.random.uniform(key, (2048, pcfg.n_dims))
+        sp = trace(u)
+        ref = trace_paths(sc, pcfg, u[:256])
+        rel = np.abs(np.asarray(sp.lum[:256]) - np.asarray(ref.lum[:256]))             / (np.abs(np.asarray(ref.lum[:256])) + 1e-4)
+        assert (rel > 1e-2).mean() < 0.15, f"{(rel > 1e-2).sum()} lanes"
+
+    _check("megatrace[sphere]", megatrace_sphere_case, results)
+
+    def megatrace_textured_case():
+        from drmlt_mitsuba_tpu.ops.pallas.megatrace import (
+            make_mega_trace, mega_eligible,
+        )
+        from drmlt_mitsuba_tpu.scene import types as st
+
+        sc = cornell_box(64, 64)
+        p0 = sc.tris.v0
+        p1 = p0 + sc.tris.e1
+        p2 = p0 + sc.tris.e2
+
+        def wuv(p):
+            return jnp.stack([p[:, 0] / 556.0, p[:, 1] / 556.0], axis=-1)
+
+        tris = sc.tris.replace(uv0=wuv(p0), uv1=wuv(p1), uv2=wuv(p2))
+        tex = 0.2 + 0.8 * jax.random.uniform(jax.random.fold_in(key, 3),
+                                             (1, 16, 16, 3))
+        mats = sc.materials.replace(tex_id=sc.materials.tex_id.at[0].set(0))
+        sc = prepare_scene(sc.replace(tris=tris, materials=mats,
+                                      textures=st.TextureAtlas(data=tex)))
+        pcfg = PathConfig(max_depth=4, rr_depth=100)
+        assert mega_eligible(sc, pcfg)
+        trace = make_mega_trace(sc, pcfg)
+        u = jax.random.uniform(key, (2048, pcfg.n_dims))
+        sp = trace(u)
+        ref = trace_paths(sc, pcfg, u[:256])
+        rel = np.abs(np.asarray(sp.lum[:256]) - np.asarray(ref.lum[:256]))             / (np.abs(np.asarray(ref.lum[:256])) + 1e-4)
+        assert (rel > 1e-2).mean() < 0.15, f"{(rel > 1e-2).sum()} lanes"
+
+    _check("megatrace[textured]", megatrace_textured_case, results)
+
+    def megatrace_image_env_case():
+        from drmlt_mitsuba_tpu.ops.pallas.megatrace import (
+            make_mega_trace, mega_eligible,
+        )
+        from drmlt_mitsuba_tpu.scene import types as st
+
+        sc = cornell_box(64, 64)
+        src_eid = jnp.where(sc.tris.emitter_id >= 0, 0, -1)
+        sc = sc.replace(tris=sc.tris.replace(emitter_id=src_eid))
+        ei = 0.1 + 2.0 * jax.random.uniform(jax.random.fold_in(key, 4),
+                                            (16, 32, 3))
+        emitters = st.build_emitters(
+            sc.tris, np.asarray([[18.4, 15.6, 8.0]], np.float32),
+            env_image=np.asarray(ei))
+        area_rows = np.nonzero(
+            np.asarray(emitters.kind) == st.EMITTER_AREA)[0]
+        row_of_tri = np.full(sc.tris.v0.shape[0], -1, np.int32)
+        row_of_tri[np.asarray(emitters.tri_idx)[area_rows]] = (
+            area_rows.astype(np.int32))
+        sc = prepare_scene(sc.replace(
+            tris=sc.tris.replace(emitter_id=jnp.asarray(row_of_tri)),
+            emitters=emitters))
+        pcfg = PathConfig(max_depth=4, rr_depth=100)
+        assert mega_eligible(sc, pcfg)
+        trace = make_mega_trace(sc, pcfg)
+        u = jax.random.uniform(key, (2048, pcfg.n_dims))
+        sp = trace(u)
+        ref = trace_paths(sc, pcfg, u[:256])
+        rel = np.abs(np.asarray(sp.lum[:256]) - np.asarray(ref.lum[:256]))             / (np.abs(np.asarray(ref.lum[:256])) + 1e-4)
+        assert (rel > 1e-2).mean() < 0.2, f"{(rel > 1e-2).sum()} lanes"
+
+    _check("megatrace[image-env]", megatrace_image_env_case, results)
+
+    def megadrmlt_path_case(splat_mode):
+        from drmlt_mitsuba_tpu.ops.pallas.megadrmlt import (
+            make_mega_drmlt, mega_drmlt_path_eligible, pack_chain_state,
+            unpack_chain_state,
+        )
+
+        pcfg = PathConfig(max_depth=4, rr_depth=100)
+        n_dims = pcfg.n_dims + pcfg.n_dims % 2
+        dcfg = DRMLTConfig(type="orbital", n_chains=2048,
+                           splat_mode=splat_mode)
+        assert mega_drmlt_path_eligible(scene, pcfg, dcfg, fc)
+        u0 = jax.random.uniform(key, (2048, n_dims))
+        state = state_from_splats(u0, trace_paths(scene, pcfg, u0))
+        arr = pack_chain_state(state, n_dims)
+        step = make_mega_drmlt(scene, pcfg, dcfg, fc, pcfg.max_depth,
+                               n_dims, n_mut=4, weight_channel=False,
+                               splat_mode=splat_mode, technique="path")
+        out, delta, stats = step(arr, jnp.asarray([5, 0], jnp.int32))
+        st_out = unpack_chain_state(out, n_dims)
+        assert bool(jnp.all(jnp.isfinite(st_out.u)))
+        assert bool(jnp.isfinite(delta).all())
+        a1 = float(stats[0]) / (2048 * 4)
+        assert 0.05 < a1 < 0.95, f"implausible a1 {a1}"
+
+    _check("megadrmlt[path,three]",
+           lambda: megadrmlt_path_case("three"), results)
+    _check("megadrmlt[path,sampled]",
+           lambda: megadrmlt_path_case("sampled"), results)
+
+    def megadrmlt_sampled_case():
+        from drmlt_mitsuba_tpu.integrators.mmlt_grouped import (
+            make_mmlt_trace_fixed,
+        )
+        from drmlt_mitsuba_tpu.ops.pallas.megadrmlt import (
+            make_mega_drmlt, pack_chain_state,
+        )
+
+        k = 2
+        trace_k, cfg_k, n_dims = make_mmlt_trace_fixed(scene, k)
+        dcfg = DRMLTConfig(type="orbital", n_chains=2048,
+                           splat_mode="sampled")
+        u0 = jax.random.uniform(key, (2048, n_dims))
+        state = state_from_splats(u0, trace_k(u0))
+        arr = pack_chain_state(state, n_dims)
+        step = make_mega_drmlt(scene, cfg_k, dcfg, fc, k, n_dims, n_mut=4,
+                               splat_mode="sampled", weight_channel=True)
+        out, delta, stats = step(arr, jnp.asarray([5, 0], jnp.int32))
+        assert bool(jnp.isfinite(delta).all())
+        # sampled mode: in-image splat weight per mutation per chain == 1
+        wsum = float(delta[..., 3].sum())
+        assert 0.8 * 2048 * 4 <= wsum <= 2048 * 4 + 1, wsum
+
+    _check("megadrmlt[mmlt,sampled]", megadrmlt_sampled_case, results)
+
+    def mega_rad_grad_case():
+        from drmlt_mitsuba_tpu.ops.pallas.megatrace import (
+            make_mega_trace_rad,
+        )
+
+        pcfg = PathConfig(max_depth=4, rr_depth=100)
+        trace_r = make_mega_trace_rad(scene, pcfg)
+        u = jax.random.uniform(key, (2048, pcfg.n_dims))
+        g = jax.grad(lambda r: jnp.mean(trace_r(r, u).lum))(
+            scene.emitters.radiance)
+        assert bool(jnp.isfinite(g).all()) and float(jnp.abs(g).sum()) > 0
+
+    _check("megatrace[rad-grad]", mega_rad_grad_case, results)
+
     if verbose:
         for k, v in results.items():
             if not k.startswith("_"):

@@ -281,3 +281,41 @@ def test_gradient_replay_forces_xla_intersect(monkeypatch):
         g = float(jax.grad(loss)(1.0))
         np.testing.assert_allclose(g, float(loss(1.0)), rtol=1e-4)
     assert I._use_pallas(scene, o)          # context restored
+
+
+def test_mega_trace_rad_matches_wavefront_grad():
+    """In-kernel emitter-radiance adjoint (round 4): the megakernel
+    accumulates the per-lane linear coefficients T[e][c] during the
+    FORWARD and the custom VJP is one einsum — must equal jax.grad of the
+    XLA wavefront (which replays + linearizes the whole trace) on both
+    the forward values and d mean(lum) / d radiance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+    from drmlt_mitsuba_tpu.integrators.path import trace_paths
+    from drmlt_mitsuba_tpu.ops.pallas.megatrace import make_mega_trace_rad
+    from drmlt_mitsuba_tpu.scene.builders import cornell_box
+    from drmlt_mitsuba_tpu.scene.types import prepare_scene
+
+    scene = prepare_scene(cornell_box(32, 32))
+    cfg = PathConfig(max_depth=4, rr_depth=3)
+    trace_r = make_mega_trace_rad(scene, cfg, interpret=True)
+    u = jax.random.uniform(jax.random.PRNGKey(11), (512, cfg.n_dims))
+    rad = scene.emitters.radiance
+
+    sp = trace_r(rad, u)
+    ref_sp = trace_paths(scene, cfg, u)
+    np.testing.assert_allclose(np.asarray(sp.lum).mean(),
+                               np.asarray(ref_sp.lum).mean(), rtol=2e-3)
+
+    g_fast = jax.grad(lambda r: jnp.mean(trace_r(r, u).lum))(rad)
+
+    def loss_ref(r):
+        s2 = scene.replace(emitters=scene.emitters.replace(radiance=r))
+        return jnp.mean(trace_paths(s2, cfg, u).lum)
+
+    g_ref = jax.grad(loss_ref)(rad)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                               rtol=5e-3, atol=1e-7)

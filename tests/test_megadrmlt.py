@@ -96,7 +96,7 @@ def _interp_trace(scene, k, n_dims):
 
 
 def _reference_multistep(trace, dcfg, fc, k, state, uniforms, n_mut, n_rand,
-                         splat_mode="three"):
+                         splat_mode="three", frozen0=True):
     """Pure-JAX replica of the megadrmlt mutation loop consuming the
     debug-uniform array in the kernel's documented order."""
     C, D = state.u.shape
@@ -129,7 +129,8 @@ def _reference_multistep(trace, dcfg, fc, k, state, uniforms, n_mut, n_rand,
             k1 = dcfg.stage1_kernel()
             u_kel = jnp.stack([u() for _ in range(D)], axis=1)
             du = k1.sample(jnp.stack([u_kel, u_kel], axis=-1))
-        du = du.at[:, 0].set(0.0)                 # frozen strategy dim
+        if frozen0:
+            du = du.at[:, 0].set(0.0)             # frozen strategy dim
         y_raw = x + du
         y_raw = jnp.where(large[:, None], u_large, y_raw)
         y = pss_wrap(y_raw)
@@ -149,7 +150,8 @@ def _reference_multistep(trace, dcfg, fc, k, state, uniforms, n_mut, n_rand,
             u_g1 = jnp.stack([u() for _ in range(D)], axis=1)
             u_g2 = jnp.stack([u() for _ in range(D)], axis=1)
             z_raw = x + MD._gaussian_sample(u_g1, u_g2, sig2)
-        z_raw = z_raw.at[:, 0].set(x[:, 0])
+        if frozen0:
+            z_raw = z_raw.at[:, 0].set(x[:, 0])
         z = pss_wrap(z_raw)
 
         coin1 = u()
@@ -174,7 +176,8 @@ def _reference_multistep(trace, dcfg, fc, k, state, uniforms, n_mut, n_rand,
                                                              1e-30))
             k1 = dcfg.stage1_kernel()
             lp = k1.log_pdf(z_raw - y_raw) - k1.log_pdf(x - y_raw)
-            lp = lp.at[:, 0].set(0.0)
+            if frozen0:
+                lp = lp.at[:, 0].set(0.0)
             q_ratio = jnp.where(large, 1.0, jnp.exp(jnp.sum(lp, axis=-1)))
             a2 = metropolis_clamp(lum_ratio * q_ratio * (1.0 - a_rev)
                                   / jnp.maximum(1.0 - a1, 1e-12))
@@ -282,7 +285,14 @@ def test_megadrmlt_sampled_splat_matches_reference():
     dcfg = DRMLTConfig(type="orbital", n_chains=C, splat_mode="sampled")
 
     key = jax.random.PRNGKey(13)
-    u0 = jax.random.uniform(key, (C, n_dims))
+    # start every chain at a VALID (lum>0) state: then y/z are only ever
+    # picked when themselves valid (w_y = a1 = 0 for lum_y == 0), so every
+    # sampled splat lands in-image and the weight-sum identity is exact
+    cand = jax.random.uniform(key, (64 * C, n_dims))
+    lums = trace(cand).lum
+    idx = np.nonzero(np.asarray(lums) > 0)[0][:C]
+    assert idx.shape[0] == C
+    u0 = cand[idx]
     state0 = state_from_splats(u0, trace(u0))
 
     step = MD.make_mega_drmlt(scene, cfg_k, dcfg, fc, k, n_dims,
@@ -305,8 +315,10 @@ def test_megadrmlt_sampled_splat_matches_reference():
     a, b = np.asarray(film_d), np.asarray(ref_film)
     scale = np.abs(b).max() + 1e-8
     np.testing.assert_allclose(a / scale, b / scale, atol=5e-3)
-    # total splatted weight per mutation per chain is exactly 1
-    assert abs(b.sum() / (C * n_mut)) > 0    # film is non-trivial
+    # total splatted weight per mutation per chain is exactly 1: the film
+    # weight channel must sum to C * n_mut (w_y + w_z + w_x == 1, and the
+    # sampled mode splats the picked state at weight exactly 1)
+    np.testing.assert_allclose(b[..., 3].sum(), C * n_mut, rtol=1e-5)
     ref_state3, _ = _reference_multistep(
         trace, DRMLTConfig(type="orbital", n_chains=C), fc, k, state0,
         uniforms.reshape(n_mut * n_rand, C), n_mut, n_rand,
@@ -374,3 +386,48 @@ def test_pack_unpack_roundtrip():
     st2 = MD.unpack_chain_state(arr, D)
     for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(st2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_megadrmlt_path_matches_reference():
+    """technique="path": the multi-mutation kernel drives the
+    UNIDIRECTIONAL path trace (megatrace path_trace_tile) with NO frozen
+    dims — state trajectory and film must match the pure-JAX reference
+    loop running the interpret-mode megatrace lane-for-lane."""
+    from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+    from drmlt_mitsuba_tpu.ops.pallas.megatrace import make_mega_trace
+
+    W, H = 128, 32
+    scene = prepare_scene(cornell_box(W, H))
+    fc = filmlib.make_film_config(W, H, "box")
+    pcfg = PathConfig(max_depth=3, rr_depth=100)
+    n_dims = pcfg.n_dims + pcfg.n_dims % 2
+    trace = make_mega_trace(scene, pcfg, interpret=True)
+    C, n_mut = 64, 3
+    dcfg = DRMLTConfig(type="orbital", n_chains=C)
+
+    key = jax.random.PRNGKey(21)
+    u0 = jax.random.uniform(key, (C, n_dims))
+    state0 = state_from_splats(u0, trace(u0))
+
+    step = MD.make_mega_drmlt(scene, pcfg, dcfg, fc, pcfg.max_depth,
+                              n_dims, n_mut=n_mut, interpret=True, passes=2,
+                              debug_uniforms=True, lane_block=C // 8,
+                              technique="path")
+    n_rand = 3 + n_dims + 3 * (n_dims // 2)
+    uniforms = jax.random.uniform(jax.random.PRNGKey(8),
+                                  (n_mut * n_rand, 8, C // 8))
+    arr = MD.pack_chain_state(state0, n_dims)
+    out, film_d, stats = step(arr, jnp.asarray([0, 0], jnp.int32), uniforms)
+    got = MD.unpack_chain_state(out, n_dims)
+
+    ref_state, ref_film = _reference_multistep(
+        trace, dcfg, fc, pcfg.max_depth, state0,
+        uniforms.reshape(n_mut * n_rand, C), n_mut, n_rand, frozen0=False)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(ref_state.u),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.lum),
+                               np.asarray(ref_state.lum), rtol=2e-4,
+                               atol=1e-6)
+    a, b = np.asarray(film_d), np.asarray(ref_film)
+    scale = np.abs(b).max() + 1e-8
+    np.testing.assert_allclose(a / scale, b / scale, atol=5e-3)

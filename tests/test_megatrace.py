@@ -136,3 +136,120 @@ def test_megatrace_eligibility_gates():
         sigma_t=jnp.ones(3), albedo=jnp.full(3, 0.5), g=jnp.float32(0.0)
     )
     assert not mega_eligible(scene.replace(medium=med), cfg)
+
+
+@pytest.mark.parametrize("sph", ["mirror", "glass", "diffuse"])
+def test_megatrace_matches_wavefront_sphere(sph):
+    """Analytic spheres in-kernel (round 4): quadratic closest-hit +
+    exact analytic normal (ns == ng) + sphere shadow occlusion, selected
+    lane-wise against the triangle sweep winner.  Mirrors
+    ops/intersect._sphere_hits semantics."""
+    scene = cornell_box(64, 64, sphere_material=sph)
+    cfg = PathConfig(max_depth=4, rr_depth=3)
+    assert mega_eligible(scene, cfg)
+    trace = make_mega_trace(scene, cfg, interpret=True)
+    u = jax.random.uniform(jax.random.PRNGKey(3), (R, cfg.n_dims))
+    va = np.asarray(trace_paths(scene, cfg, u).value[:, 0, :])
+    vb = np.asarray(trace(u).value[:, 0, :])
+    rel = np.abs(va - vb) / (np.abs(va) + 1e-3)
+    bad = (rel > 1e-3).any(-1).sum()
+    assert bad <= R // 500, f"{bad} lanes diverge"
+    np.testing.assert_allclose(va.mean(0), vb.mean(0), rtol=5e-3)
+
+
+def test_megatrace_matches_wavefront_textured():
+    """Bitmap albedo in-kernel (round 4): per-lane bilinear atlas fetch
+    via 4 corner one-hot MXU matmuls (2-pass bf16 split, ~16 mantissa
+    bits) must match the wavefront's f32 bilinear _albedo lookup."""
+    import jax.numpy as jnp
+
+    from drmlt_mitsuba_tpu.scene import types as st
+
+    scene = cornell_box(64, 64)
+    T = scene.tris.v0.shape[0]
+    # planar uvs from world position so interpolation is exercised
+    def wuv(p):
+        return jnp.stack([p[:, 0] / 556.0, p[:, 1] / 556.0], axis=-1)
+    p0 = scene.tris.v0
+    p1 = scene.tris.v0 + scene.tris.e1
+    p2 = scene.tris.v0 + scene.tris.e2
+    tris = scene.tris.replace(uv0=wuv(p0), uv1=wuv(p1), uv2=wuv(p2))
+    tex = (0.2 + 0.8 * jax.random.uniform(jax.random.PRNGKey(5),
+                                          (1, 16, 16, 3)))
+    mats = scene.materials.replace(
+        tex_id=scene.materials.tex_id.at[0].set(0))
+    scene = scene.replace(tris=tris, materials=mats,
+                          textures=st.TextureAtlas(data=tex))
+    cfg = PathConfig(max_depth=4, rr_depth=3)
+    assert mega_eligible(scene, cfg)
+    trace = make_mega_trace(scene, cfg, interpret=True)
+    u = jax.random.uniform(jax.random.PRNGKey(3), (R, cfg.n_dims))
+    va = np.asarray(trace_paths(scene, cfg, u).value[:, 0, :])
+    vb = np.asarray(trace(u).value[:, 0, :])
+    rel = np.abs(va - vb) / (np.abs(va) + 1e-3)
+    # texel-grid boundaries add a new decision-flip class: ~1e-4 of f32
+    # positional noise at bounce 3+ flips floor(u * 15) on ~1% of lanes,
+    # picking the adjacent texel (verified depth<=2 is EXACT, so the
+    # lookup math itself agrees); both picks are valid MC estimates
+    bad = (rel > 2e-3).any(-1).sum()
+    assert bad <= R // 50, f"{bad} lanes diverge"
+    np.testing.assert_allclose(va.mean(0), vb.mean(0), rtol=1e-2)
+
+
+def test_megatrace_matches_wavefront_image_env():
+    """Image environment in-kernel (round 4): escape-side bilinear
+    lat-long lookup MIS'd against env NEE, plus env NEE itself (marginal
+    row cdf + per-row col cdf inversion with the cdf-residual jitter) —
+    all via one-hot MXU fetches.  Mirrors emitter.py env_lookup /
+    env_pdf_dir / sample_emitter_direct lane-for-lane."""
+    import jax.numpy as jnp
+
+    from drmlt_mitsuba_tpu.scene import types as st
+    from drmlt_mitsuba_tpu.scene.types import prepare_scene
+
+    scene = cornell_box(64, 64)
+    # smooth-ish random lat-long map, 16x32 (He*We = 512 <= cap)
+    ei = 0.1 + 2.0 * jax.random.uniform(jax.random.PRNGKey(7), (16, 32, 3))
+    # undo the builder's row rewrite (emitter_id back to source index 0)
+    src_eid = jnp.where(scene.tris.emitter_id >= 0, 0, -1)
+    scene = scene.replace(tris=scene.tris.replace(emitter_id=src_eid))
+    emitters = st.build_emitters(
+        scene.tris,
+        np.asarray([[18.4, 15.6, 8.0]], np.float32),
+        env_image=np.asarray(ei))
+    # rewrite per-tri emitter rows like the builder does
+    area_rows = np.nonzero(np.asarray(emitters.kind) == st.EMITTER_AREA)[0]
+    row_of_tri = np.full(scene.tris.v0.shape[0], -1, np.int32)
+    row_of_tri[np.asarray(emitters.tri_idx)[area_rows]] = (
+        area_rows.astype(np.int32))
+    scene = scene.replace(
+        tris=scene.tris.replace(emitter_id=jnp.asarray(row_of_tri)),
+        emitters=emitters)
+    scene = prepare_scene(scene)
+    cfg = PathConfig(max_depth=4, rr_depth=3)
+    assert mega_eligible(scene, cfg)
+    trace = make_mega_trace(scene, cfg, interpret=True)
+    u = jax.random.uniform(jax.random.PRNGKey(3), (R, cfg.n_dims))
+    va = np.asarray(trace_paths(scene, cfg, u).value[:, 0, :])
+    vb = np.asarray(trace(u).value[:, 0, :])
+    rel = np.abs(va - vb) / (np.abs(va) + 1e-3)
+    # env texel grid adds floor-flip boundaries like the bitmap test
+    bad = (rel > 2e-3).any(-1).sum()
+    assert bad <= R // 50, f"{bad} lanes diverge"
+    np.testing.assert_allclose(va.mean(0), vb.mean(0), rtol=1e-2)
+
+
+def test_megatrace_chunked_big_scene_path():
+    """Big-scene sweep path (round 4, lifts the 8k-tri cap): triangle
+    chunks stream from the VMEM fetch table ((chunk,1)x(1,L) broadcast
+    math per sublane) and the attr fetch runs chunked — forced on the
+    small cornell here so interpret mode pins it lane-for-lane against
+    the SMEM sweep path."""
+    scene = cornell_box(64, 64)
+    cfg = PathConfig(max_depth=3, rr_depth=100)
+    trace_a = make_mega_trace(scene, cfg, interpret=True)
+    trace_b = make_mega_trace(scene, cfg, interpret=True, force_big=True)
+    u = jax.random.uniform(jax.random.PRNGKey(3), (512, cfg.n_dims))
+    va = np.asarray(trace_a(u).value[:, 0, :])
+    vb = np.asarray(trace_b(u).value[:, 0, :])
+    np.testing.assert_allclose(va, vb, rtol=1e-5, atol=1e-7)

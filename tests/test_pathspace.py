@@ -17,8 +17,9 @@ from drmlt_mitsuba_tpu.scene.builders import cornell_box
 from drmlt_mitsuba_tpu.scene.types import prepare_scene
 
 
-def _scene(tall="diffuse", wh=32):
-    return prepare_scene(cornell_box(wh, wh, tall_box_material=tall))
+def _scene(tall="diffuse", wh=32, sphere=None):
+    return prepare_scene(cornell_box(wh, wh, tall_box_material=tall,
+                                     sphere_material=sphere))
 
 
 def test_seed_paths_valid():
@@ -47,19 +48,30 @@ def test_mutators_propose(tall):
     assert float(a.max()) <= 1.0
 
 
-@pytest.mark.parametrize("tall", ["diffuse", "mirror"])
-def test_mlt_matches_pt(tall):
+@pytest.mark.parametrize("tall,sphere,steps,p95_tol", [
+    ("diffuse", None, 768, 0.12), ("mirror", None, 768, 0.12),
+    # sphere path vertices (round-4 eligibility widening that makes
+    # cornell.xml dispatch): analytic normals (ns == ng).  The diffuse
+    # sphere converges like the base scenes and carries the tight bias
+    # bar; a MIRROR sphere's caustics mix slowly (measured p95
+    # 0.20 @768 -> 0.117 @3072 steps — shrinking with steps = noise,
+    # not bias), so that case gets more steps and a looser local bound.
+    ("diffuse", "diffuse", 768, 0.12),
+    ("diffuse", "mirror", 3072, 0.15),
+])
+def test_mlt_matches_pt(tall, sphere, steps, p95_tol):
     """MCMC-vs-MC: path-space MLT == PT restricted to k in [2, maxDepth]."""
     W = H = 32
-    scene = _scene(tall, W)
+    scene = _scene(tall, W, sphere)
+    assert P.mlt_eligible(scene)
     fc = filmlib.make_film_config(W, H, "box")
     cfg = P.MLTConfig(max_depth=4, n_chains=2048, n_bootstrap=32768)
     img, aux = P.render_mlt(scene, cfg, fc, jax.random.PRNGKey(0),
-                            n_steps=768)
+                            n_steps=steps)
     a = np.asarray(img)
 
     pcfg = PathConfig(max_depth=4, rr_depth=100, min_depth=2)
-    film = render_pt(scene, pcfg, jax.random.PRNGKey(9), W * H * 768, fc,
+    film = render_pt(scene, pcfg, jax.random.PRNGKey(9), W * H * steps, fc,
                      mode="accum")
     ref = np.asarray(filmlib.develop(fc, film, mode="accum"))
 
@@ -69,7 +81,7 @@ def test_mlt_matches_pt(tall):
     sa = ndi.uniform_filter(a.mean(-1), 6)
     sb = ndi.uniform_filter(ref.mean(-1), 6)
     rerr = np.abs(sa - sb) / (sb + 1e-2)
-    assert np.percentile(rerr, 95) < 0.12, \
+    assert np.percentile(rerr, 95) < p95_tol, \
         f"local bias: p95 {np.percentile(rerr, 95)}"
 
 
@@ -92,3 +104,56 @@ def test_mlt_cli_dispatch(tmp_path):
     assert rc == 0
     img = np.load(out)
     assert np.isfinite(img).all() and img.mean() > 0
+
+
+def test_mchain_proposes_on_double_chain_scene():
+    """mut_mchain (mut_mchain.cpp): eligible on E (S+ D)+ suffixes —
+    a mirror tall box AND a mirror sphere give paths crossing >= 2
+    specular chains; the mutator must propose with nonzero acceptance
+    there and reject (identity) elsewhere."""
+    scene = _scene("mirror", 32, "mirror")
+    cfg = P.MLTConfig(max_depth=6, n_chains=512, n_bootstrap=16384)
+    ps, _ = P.build_seed_paths(scene, cfg, jax.random.PRNGKey(0), 512,
+                               16384)
+    prop, a, ok = P.mut_mchain(scene, cfg, jax.random.PRNGKey(1), ps,
+                               32, 32)
+    assert bool(jnp.isfinite(a).all())
+    assert float(a.max()) <= 1.0
+    # at least some lanes are structurally eligible and accept sometimes
+    assert float(ok.mean()) > 0.005, float(ok.mean())
+    assert float(a[ok].mean()) > 0.01, float(a[ok].mean())
+    # a plain diffuse box has no double chains: everything rejects
+    scene0 = _scene("diffuse", 32)
+    ps0, _ = P.build_seed_paths(scene0, cfg, jax.random.PRNGKey(2), 512,
+                                16384)
+    _, a0, ok0 = P.mut_mchain(scene0, cfg, jax.random.PRNGKey(3), ps0,
+                              32, 32)
+    assert float(a0.max()) == 0.0
+
+
+def test_mlt_matches_pt_mchain_cycle():
+    """MCMC-vs-MC with the mchain mutator IN the cycle on a
+    double-specular-chain scene (mirror box + mirror sphere): any
+    acceptance/measure error in the multi-chain perturbation shows up as
+    image bias against PT."""
+    W = H = 32
+    scene = _scene("mirror", W, "mirror")
+    fc = filmlib.make_film_config(W, H, "box")
+    cfg = P.MLTConfig(max_depth=4, n_chains=2048, n_bootstrap=32768)
+    steps = 3072
+    img, aux = P.render_mlt(
+        scene, cfg, fc, jax.random.PRNGKey(0), n_steps=steps,
+        mutators=("bidir", "mchain", "bidir", "lens"))
+    a = np.asarray(img)
+    pcfg = PathConfig(max_depth=4, rr_depth=100, min_depth=2)
+    film = render_pt(scene, pcfg, jax.random.PRNGKey(9), W * H * steps,
+                     fc, mode="accum")
+    ref = np.asarray(filmlib.develop(fc, film, mode="accum"))
+    ratio = a.mean() / ref.mean()
+    assert 0.9 < ratio < 1.1, f"global mean off: {ratio}"
+    import scipy.ndimage as ndi
+    sa = ndi.uniform_filter(a.mean(-1), 6)
+    sb = ndi.uniform_filter(ref.mean(-1), 6)
+    rerr = np.abs(sa - sb) / (sb + 1e-2)
+    assert np.percentile(rerr, 95) < 0.15, \
+        f"local bias: p95 {np.percentile(rerr, 95)}"
