@@ -37,6 +37,23 @@ def _box(pmin, pmax):
     return tris
 
 
+def _tessellate(tris, n):
+    """Subdivide each triangle into n^2 congruent triangles (big-scene
+    stress geometry: identical radiometry, n^2 x the triangle count)."""
+    out = []
+    for tri in tris:
+        p0, p1, p2 = (np.asarray(v, np.float64) for v in tri)
+        e1 = (p1 - p0) / n
+        e2 = (p2 - p0) / n
+        for i in range(n):
+            for j in range(n - i):
+                a = p0 + i * e1 + j * e2
+                out.append([a, a + e1, a + e2])
+                if i + j < n - 1:
+                    out.append([a + e1, a + e1 + e2, a + e2])
+    return out
+
+
 def _rotate_y(pts, angle_deg, center):
     a = np.deg2rad(angle_deg)
     c, s = np.cos(a), np.sin(a)
@@ -50,6 +67,7 @@ def cornell_box(
     light_radiance=(18.4, 15.6, 8.0),
     tall_box_material: str = "diffuse",
     sphere_material: str | None = None,
+    tessellate: int = 1,
 ) -> st.Scene:
     """The classic Cornell box (dimensions after the CG-standard 556-unit
     box), camera on -z looking in.  tall_box_material picks the round-trip
@@ -64,11 +82,15 @@ def cornell_box(
     emit_ids: list = []
 
     def add_tri(tri, mat, emit=-1):
-        base = len(verts)
-        verts.extend(tri)
-        faces.append([base, base + 1, base + 2])
-        mat_ids.append(mat)
-        emit_ids.append(emit)
+        # emitters stay untessellated (the emitter TABLE is row-per-tri;
+        # big-scene stress only needs geometry count, not light rows)
+        tess = tessellate if (tessellate > 1 and emit < 0) else 1
+        for t in (_tessellate([tri], tess) if tess > 1 else [tri]):
+            base = len(verts)
+            verts.extend(t)
+            faces.append([base, base + 1, base + 2])
+            mat_ids.append(mat)
+            emit_ids.append(emit)
 
     white, red, green, light_m, tall_m = 0, 1, 2, 3, 4
 

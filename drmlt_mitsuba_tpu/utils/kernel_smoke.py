@@ -371,6 +371,27 @@ def run_kernel_smoke(verbose: bool = False) -> dict:
 
     _check("megadrmlt[mmlt,sampled]", megadrmlt_sampled_case, results)
 
+    def megatrace_big_scene_case():
+        from drmlt_mitsuba_tpu.ops.pallas.megatrace import (
+            make_mega_trace, mega_eligible,
+        )
+        from drmlt_mitsuba_tpu.scene.builders import cornell_box as cb
+
+        sc = prepare_scene(cb(64, 64, tessellate=40))    # ~57k tris
+        T = int(np.asarray(sc.tris.v0).shape[0])
+        assert T > 50_000, T
+        pcfg = PathConfig(max_depth=2, rr_depth=100)
+        assert mega_eligible(sc, pcfg)
+        trace = make_mega_trace(sc, pcfg)
+        u = jax.random.uniform(key, (2048, pcfg.n_dims))
+        sp = trace(u)
+        ref = trace_paths(sc, pcfg, u[:64])
+        rel = np.abs(np.asarray(sp.lum[:64]) - np.asarray(ref.lum[:64])) \
+            / (np.abs(np.asarray(ref.lum[:64])) + 1e-4)
+        assert (rel > 1e-2).mean() < 0.15, f"{(rel > 1e-2).sum()} lanes"
+
+    _check("megatrace[big-scene-57k]", megatrace_big_scene_case, results)
+
     def mega_rad_grad_case():
         from drmlt_mitsuba_tpu.ops.pallas.megatrace import (
             make_mega_trace_rad,

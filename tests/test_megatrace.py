@@ -253,3 +253,21 @@ def test_megatrace_chunked_big_scene_path():
     va = np.asarray(trace_a(u).value[:, 0, :])
     vb = np.asarray(trace_b(u).value[:, 0, :])
     np.testing.assert_allclose(va, vb, rtol=1e-5, atol=1e-7)
+
+
+def test_megatrace_big_scene_cap_lifted():
+    """>8192 triangles route to the chunked big-scene path automatically
+    and stay mega-eligible (the round-4 cap lift, 8k -> 65k); a tiny
+    lane batch in interpret mode pins it against the XLA wavefront."""
+    scene = cornell_box(64, 64, tessellate=24)     # ~21k tris
+    T = scene.tris.v0.shape[0]
+    assert T > 8192, T
+    cfg = PathConfig(max_depth=2, rr_depth=100)
+    assert mega_eligible(scene, cfg)
+    trace = make_mega_trace(scene, cfg, interpret=True)
+    u = jax.random.uniform(jax.random.PRNGKey(3), (64, cfg.n_dims))
+    va = np.asarray(trace_paths(scene, cfg, u).value[:, 0, :])
+    vb = np.asarray(trace(u).value[:, 0, :])
+    rel = np.abs(va - vb) / (np.abs(va) + 1e-3)
+    bad = (rel > 1e-3).any(-1).sum()
+    assert bad <= 1, f"{bad} lanes diverge"
