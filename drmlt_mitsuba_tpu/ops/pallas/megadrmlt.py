@@ -589,7 +589,7 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((uniforms.shape[0], 8, L),
                              lambda i: (0, 0, i)),
-                pl.BlockSpec((n_tris, 28), lambda i: (0, 0),
+                pl.BlockSpec(tuple(tri_ext.shape), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((sph.shape[0], 8), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),

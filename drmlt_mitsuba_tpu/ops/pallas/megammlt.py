@@ -758,7 +758,7 @@ def make_mega_mmlt(scene: Scene, cfg, interpret: bool = False):
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((n_core, 8, L), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_tris, 28), lambda i: (0, 0),
+                pl.BlockSpec(tuple(tri_ext.shape), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((5, 8, L), lambda i: (0, 0, i),

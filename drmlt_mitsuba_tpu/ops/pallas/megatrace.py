@@ -833,9 +833,10 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
         if big_scene:
             # past the SMEM table budget: chunked VMEM sweep + fetch
             best_t, best_id = closest_sweep_chunked(
-                tri_vmem_ref, n_tris, shape, ox, oy, oz, dx, dy, dz)
+                tri_vmem_ref, n_tris, shape, ox, oy, oz, dx, dy, dz,
+                chunk=256)
             av = fetch_tri_attrs(tri_vmem_ref, n_tris, shape, best_id,
-                                 chunk=512)
+                                 chunk=256)
             av = (av[:19] + (jnp.where(best_id >= 0, av[19], -1.0),)
                   + av[20:])
             return best_t, av
@@ -887,7 +888,8 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
     def shadow_sweep(ox, oy, oz, dx, dy, dz, tmax):
         if big_scene:
             return shadow_sweep_chunked(tri_vmem_ref, n_tris, shape,
-                                        ox, oy, oz, dx, dy, dz, tmax)
+                                        ox, oy, oz, dx, dy, dz, tmax,
+                                        chunk=256)
         return _shadow_sweep_smem(ox, oy, oz, dx, dy, dz, tmax)
 
     def _shadow_sweep_smem(ox, oy, oz, dx, dy, dz, tmax):
@@ -1838,7 +1840,11 @@ def make_mega_trace(scene: Scene, cfg, interpret: bool = False,
     def trace(u):
         R = u.shape[0]
         R8 = R // 8
-        L = min(R8, 512)
+        # big scenes: the 16MB scoped-VMEM budget holds the (Tp, 28)
+        # table (6.1MB at 57k tris) + chunk temporaries — smaller lane
+        # blocks keep the sweep/fetch tiles inside it (measured OOM at
+        # L=256/57k: 27.4M > 16M)
+        L = min(R8, 128 if big_scene else 512)
         while R8 % L:
             L //= 2
         uT = u[:, :n_dims].T.reshape(n_dims, 8, R8)
