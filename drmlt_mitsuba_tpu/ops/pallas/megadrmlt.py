@@ -137,11 +137,14 @@ def _mega_drmlt_kernel(
     def _init_film():
         film_ref[...] = jnp.zeros_like(film_ref)
 
-    # loop-invariant iotas for the splat one-hots (i32 compares — the
-    # one Mosaic-proven lowering; bf16 cmpf on packed vectors fails to
-    # lower on real TPU, caught on-chip 2026-08-20)
+    # loop-invariant iotas for the splat one-hots (i32 compares; wheres
+    # produce f32 then cast — i1-mask where with a BF16-packed output
+    # needs an (8,128)->(16,128) i1 relayout Mosaic rejects, and bf16
+    # cmpf does not lower either; both caught on-chip 2026-08-20)
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (film_h, K), 0)
-    cols_iota = jax.lax.broadcasted_iota(jnp.int32, (film_w, K), 0)
+    colsC = jax.lax.broadcasted_iota(jnp.int32, (n_chan * film_w, K), 0)
+    cols_mod = colsC % film_w
+    chanC = colsC // film_w
 
     # fixed-depth MMLT: dim 0 of the kernel's PSS layout is the (pinned)
     # depth; the chain's dims follow (strategy, eye..., light...)
@@ -198,36 +201,37 @@ def _mega_drmlt_kernel(
 
         @pl.when(m % mb == mb - 1)
         def _flush():
+            # round-3-proven splat matmul form: ONE channel-stacked
+            # (H, K) @ (n_chan*W, K)^T per slot (the per-slot
+            # split-channel 3-matmul variant measured 5-17% SLOWER
+            # on-chip 2026-08-20: extra MXU launches + f32 row builds)
             dn = (((1,), (1,)), ((), ()))
-            b0 = jnp.zeros((), bf16)
-            deltas = [None] * n_chan
+            delta = jnp.zeros((film_h, n_chan * film_w), f32)
             for i in range(NS):
                 pyi = rec_ref[i * 6 + 0].astype(jnp.int32).reshape(1, K)
                 pxi = rec_ref[i * 6 + 1].astype(jnp.int32).reshape(1, K)
                 w = rec_ref[i * 6 + 5].reshape(1, K)
-                eq_rows = rows_iota == pyi               # (H, K) bool
-                Bcol = (cols_iota == pxi).astype(bf16)   # (W, K)
-                for c in range(n_chan):
-                    if c < 3:
-                        v = rec_ref[i * 6 + 2 + c].reshape(1, K) * w
-                    else:
-                        v = w                            # weight channel
-                    if passes == 2:
-                        v_hi = v.astype(bf16)
-                        v_lo = (v - v_hi.astype(f32)).astype(bf16)
-                        A = jnp.where(eq_rows, v_hi, b0)
-                        d = jax.lax.dot_general(
-                            A, Bcol, dn, preferred_element_type=f32)
-                        A = jnp.where(eq_rows, v_lo, b0)
-                        d += jax.lax.dot_general(
-                            A, Bcol, dn, preferred_element_type=f32)
-                    else:
-                        A = jnp.where(eq_rows, v.astype(bf16), b0)
-                        d = jax.lax.dot_general(
-                            A, Bcol, dn, preferred_element_type=f32)
-                    deltas[c] = d if deltas[c] is None else deltas[c] + d
-            for c in range(n_chan):
-                film_ref[c] += deltas[c]
+                A = (rows_iota == pyi).astype(bf16)
+                cr = rec_ref[i * 6 + 2].reshape(1, K) * w
+                cg = rec_ref[i * 6 + 3].reshape(1, K) * w
+                cb = rec_ref[i * 6 + 4].reshape(1, K) * w
+                onc = cols_mod == pxi
+                B = (jnp.where(onc & (chanC == 0), cr, 0.0)
+                     + jnp.where(onc & (chanC == 1), cg, 0.0)
+                     + jnp.where(onc & (chanC == 2), cb, 0.0))
+                if n_chan == 4:
+                    B = B + jnp.where(onc & (chanC == 3), w, 0.0)
+                if passes == 2:
+                    B_hi = B.astype(bf16)
+                    B_lo = (B - B_hi.astype(f32)).astype(bf16)
+                    delta += jax.lax.dot_general(
+                        A, B_hi, dn, preferred_element_type=f32)
+                    delta += jax.lax.dot_general(
+                        A, B_lo, dn, preferred_element_type=f32)
+                else:
+                    delta += jax.lax.dot_general(
+                        A, B.astype(bf16), dn, preferred_element_type=f32)
+            film_ref[0] += delta
 
     # ---- mutation loop ---------------------------------------------------
     def uniform_fn(m):
@@ -599,12 +603,12 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
             ],
             out_specs=[
                 pl.BlockSpec((NR, 8, L), lambda i: (0, 0, i)),
-                pl.BlockSpec((n_chan, H, W), lambda i: (0, 0, 0)),
+                pl.BlockSpec((1, H, n_chan * W), lambda i: (0, 0, 0)),
                 pl.BlockSpec((6, 8, L), lambda i: (0, 0, i)),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((NR, 8, R8), jnp.float32),
-                jax.ShapeDtypeStruct((n_chan, H, W), jnp.float32),
+                jax.ShapeDtypeStruct((1, H, n_chan * W), jnp.float32),
                 jax.ShapeDtypeStruct((6, 8, R8), jnp.float32),
             ],
             scratch_shapes=[
@@ -613,7 +617,7 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
             interpret=interpret,
         )(tri, mat, emt, cam, jnp.asarray(seed2, jnp.int32), uniforms,
           tri_ext, sph, tex, state_arr)
-        film_delta = film.transpose(1, 2, 0)
+        film_delta = film[0].reshape(H, n_chan, W).transpose(0, 2, 1)
         return out_state, film_delta, stats.sum(axis=(1, 2))
 
     return step_block

@@ -234,7 +234,7 @@ def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
         pnx, pny, pnz = src_ns
 
         for v in range(1, n_slots):
-            if tri_vmem_ref is not None:
+            if tri_vmem_ref is not None and n_tris > 512:
                 from drmlt_mitsuba_tpu.ops.pallas.megatrace import (
                     closest_sweep_idx, fetch_tri_attrs,
                 )

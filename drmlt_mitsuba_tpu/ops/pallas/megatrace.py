@@ -840,7 +840,13 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
             av = (av[:19] + (jnp.where(best_id >= 0, av[19], -1.0),)
                   + av[20:])
             return best_t, av
-        if tri_vmem_ref is not None:
+        if tri_vmem_ref is not None and (n_tris > 512
+                                         or tex_shape is not None):
+            # idx-carry + one-hot fetch wins once the 21-select carry
+            # outweighs the fetch matmul over the 512-padded table; tiny
+            # scenes keep the attr-carry loop (measured 5-17% regression
+            # at 32-54 tris, on-chip 2026-08-20).  Textured scenes need
+            # the fetch regardless (uv columns live only in tri_ext).
             best_t, best_id = closest_sweep_idx(
                 tri_ref, n_tris, shape, ox, oy, oz, dx, dy, dz)
             av = fetch_tri_attrs(tri_vmem_ref, n_tris, shape, best_id)
