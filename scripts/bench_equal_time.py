@@ -164,6 +164,13 @@ def main():
             # sampled splats exist only in the TPU megakernel; a CPU run
             # would silently execute three-state (round-3 advisor)
             variants.append(("orbital", "sampled"))
+        if os.environ.get("EQUAL_TIME_VARIANTS"):
+            # e.g. EQUAL_TIME_VARIANTS=orbital:three,orbital:sampled —
+            # each megadrmlt (type, k, scene) graph is a multi-minute
+            # remote compile through the tunnel; trim the matrix
+            want = set(os.environ["EQUAL_TIME_VARIANTS"].split(","))
+            variants = [(v, m) for v, m in variants
+                        if f"{v}:{m}" in want]
         for variant, smode in variants:
             img, dt, steps = run_drmlt(scene, fc, depth, variant, seconds,
                                        n_chains, avg, splat_mode=smode)
