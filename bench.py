@@ -114,7 +114,8 @@ def main():
             arr = pack_chain_state(state, n_dims)
             step = make_mega_drmlt(scene, cfg_k, dcfg, fc, k, n_dims,
                                    n_mut=N_MUT, passes=1,
-                                   weight_channel=False)
+                                   weight_channel=False,
+                                   splat_mode=dcfg.splat_mode)
 
             @jax.jit
             def run(arr, film, i):
@@ -141,6 +142,19 @@ def main():
 
     rate_mmlt, per_group = flagship_grouped(scene, fc,
                                             jax.random.fold_in(root, 1))
+
+    # sampled-splat A/B (round 4): the unbiased 1-state resample of the
+    # Rao-Blackwellized 3-state splat — 3x fewer splat MACs; the default
+    # stays the reference-faithful three-state estimator, and
+    # EQUAL_TIME.json carries the RMSE-at-equal-time side of the A/B
+    dcfg_s = DRMLTConfig(type="orbital", n_chains=N_CHAINS,
+                         splat_mode="sampled")
+    dcfg, dcfg_three = dcfg_s, dcfg
+    try:
+        rate_mmlt_sampled, per_group_sampled = flagship_grouped(
+            scene, fc, jax.random.fold_in(root, 1))
+    finally:
+        dcfg = dcfg_three
 
     # ---- second scene: procedural veach-door (rough-diffuse, 54 tris) ----
     from drmlt_mitsuba_tpu.scene.builders import veach_door
@@ -276,6 +290,15 @@ def main():
                            "launch, VMEM-resident chain loop, in-kernel "
                            "RNG+traces+acceptance+MXU splat; ROOFLINE.md)",
             "mmlt_per_group": per_group,
+            "mmlt_sampled_mutations_per_sec": round(rate_mmlt_sampled, 1),
+            "mmlt_sampled_vs_baseline": round(
+                rate_mmlt_sampled / CPU_ANCHOR_MMLT_PER_SEC, 3),
+            "mmlt_sampled_per_group": per_group_sampled,
+            "splat_mode_ab_note": "sampled = unbiased 1-state resample "
+                                  "of the 3-state splat (3x fewer splat "
+                                  "MACs); headline stays the reference-"
+                                  "faithful three-state estimator; RMSE "
+                                  "at equal time in EQUAL_TIME.json",
             "veach_door_mmlt_mutations_per_sec": round(rate_vd, 1),
             "veach_door_vs_baseline": round(
                 rate_vd / CPU_ANCHOR_VEACH_MMLT_PER_SEC, 3),

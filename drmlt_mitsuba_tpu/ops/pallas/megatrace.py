@@ -85,6 +85,12 @@ def _lum(r, g, b):
     return 0.212671 * r + 0.715160 * g + 0.072169 * b
 
 
+def _acos(x):
+    """arccos via atan2 (Mosaic has no acos primitive — caught on-chip
+    2026-08-20): acos(x) = atan2(sqrt(1-x^2), x), exact on [-1, 1]."""
+    return jnp.arctan2(jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)), x)
+
+
 def _mis_power(a, b):
     a2 = a * a
     b2 = b * b
@@ -566,130 +572,112 @@ def closest_sweep_idx(tri_ref, n_tris, shape, ox, oy, oz, dx, dy, dz):
         (jnp.full(shape, _INF, f32), jnp.full(shape, -1, jnp.int32)))
 
 
+def _flat(t, shape):
+    """(8, L) -> (1, K) lane flatten (the Mosaic-proven reshape)."""
+    return t.reshape(1, shape[0] * shape[1])
+
+
+def _unflat(row, shape):
+    """(1, K) -> (8, L): lane slices at L-multiples + sublane concat
+    (a direct reshape does not lower; see fetch_rows)."""
+    L = shape[1]
+    return jnp.concatenate(
+        [row[0:1, s * L:(s + 1) * L] for s in range(shape[0])], axis=0)
+
+
 def closest_sweep_chunked(tri_vmem_ref, n_tris, shape,
-                          ox, oy, oz, dx, dy, dz, chunk=512):
+                          ox, oy, oz, dx, dy, dz, chunk=128):
     """Closest-hit sweep for scenes past the SMEM scalar-table budget:
     triangle data streams from the VMEM fetch table in (chunk, 1) column
-    slices broadcast against per-sublane (1, L) ray rows — O(T) work like
+    slices broadcast against flattened (1, K) ray rows — O(T) work like
     the brute sweep, but bounded only by VMEM (~65k tris), not SMEM.
+
+    ONE fori_loop with (chunk, K) temporaries: the earlier per-sublane
+    variant allocated 8 independent loop bodies and blew the 16MB scoped
+    VMEM budget at 57k tris (27MB, caught on-chip 2026-08-20).
 
     Returns (best_t, best_id) as (8, L) tiles."""
     f32 = jnp.float32
-    L = shape[1]
+    K = shape[0] * shape[1]
     n_chunks = -(-n_tris // chunk)
     BIG = jnp.float32(3.0e37)
+    oxf, oyf, ozf = _flat(ox, shape), _flat(oy, shape), _flat(oz, shape)
+    dxf, dyf, dzf = _flat(dx, shape), _flat(dy, shape), _flat(dz, shape)
 
-    bt_rows, bi_rows = [], []
-    for sub in range(shape[0]):
-        oxs = ox[sub:sub + 1]
-        oys = oy[sub:sub + 1]
-        ozs = oz[sub:sub + 1]
-        dxs = dx[sub:sub + 1]
-        dys = dy[sub:sub + 1]
-        dzs = dz[sub:sub + 1]
+    def body(c, carry):
+        best_t, best_id = carry
+        rows = tri_vmem_ref[pl.dslice(c * chunk, chunk), :]
+        v0x, v0y, v0z = rows[:, 0:1], rows[:, 1:2], rows[:, 2:3]
+        e1x, e1y, e1z = rows[:, 3:4], rows[:, 4:5], rows[:, 5:6]
+        e2x, e2y, e2z = rows[:, 6:7], rows[:, 7:8], rows[:, 8:9]
+        px = dyf * e2z - dzf * e2y            # (chunk, K)
+        py = dzf * e2x - dxf * e2z
+        pz = dxf * e2y - dyf * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = jnp.abs(det) > 1e-12
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        tx, ty, tz = oxf - v0x, oyf - v0y, ozf - v0z
+        b1 = (tx * px + ty * py + tz * pz) * inv
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        b2 = (dxf * qx + dyf * qy + dzf * qz) * inv
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+        hit = (ok & (b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+               & (tt > RAY_EPS))
+        # padding rows past n_tris have zero edges -> det 0 -> miss
+        t_m = jnp.where(hit, tt, BIG)
+        m = jnp.min(t_m, axis=0, keepdims=True)          # (1, K)
+        iota = (jax.lax.broadcasted_iota(jnp.int32, (chunk, K), 0)
+                + c * chunk)
+        idx = jnp.min(jnp.where(t_m == m, iota, jnp.int32(2 ** 30)),
+                      axis=0, keepdims=True)
+        better = m < best_t
+        best_t = jnp.where(better, m, best_t)
+        best_id = jnp.where(better, idx, best_id)
+        return best_t, best_id
 
-        def body(c, carry, oxs=oxs, oys=oys, ozs=ozs, dxs=dxs, dys=dys,
-                 dzs=dzs):
-            best_t, best_id = carry
-            rows = tri_vmem_ref[pl.dslice(c * chunk, chunk), :]
-            v0x = rows[:, 0:1]
-            v0y = rows[:, 1:2]
-            v0z = rows[:, 2:3]
-            e1x = rows[:, 3:4]
-            e1y = rows[:, 4:5]
-            e1z = rows[:, 5:6]
-            e2x = rows[:, 6:7]
-            e2y = rows[:, 7:8]
-            e2z = rows[:, 8:9]
-            px = dys * e2z - dzs * e2y        # (chunk, L)
-            py = dzs * e2x - dxs * e2z
-            pz = dxs * e2y - dys * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            ok = jnp.abs(det) > 1e-12
-            inv = 1.0 / jnp.where(ok, det, 1.0)
-            tx = oxs - v0x
-            ty = oys - v0y
-            tz = ozs - v0z
-            b1 = (tx * px + ty * py + tz * pz) * inv
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            b2 = (dxs * qx + dys * qy + dzs * qz) * inv
-            tt = (e2x * qx + e2y * qy + e2z * qz) * inv
-            hit = (ok & (b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
-                   & (tt > RAY_EPS))
-            # padding rows past n_tris have zero edges -> det 0 -> miss
-            t_m = jnp.where(hit, tt, BIG)
-            m = jnp.min(t_m, axis=0, keepdims=True)       # (1, L)
-            iota = (jax.lax.broadcasted_iota(jnp.int32, (chunk, L), 0)
-                    + c * chunk)
-            idx = jnp.min(jnp.where(t_m == m, iota, jnp.int32(2 ** 30)),
-                          axis=0, keepdims=True)
-            better = m < best_t
-            best_t = jnp.where(better, m, best_t)
-            best_id = jnp.where(better, idx, best_id)
-            return best_t, best_id
-
-        bt, bi = jax.lax.fori_loop(
-            0, n_chunks, body,
-            (jnp.full((1, L), _INF, f32), jnp.full((1, L), -1, jnp.int32)))
-        bt_rows.append(bt)
-        bi_rows.append(bi)
-    return (jnp.concatenate(bt_rows, axis=0),
-            jnp.concatenate(bi_rows, axis=0))
+    bt, bi = jax.lax.fori_loop(
+        0, n_chunks, body,
+        (jnp.full((1, K), _INF, f32), jnp.full((1, K), -1, jnp.int32)))
+    return _unflat(bt, shape), _unflat(bi, shape)
 
 
 def shadow_sweep_chunked(tri_vmem_ref, n_tris, shape,
-                         ox, oy, oz, dx, dy, dz, tmax, chunk=512):
+                         ox, oy, oz, dx, dy, dz, tmax, chunk=128):
     """Any-hit version of closest_sweep_chunked."""
-    L = shape[1]
+    K = shape[0] * shape[1]
     n_chunks = -(-n_tris // chunk)
-    out_rows = []
-    for sub in range(shape[0]):
-        oxs = ox[sub:sub + 1]
-        oys = oy[sub:sub + 1]
-        ozs = oz[sub:sub + 1]
-        dxs = dx[sub:sub + 1]
-        dys = dy[sub:sub + 1]
-        dzs = dz[sub:sub + 1]
-        tms = tmax[sub:sub + 1]
+    oxf, oyf, ozf = _flat(ox, shape), _flat(oy, shape), _flat(oz, shape)
+    dxf, dyf, dzf = _flat(dx, shape), _flat(dy, shape), _flat(dz, shape)
+    tmf = _flat(tmax, shape)
 
-        def body(c, blocked, oxs=oxs, oys=oys, ozs=ozs, dxs=dxs, dys=dys,
-                 dzs=dzs, tms=tms):
-            rows = tri_vmem_ref[pl.dslice(c * chunk, chunk), :]
-            v0x = rows[:, 0:1]
-            v0y = rows[:, 1:2]
-            v0z = rows[:, 2:3]
-            e1x = rows[:, 3:4]
-            e1y = rows[:, 4:5]
-            e1z = rows[:, 5:6]
-            e2x = rows[:, 6:7]
-            e2y = rows[:, 7:8]
-            e2z = rows[:, 8:9]
-            px = dys * e2z - dzs * e2y
-            py = dzs * e2x - dxs * e2z
-            pz = dxs * e2y - dys * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            ok = jnp.abs(det) > 1e-12
-            inv = 1.0 / jnp.where(ok, det, 1.0)
-            tx = oxs - v0x
-            ty = oys - v0y
-            tz = ozs - v0z
-            b1 = (tx * px + ty * py + tz * pz) * inv
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            b2 = (dxs * qx + dys * qy + dzs * qz) * inv
-            tt = (e2x * qx + e2y * qy + e2z * qz) * inv
-            hit = (ok & (b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
-                   & (tt > RAY_EPS) & (tt < tms))
-            any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0,
-                              keepdims=True)
-            return jnp.maximum(blocked, any_hit)
+    def body(c, blocked):
+        rows = tri_vmem_ref[pl.dslice(c * chunk, chunk), :]
+        v0x, v0y, v0z = rows[:, 0:1], rows[:, 1:2], rows[:, 2:3]
+        e1x, e1y, e1z = rows[:, 3:4], rows[:, 4:5], rows[:, 5:6]
+        e2x, e2y, e2z = rows[:, 6:7], rows[:, 7:8], rows[:, 8:9]
+        px = dyf * e2z - dzf * e2y
+        py = dzf * e2x - dxf * e2z
+        pz = dxf * e2y - dyf * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = jnp.abs(det) > 1e-12
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        tx, ty, tz = oxf - v0x, oyf - v0y, ozf - v0z
+        b1 = (tx * px + ty * py + tz * pz) * inv
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        b2 = (dxf * qx + dyf * qy + dzf * qz) * inv
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+        hit = (ok & (b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+               & (tt > RAY_EPS) & (tt < tmf))
+        any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0, keepdims=True)
+        return jnp.maximum(blocked, any_hit)
 
-        out_rows.append(jax.lax.fori_loop(
-            0, n_chunks, body, jnp.zeros((1, L), jnp.float32)))
-    return jnp.concatenate(out_rows, axis=0) > 0.5
+    blocked = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((1, K), jnp.float32))
+    return _unflat(blocked, shape) > 0.5
 
 
 def fetch_rows(table_ref, n_rows, shape, row_id, passes=3, chunk=None):
@@ -833,10 +821,9 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
         if big_scene:
             # past the SMEM table budget: chunked VMEM sweep + fetch
             best_t, best_id = closest_sweep_chunked(
-                tri_vmem_ref, n_tris, shape, ox, oy, oz, dx, dy, dz,
-                chunk=256)
+                tri_vmem_ref, n_tris, shape, ox, oy, oz, dx, dy, dz)
             av = fetch_tri_attrs(tri_vmem_ref, n_tris, shape, best_id,
-                                 chunk=256)
+                                 chunk=128)
             av = (av[:19] + (jnp.where(best_id >= 0, av[19], -1.0),)
                   + av[20:])
             return best_t, av
@@ -894,8 +881,7 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
     def shadow_sweep(ox, oy, oz, dx, dy, dz, tmax):
         if big_scene:
             return shadow_sweep_chunked(tri_vmem_ref, n_tris, shape,
-                                        ox, oy, oz, dx, dy, dz, tmax,
-                                        chunk=256)
+                                        ox, oy, oz, dx, dy, dz, tmax)
         return _shadow_sweep_smem(ox, oy, oz, dx, dy, dz, tmax)
 
     def _shadow_sweep_smem(ox, oy, oz, dx, dy, dz, tmax):
@@ -981,7 +967,7 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
 
     def env_dir_uv(dx, dy, dz):
         """Lat-long uv of a world direction (emitter.env_dir_to_uv)."""
-        theta = jnp.arccos(jnp.clip(dy, -1.0, 1.0))
+        theta = _acos(jnp.clip(dy, -1.0, 1.0))
         phi = jnp.arctan2(dx, -dz)
         return (phi / _PI + 1.0) * 0.5, theta / _PI
 
@@ -1019,7 +1005,7 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
         idx = (yn * We + xn).astype(jnp.int32)
         _r, _g, _b, pmf = fetch_rows(env_tab_ref, He * We, shape, idx,
                                      passes=2)
-        theta = jnp.arccos(jnp.clip(dy, -1.0, 1.0))
+        theta = _acos(jnp.clip(dy, -1.0, 1.0))
         sin_t = jnp.maximum(jnp.sin(theta), 1e-6)
         return pmf * (He * We) / (2.0 * _PI * _PI * sin_t)
 
@@ -1113,7 +1099,7 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
             tv = w0 * av[21] + b1 * av[23] + b2 * av[25]
             if n_sphs:
                 # lat-long sphere parametrization (ops/intersect uv_sph)
-                stu = jnp.arccos(jnp.clip(sngz, -1.0, 1.0)) / _PI
+                stu = _acos(jnp.clip(sngz, -1.0, 1.0)) / _PI
                 stv = jnp.arctan2(sngy, sngx) / (2.0 * _PI) + 0.5
                 tu = jnp.where(use_sph, stu, tu)
                 tv = jnp.where(use_sph, stv, tv)

@@ -392,6 +392,46 @@ def run_kernel_smoke(verbose: bool = False) -> dict:
 
     _check("megatrace[big-scene-57k]", megatrace_big_scene_case, results)
 
+    def megadrmlt_path_general_case():
+        """Parity-class generality: a textured, sphere-bearing scene runs
+        the multi-mutation DRMLT kernel end-to-end (path technique)."""
+        from drmlt_mitsuba_tpu.ops.pallas.megadrmlt import (
+            make_mega_drmlt, mega_drmlt_path_eligible, pack_chain_state,
+        )
+        from drmlt_mitsuba_tpu.scene import types as st
+
+        sc = cornell_box(256, 256, sphere_material="mirror")
+        p0 = sc.tris.v0
+        p1 = p0 + sc.tris.e1
+        p2 = p0 + sc.tris.e2
+
+        def wuv(p):
+            return jnp.stack([p[:, 0] / 556.0, p[:, 1] / 556.0], axis=-1)
+
+        tris = sc.tris.replace(uv0=wuv(p0), uv1=wuv(p1), uv2=wuv(p2))
+        tex = 0.2 + 0.8 * jax.random.uniform(jax.random.fold_in(key, 9),
+                                             (1, 16, 16, 3))
+        mats = sc.materials.replace(tex_id=sc.materials.tex_id.at[0].set(0))
+        sc = prepare_scene(sc.replace(tris=tris, materials=mats,
+                                      textures=st.TextureAtlas(data=tex)))
+        pcfg = PathConfig(max_depth=4, rr_depth=100)
+        n_dims = pcfg.n_dims + pcfg.n_dims % 2
+        dcfg = DRMLTConfig(type="orbital", n_chains=2048)
+        assert mega_drmlt_path_eligible(sc, pcfg, dcfg, fc)
+        u0 = jax.random.uniform(key, (2048, n_dims))
+        state = state_from_splats(u0, trace_paths(sc, pcfg, u0))
+        arr = pack_chain_state(state, n_dims)
+        step = make_mega_drmlt(sc, pcfg, dcfg, fc, pcfg.max_depth,
+                               n_dims, n_mut=4, weight_channel=False,
+                               technique="path")
+        out, delta, stats = step(arr, jnp.asarray([5, 0], jnp.int32))
+        assert bool(jnp.isfinite(delta).all())
+        a1 = float(stats[0]) / (2048 * 4)
+        assert 0.05 < a1 < 0.95, f"implausible a1 {a1}"
+
+    _check("megadrmlt[path,textured+sphere]",
+           megadrmlt_path_general_case, results)
+
     def mega_rad_grad_case():
         from drmlt_mitsuba_tpu.ops.pallas.megatrace import (
             make_mega_trace_rad,
