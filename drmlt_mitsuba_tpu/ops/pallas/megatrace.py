@@ -85,10 +85,41 @@ def _lum(r, g, b):
     return 0.212671 * r + 0.715160 * g + 0.072169 * b
 
 
+def _atan(x):
+    """Branchless f32 arctangent (Mosaic lowers neither atan nor atan2 —
+    caught on-chip 2026-08-20).  Cephes atanf scheme: reduce |x| to
+    [0, tan(pi/8)] via atan(x) = pi/4 + atan((x-1)/(x+1)) on the middle
+    band and pi/2 - atan(1/x) above, then a 4-term odd minimax
+    polynomial; max error ~1e-7 rad (verified vs numpy in
+    tests/test_megatrace.py)."""
+    sign = jnp.where(x < 0, -1.0, 1.0)
+    a = jnp.abs(x)
+    t3 = a > 2.414213562373095          # tan(3 pi / 8)
+    t1 = (a > 0.4142135623730950) & ~t3  # tan(pi / 8)
+    safe_a = jnp.maximum(a, 1e-30)
+    xr = jnp.where(t3, -1.0 / safe_a,
+                   jnp.where(t1, (a - 1.0) / (a + 1.0), a))
+    base = jnp.where(t3, 0.5 * _PI, jnp.where(t1, 0.25 * _PI, 0.0))
+    z = xr * xr
+    poly = ((((8.05374449538e-2 * z - 1.38776856032e-1) * z
+              + 1.99777106478e-1) * z - 3.33329491539e-1) * z * xr + xr)
+    return sign * (base + poly)
+
+
+def _atan2(y, x):
+    """Branchless f32 atan2 built on _atan (quadrant fixup)."""
+    safe_x = jnp.where(jnp.abs(x) > 0, x, 1.0)
+    base = _atan(y / safe_x)
+    # x < 0: shift by +/- pi toward y's sign; x == 0: +/- pi/2
+    ysign = jnp.where(y < 0, -1.0, 1.0)
+    out = jnp.where(x < 0, base + ysign * _PI, base)
+    out = jnp.where(jnp.abs(x) > 0, out, ysign * 0.5 * _PI)
+    return out
+
+
 def _acos(x):
-    """arccos via atan2 (Mosaic has no acos primitive — caught on-chip
-    2026-08-20): acos(x) = atan2(sqrt(1-x^2), x), exact on [-1, 1]."""
-    return jnp.arctan2(jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)), x)
+    """arccos via atan2: acos(x) = atan2(sqrt(1-x^2), x) on [-1, 1]."""
+    return _atan2(jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)), x)
 
 
 def _mis_power(a, b):
@@ -968,7 +999,7 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
     def env_dir_uv(dx, dy, dz):
         """Lat-long uv of a world direction (emitter.env_dir_to_uv)."""
         theta = _acos(jnp.clip(dy, -1.0, 1.0))
-        phi = jnp.arctan2(dx, -dz)
+        phi = _atan2(dx, -dz)
         return (phi / _PI + 1.0) * 0.5, theta / _PI
 
     def env_bilinear(u, v):
@@ -1100,7 +1131,7 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
             if n_sphs:
                 # lat-long sphere parametrization (ops/intersect uv_sph)
                 stu = _acos(jnp.clip(sngz, -1.0, 1.0)) / _PI
-                stv = jnp.arctan2(sngy, sngx) / (2.0 * _PI) + 0.5
+                stv = _atan2(sngy, sngx) / (2.0 * _PI) + 0.5
                 tu = jnp.where(use_sph, stu, tu)
                 tv = jnp.where(use_sph, stv, tv)
             x = jnp.clip(jnp.mod(tu, 1.0), 0.0, 1.0) * (tw - 1)
@@ -1757,6 +1788,8 @@ def make_mega_trace_rad(scene0: Scene, cfg, interpret: bool = False):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((NO, 8, R8), jnp.float32),
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
         )(tri, mat, emt, cam, uT, tri_ext, sph, tex, env_tab, env_col,
           env_row)
         value = out[0:3].reshape(3, R).T
@@ -1871,6 +1904,8 @@ def make_mega_trace(scene: Scene, cfg, interpret: bool = False,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((3, 8, R8), jnp.float32),
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
         )(tri, mat, emt, cam, uT, tri_ext, sph, tex, env_tab, env_col,
           env_row)
         value = out.reshape(3, R).T
@@ -1974,6 +2009,8 @@ def make_mega_trace_diff(scene0: Scene, cfg, interpret: bool = False):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((3, 8, R8), jnp.float32),
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
         )(tri, mat, emt, cam, uT, tri_ext, sph, tex, env_tab, env_col,
           env_row)
         value = out.reshape(3, R).T

@@ -271,3 +271,21 @@ def test_megatrace_big_scene_cap_lifted():
     rel = np.abs(va - vb) / (np.abs(va) + 1e-3)
     bad = (rel > 1e-3).any(-1).sum()
     assert bad <= 1, f"{bad} lanes diverge"
+
+
+def test_kernel_atan2_accuracy():
+    """The in-kernel Cephes-style _atan/_atan2/_acos (Mosaic lowers no
+    inverse trig) must match numpy to ~1e-6 rad across quadrants."""
+    import jax.numpy as jnp
+
+    from drmlt_mitsuba_tpu.ops.pallas.megatrace import _acos, _atan2
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(size=4096).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=4096).astype(np.float32))
+    got = np.asarray(_atan2(y, x))
+    ref = np.arctan2(np.asarray(y), np.asarray(x))
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+    c = jnp.asarray(rng.uniform(-1, 1, 4096).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(_acos(c)),
+                               np.arccos(np.asarray(c)), atol=2e-6)
