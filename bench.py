@@ -329,6 +329,12 @@ def main():
                            "technique, per-core x 64 (2026-08-18); linear "
                            "extrapolation favors the anchor (real 64-core "
                            "boxes lose 10-30% to contention)",
+            "scene_note": "both bench scenes are PROCEDURAL stand-ins "
+                          "(scene/builders.py), not the reference's "
+                          "shipped assets; veach-door is a ~100-tri "
+                          "two-room box whose anchor was measured with "
+                          "cpu_oracle on the SAME stand-in — an internal "
+                          "hard-scene ratio, not asset parity",
             "splat_precision_note": "film one-hot matmul runs one bf16 "
                                     "pass; vs exact hi/lo: mean rel 6.2e-4,"
                                     " max 3.6e-3 (tune_megadrmlt.py)",
