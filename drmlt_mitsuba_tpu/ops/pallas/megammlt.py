@@ -574,7 +574,10 @@ def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
     cc_y = Sl["by"] * fly * fey * Se["by"] * g
     cc_z = Sl["bz"] * flz * fez * Se["bz"] * g
 
-    l_deltab = jnp.where(is_s1, False, _delta_at(L_delta, lv, shape))
+    # boolean algebra, not where: an i1-vector select lowers to a
+    # trunci i8->i1 Mosaic rejects (caught on-chip 2026-08-20, first
+    # GLASS scene through this kernel on real TPU)
+    l_deltab = ~is_s1 & _delta_at(L_delta, lv, shape)
     e_deltab = _delta_at(E_delta, ev, shape)
     case_conn = ~case_hit & ~case_lt
     ok_conn = (case_conn & (Sl["valid"] > 0.5) & (Se["valid"] > 0.5)

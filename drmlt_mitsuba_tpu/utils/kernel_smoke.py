@@ -392,6 +392,35 @@ def run_kernel_smoke(verbose: bool = False) -> dict:
 
     _check("megatrace[big-scene-57k]", megatrace_big_scene_case, results)
 
+    def megadrmlt_glass_case():
+        """GLASS scene through the MMLT megakernel family: dielectric
+        lanes exercise bool-select paths the diffuse bench scenes never
+        hit (the l_deltab i1-select lowering bug hid here until the
+        first on-chip glass run, 2026-08-20)."""
+        from drmlt_mitsuba_tpu.integrators.mmlt_grouped import (
+            make_mmlt_trace_fixed,
+        )
+        from drmlt_mitsuba_tpu.ops.pallas.megadrmlt import (
+            make_mega_drmlt, pack_chain_state,
+        )
+
+        sc = prepare_scene(cornell_box(256, 256,
+                                       tall_box_material="glass"))
+        k = 3
+        trace_k, cfg_k, n_dims = make_mmlt_trace_fixed(sc, k)
+        dcfg = DRMLTConfig(type="orbital", n_chains=2048)
+        u0 = jax.random.uniform(key, (2048, n_dims))
+        state = state_from_splats(u0, trace_k(u0))
+        arr = pack_chain_state(state, n_dims)
+        step = make_mega_drmlt(sc, cfg_k, dcfg, fc, k, n_dims, n_mut=4,
+                               weight_channel=False)
+        out, delta, stats = step(arr, jnp.asarray([5, 0], jnp.int32))
+        assert bool(jnp.isfinite(delta).all())
+        a1 = float(stats[0]) / (2048 * 4)
+        assert 0.02 < a1 < 0.98, f"implausible a1 {a1}"
+
+    _check("megadrmlt[mmlt,glass]", megadrmlt_glass_case, results)
+
     def megadrmlt_path_general_case():
         """Parity-class generality: a textured, sphere-bearing scene runs
         the multi-mutation DRMLT kernel end-to-end (path technique)."""
