@@ -248,7 +248,7 @@ def main():
     g = grad_step_fast(scene.emitters.radiance)
     jax.block_until_ready(g)
     t0 = time.perf_counter()
-    n_calls = 6
+    n_calls = 16            # tunnel-latency jitter: longer window
     for _ in range(n_calls):
         g = grad_step_fast(scene.emitters.radiance)
     jax.block_until_ready(g)
