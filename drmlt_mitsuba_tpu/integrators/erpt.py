@@ -1,16 +1,25 @@
 """ERPT — energy-redistribution path tracing (ref: src/integrators/erpt/).
 
 The reference redistributes each path-traced sample's energy through short
-Veach-mutator Metropolis chains (equal-deposition rule).  The TPU-native
-formulation works in primary sample space (capability-equivalent, same
-estimator family as our other MCMC code):
+Veach-PERTURBATION Metropolis chains (lens / caustic / multi-chain,
+erpt_proc.cpp:187-278) under the equal-deposition rule: chains are seeded
+stochastically ~ sample energy and every mutation deposits a fixed energy
+quantum derived from the batch's own luminance estimate.
 
-  per batch: trace N uniform PT samples -> energies e_i and the batch
-  normalization b = mean(e); resample C chain seeds ~ e_i (energy
-  redistribution); run m small-step MH mutations per chain, splatting both
-  states with Veach weights; develop with the PER-BATCH b — no global
-  bootstrap pass, the PT samples themselves normalize each batch (the
-  defining ERPT property).
+Two TPU-native drivers, both batch-normalized (the defining ERPT
+property — no global bootstrap pass; each batch's PT samples normalize
+that batch):
+
+- render_erpt_mlt — PATH-SPACE chains: seeds are materialized vertex
+  paths (pathspace.build_seed_paths, resampled ~ energy = the vectorized
+  analog of erpt_proc.cpp:157-166's stochastic chain counts) and the
+  chains run the reference's actual perturbations via
+  pathspace.mutate_once.  Perturbations alone are not ergodic; the fresh
+  per-batch reseeding is what restores coverage — exactly the reference's
+  design.  Requires pathspace.mlt_eligible scenes.
+- render_erpt — primary-sample-space fallback (Kelemen/Gaussian small
+  steps), scene-generic; same estimator family, kept for scenes outside
+  the path-space subset.
 """
 from __future__ import annotations
 
@@ -100,3 +109,76 @@ def render_erpt(trace_fn, cfg: ERPTConfig, film_cfg, root_key, n_dims: int,
     n_pp = (n_batches * cfg.n_chains * cfg.chain_length) / film_cfg.npixels
     img = filmlib.develop(film_cfg, film, mode="splat", scale=1.0 / n_pp)
     return img, dict(b=bs, accept=accs)
+
+
+def render_erpt_mlt(scene, cfg: ERPTConfig, film_cfg, root_key,
+                    n_batches: int, max_depth: int = 6, kmin: int = 2,
+                    mutators=("lens", "caustic", "mchain")):
+    """Path-space ERPT (ref: erpt_proc.cpp): per batch, bootstrap-trace
+    paths, resample chain seeds ~ energy, run `chain_length` Veach
+    perturbations per chain with expected-value (1-a, a) deposition, and
+    normalize the batch's film by ITS OWN luminance estimate b.
+
+    Returns (image, aux)."""
+    from drmlt_mitsuba_tpu.integrators import pathspace as P
+    from drmlt_mitsuba_tpu.render import film as filmlib
+
+    mcfg = P.MLTConfig(max_depth=max_depth, kmin=kmin,
+                       n_chains=cfg.n_chains,
+                       n_bootstrap=cfg.samples_per_batch)
+    res = (film_cfg.width, film_cfg.height)
+    scale = jnp.asarray([film_cfg.width, film_cfg.height], jnp.float32)
+    n_rounds = max(1, cfg.chain_length // len(mutators))
+
+    @jax.jit
+    def run_chains(ps, val, lum, pix, kr):
+        """chain_length perturbation steps; returns (film, mean accept)."""
+        def body(carry, i):
+            state, film = carry
+            key = jax.random.fold_in(kr, i)
+            accs = []
+            for j, which in enumerate(mutators):
+                kj = jax.random.fold_in(key, j)
+                state, (a, pval, plum, ppix) = P.mutate_once(
+                    scene, mcfg, kj, state, which, res)
+                ps_, val_, lum_, pix_ = state
+                # equal deposition: both sides splat at UNIT luminance
+                # (x b at develop), weights (1-a, a) — erpt_proc.cpp:253-278
+                unit_c = jnp.where(
+                    (lum_ > 0)[:, None],
+                    val_ / jnp.maximum(lum_, 1e-30)[:, None], 0.0)
+                unit_p = jnp.where(
+                    (plum > 0)[:, None],
+                    pval / jnp.maximum(plum, 1e-30)[:, None], 0.0)
+                film = filmlib.splat(
+                    film_cfg, film,
+                    jnp.concatenate([pix_ * scale, ppix * scale]),
+                    jnp.concatenate([unit_c, unit_p]),
+                    jnp.concatenate([1.0 - a, a]), mode="splat")
+                accs.append(jnp.mean(a))
+            return (state, film), jnp.stack(accs)
+
+        film0 = filmlib.new_film(film_cfg)
+        (state, film), accs = jax.lax.scan(
+            body, ((ps, val, lum, pix), film0), jnp.arange(n_rounds))
+        return film, accs
+
+    film_total = filmlib.new_film(film_cfg)
+    bs, accs = [], []
+    for bi in range(n_batches):
+        kb = jax.random.fold_in(root_key, 0x0E49 + bi)
+        ps, b = P.build_seed_paths(scene, mcfg, kb, cfg.n_chains,
+                                   cfg.samples_per_batch)
+        val, lum, pix, _ = P.eval_path(scene, ps, mcfg.max_depth)
+        film, acc = run_chains(ps, val, lum, pix,
+                               jax.random.fold_in(root_key, bi))
+        # the batch's PT samples normalize the batch (ERPT property)
+        film_total = film_total + film * b
+        bs.append(b)
+        accs.append(acc)
+
+    steps_eff = n_rounds * len(mutators)
+    n_pp = (n_batches * cfg.n_chains * steps_eff) / film_cfg.npixels
+    img = filmlib.develop(film_cfg, film_total, mode="splat",
+                          scale=1.0 / n_pp)
+    return img, dict(b=jnp.stack(bs), accept=jnp.stack(accs))

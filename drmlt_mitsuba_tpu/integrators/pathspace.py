@@ -1287,6 +1287,40 @@ def build_seed_paths(scene: Scene, cfg: MLTConfig, key, n_chains: int,
 
 
 # ---------------------------------------------------------------- driver
+def mutate_once(scene: Scene, cfg: MLTConfig, key, state, which: str, res):
+    """One Metropolis step of mutator `which` over the chain ensemble.
+
+    state = (PathState, val, lum, pix); returns (new_state,
+    (a, pval, plum, ppix)) — the acceptance probabilities plus the
+    proposal's splat data, so callers can expected-value splat both
+    sides.  Shared by render_mlt and the path-space ERPT driver
+    (erpt.py — ref src/integrators/erpt/erpt_proc.cpp runs exactly
+    these perturbations inside its redistribution chains)."""
+    ps, val, lum, pix = state
+    if which == "bidir":
+        prop, a, ok = mut_bidir(scene, cfg, key, ps)
+    elif which == "lens":
+        prop, a, ok = mut_lens(scene, cfg, key, ps, *res)
+    elif which == "mchain":
+        prop, a, ok = mut_mchain(scene, cfg, key, ps, *res)
+    else:
+        prop, a, ok = mut_caustic(scene, cfg, key, ps)
+    pval, plum, ppix, pok = eval_path(scene, prop, cfg.max_depth)
+    # a zero-contribution proposal can never be accepted
+    a = jnp.where(pok & (plum > 0), a, 0.0)
+    accept = jax.random.uniform(jax.random.fold_in(key, 7),
+                                a.shape) < a
+    new_ps = jax.tree.map(
+        lambda p, c: jnp.where(
+            accept.reshape((-1,) + (1,) * (c.ndim - 1)), p, c),
+        prop, ps)
+    return (new_ps,
+            jnp.where(accept[:, None], pval, val),
+            jnp.where(accept, plum, lum),
+            jnp.where(accept[:, None], ppix, pix)), \
+        (a, pval, plum, ppix)
+
+
 def render_mlt(scene: Scene, cfg: MLTConfig, film_cfg, root_key,
                n_steps: int, mutators=("bidir", "lens", "bidir",
                                        "caustic", "bidir", "mchain")):
@@ -1303,31 +1337,8 @@ def render_mlt(scene: Scene, cfg: MLTConfig, film_cfg, root_key,
     film = filmlib.new_film(film_cfg)
     res = (film_cfg.width, film_cfg.height)
 
-
     def one_step(state, key, which):
-        ps, val, lum, pix = state
-        if which == "bidir":
-            prop, a, ok = mut_bidir(scene, cfg, key, ps)
-        elif which == "lens":
-            prop, a, ok = mut_lens(scene, cfg, key, ps, *res)
-        elif which == "mchain":
-            prop, a, ok = mut_mchain(scene, cfg, key, ps, *res)
-        else:
-            prop, a, ok = mut_caustic(scene, cfg, key, ps)
-        pval, plum, ppix, pok = eval_path(scene, prop, cfg.max_depth)
-        # a zero-contribution proposal can never be accepted
-        a = jnp.where(pok & (plum > 0), a, 0.0)
-        accept = jax.random.uniform(jax.random.fold_in(key, 7),
-                                    a.shape) < a
-        new_ps = jax.tree.map(
-            lambda p, c: jnp.where(
-                accept.reshape((-1,) + (1,) * (c.ndim - 1)), p, c),
-            prop, ps)
-        return (new_ps,
-                jnp.where(accept[:, None], pval, val),
-                jnp.where(accept, plum, lum),
-                jnp.where(accept[:, None], ppix, pix)), \
-            (a, pval, plum, ppix)
+        return mutate_once(scene, cfg, key, state, which, res)
 
     @jax.jit
     def run(ps, val, lum, pix, film):

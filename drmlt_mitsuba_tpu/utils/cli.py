@@ -193,15 +193,15 @@ def render(scene, settings, args, log):
 
     if itype == "erpt":
         from drmlt_mitsuba_tpu.integrators.erpt import (
-            ERPTConfig, render_erpt,
+            ERPTConfig, render_erpt, render_erpt_mlt,
         )
         from drmlt_mitsuba_tpu.integrators.layout import (
             PathConfig as _PC,
         )
+        from drmlt_mitsuba_tpu.integrators.pathspace import mlt_eligible
 
         pcfg = PathConfig(max_depth=int(icfg.get("maxDepth", 8)),
                           rr_depth=100)
-        trace = lambda u: trace_paths(scene, pcfg, u)
         ecfg = ERPTConfig(
             n_chains=int(icfg.get("chains", 4096)),
             chain_length=int(icfg.get("numChains", 100)),
@@ -209,6 +209,23 @@ def render(scene, settings, args, log):
         )
         n_batches = max(1, W * H * settings.spp
                         // (ecfg.n_chains * ecfg.chain_length))
+        if mlt_eligible(scene):
+            # the reference's erpt: path-space perturbation chains
+            # (erpt_proc.cpp) with per-batch equal-deposition energy;
+            # direct (k < 2) via plain PT like the mlt branch
+            img, aux = render_erpt_mlt(
+                scene, ecfg, fc, key, n_batches,
+                max_depth=max(pcfg.max_depth, 3), kmin=2)
+            dp = PathConfig(max_depth=1, rr_depth=100, min_depth=1)
+            dfilm = render_pt(scene, dp, jax.random.fold_in(key, 902),
+                              W * H * int(icfg.get("directSamples", 64)),
+                              fc, mode="accum")
+            img = np.asarray(img)[..., :3] + np.asarray(
+                filmlib.develop(fc, dfilm, mode="accum"))[..., :3]
+            return np.asarray(img), stats, None
+        log.info("erpt: scene outside the path-space subset; using the "
+                 "primary-sample-space redistribution chains")
+        trace = lambda u: trace_paths(scene, pcfg, u)
         img, aux = render_erpt(trace, ecfg, fc, key, pcfg.n_dims, n_batches)
         return np.asarray(img), stats, None
 
