@@ -379,6 +379,16 @@ def render_drmlt_mmlt_grouped_sharded(
         local_c8 = dcfg.n_chains // 8 // n_shards
         L = 256 if local_c8 % 256 == 0 else (
             128 if local_c8 % 128 == 0 else local_c8)
+        if not interpret and L % 128 != 0:
+            # Mosaic legality: the deferred-splat flush reshapes each
+            # (8, L/8) record row to (1, L) lanes — a sublane->lane cast
+            # that only lowers for 128-multiple lane blocks (caught on
+            # chip, round 4: (8,8)->(1,64) fails infer-vector-layout)
+            raise ValueError(
+                f"sharded megadrmlt on real TPU needs >=1024 chains per "
+                f"device (lane block {L} is not a multiple of 128); got "
+                f"{dcfg.n_chains} chains over {n_shards} shards — raise "
+                "n_chains or pass interpret=True")
         step = make_mega_drmlt(scene, g["cfg"], dcfg, film_cfg,
                                g["cfg"].max_depth, n_dims, n_mut=n_mut,
                                weight_channel=False, interpret=interpret,

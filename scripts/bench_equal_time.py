@@ -57,18 +57,16 @@ def _reference(scene, fc, W, H, depth, spp=4096):
 
 
 CHUNK_STEPS = 64
+N_MUT = 64           # mutations per megadrmlt launch
+CYCLE_LAUNCHES = 32  # launches per compiled cycle, split over groups ∝ f_k
+DISPATCH = 4         # cycles enqueued per host sync
 
 
-def run_drmlt(scene, fc, depth, variant, seconds, n_chains, avg_lum,
-              splat_mode="three"):
-    """Equal-time depth-grouped DRMLT-over-MMLT; returns developed img.
-
-    TRUE equal time (round-3 judge: the old probe-scaled single shot had
-    a 64-step floor that overran a small budget 25-30x): after one
-    compile warm-up, fixed-size render chunks (independent restarts,
-    each an unbiased normalized estimate given the FIXED avg_lum) are
-    accumulated until the wall-clock budget — bootstrap cost included in
-    the window, exactly like run_pssmlt counts its own setup."""
+def run_drmlt_chunked(scene, fc, depth, variant, seconds, n_chains,
+                      avg_lum, splat_mode="three"):
+    """Chunked fallback (CPU smoke / mega-ineligible scenes): fixed-size
+    render chunks (independent restarts, each an unbiased normalized
+    estimate given the FIXED avg_lum) accumulated until the budget."""
     bcfg = BDPTConfig(max_depth=depth)
     dcfg = DRMLTConfig(type=variant, n_chains=n_chains, n_bootstrap=32768,
                        splat_mode=splat_mode)
@@ -88,6 +86,169 @@ def run_drmlt(scene, fc, depth, variant, seconds, n_chains, avg_lum,
         n += 1
         steps += CHUNK_STEPS
     return acc / n, time.perf_counter() - t0, steps
+
+
+def run_drmlt(scene, fc, depth, variant, seconds, n_chains, avg_lum,
+              splat_mode="three"):
+    """Equal-time depth-grouped DRMLT-over-MMLT; returns (img, dt, steps).
+
+    Persistent-stepper loop (round-4: the chunked version re-created its
+    jitted closures and ran the chain starts EAGERLY through the tunnel
+    every chunk, so a '64-step' chunk cost ~90s of overhead around <1s
+    of kernels and overran a 60s budget by 50%).  Here every per-group
+    graph — bootstrap, starts, and one cycle of megadrmlt launches split
+    over depth groups ∝ luminance mass — is compiled ONCE during an
+    excluded warm-up; the timed window then runs bootstrap + starts +
+    as many cycles as fit, syncing every DISPATCH cycles so the stop
+    quantum is a fraction of a second."""
+    from drmlt_mitsuba_tpu.integrators.mcmc import state_from_splats
+    from drmlt_mitsuba_tpu.integrators.mmlt_grouped import (
+        make_mmlt_trace_fixed,
+    )
+    from drmlt_mitsuba_tpu.ops.intersect import _on_tpu
+    from drmlt_mitsuba_tpu.ops.pallas.megadrmlt import (
+        make_mega_drmlt, mega_drmlt_eligible, pack_chain_state,
+    )
+
+    bcfg = BDPTConfig(max_depth=depth)
+    dcfg = DRMLTConfig(type=variant, n_chains=n_chains, n_bootstrap=32768,
+                       splat_mode=splat_mode)
+    batch = 8192
+    n_boot_grp = max(8192, dcfg.n_bootstrap // depth)
+    n_batches = max(1, -(-n_boot_grp // batch))
+    n_total = n_batches * batch
+
+    groups = []
+    for k in range(1, depth + 1):
+        trace_k, cfg_k, n_k = make_mmlt_trace_fixed(scene, k)
+        if not (_on_tpu() and n_chains % 2048 == 0
+                and mega_drmlt_eligible(scene, cfg_k, dcfg, fc)):
+            return run_drmlt_chunked(scene, fc, depth, variant, seconds,
+                                     n_chains, avg_lum,
+                                     splat_mode=splat_mode)
+
+        def make_fns(trace_k=trace_k, n_k=n_k):
+            @jax.jit
+            def boot(key):
+                def sample(idx):
+                    return jax.random.uniform(
+                        jax.random.fold_in(key, idx), (n_k,))
+
+                def body(carry, i):
+                    u = jax.vmap(sample)(i * batch + jnp.arange(batch))
+                    sp = trace_k(u)
+                    lum = jnp.where(jnp.isfinite(sp.lum) & (sp.lum >= 0),
+                                    sp.lum, 0.0)
+                    return carry + jnp.sum(lum), lum
+
+                tot, lums = jax.lax.scan(body, jnp.float32(0.0),
+                                         jnp.arange(n_batches))
+                return lums.reshape(n_total), tot / n_total
+
+            @jax.jit
+            def starts(key, lums):
+                def sample(idx):
+                    return jax.random.uniform(
+                        jax.random.fold_in(key, idx), (n_k,))
+
+                cdf = jnp.cumsum(lums)
+                up = jax.random.uniform(
+                    jax.random.fold_in(key, 0x5EED0000),
+                    (n_chains,)) * cdf[-1]
+                idx = jnp.clip(jnp.searchsorted(cdf, up), 0,
+                               lums.shape[0] - 1)
+                u0 = jax.vmap(sample)(idx)
+                st = state_from_splats(u0, trace_k(u0))
+                return pack_chain_state(st, n_k)
+
+            return boot, starts
+
+        boot, starts = make_fns()
+        step = make_mega_drmlt(scene, cfg_k, dcfg, fc, k, n_k,
+                               n_mut=N_MUT, passes=1, weight_channel=False,
+                               splat_mode=splat_mode)
+        groups.append(dict(k=k, boot=boot, starts=starts, step=step,
+                           n_dims=n_k))
+
+    # ---- warm-up (excluded): compile everything, learn the f_k schedule
+    kw = jax.random.PRNGKey(4)
+    lums_w, b_w = [], []
+    for g in groups:
+        lu, bk = g["boot"](jax.random.fold_in(kw, g["k"]))
+        lums_w.append(lu)
+        b_w.append(float(bk))
+    bt = sum(b_w)
+    fks = [bk / bt if bt > 0 else 0.0 for bk in b_w]
+    Ls = [int(round(fk * CYCLE_LAUNCHES)) if fk > 0 else 0 for fk in fks]
+    Ls = [max(1, L) if fk > 0 else 0 for L, fk in zip(Ls, fks)]
+
+    @jax.jit
+    def cycle(arrs, films, i0):
+        new_a, new_f = [], []
+        for gi, (g, L) in enumerate(zip(groups, Ls)):
+            if L == 0:
+                new_a.append(arrs[gi])
+                new_f.append(films[gi])
+                continue
+
+            def body(carry, j, step=g["step"], gk=g["k"], L=L):
+                arr, film = carry
+                arr, delta, _ = step(
+                    arr, jnp.stack([jnp.int32(1009 + gk), i0 * L + j]))
+                return (arr, film + delta), 0.0
+
+            (arr, film), _ = jax.lax.scan(
+                body, (arrs[gi], films[gi]), jnp.arange(L))
+            new_a.append(arr)
+            new_f.append(film)
+        return tuple(new_a), tuple(new_f)
+
+    films0 = tuple(jnp.zeros((fc.height, fc.width, 3))
+                   for _ in groups)
+    arrs_w = tuple(g["starts"](jax.random.fold_in(kw, g["k"]), lu)
+                   for g, lu in zip(groups, lums_w))
+    aw, fw = cycle(arrs_w, films0, jnp.int32(0))       # compile (excluded)
+    jax.block_until_ready(fw)
+
+    # ---- timed window: bootstrap + starts + as many cycles as fit ------
+    t0 = time.perf_counter()
+    kb = jax.random.PRNGKey(6)
+    arrs, b_ks = [], []
+    for g in groups:
+        kg = jax.random.fold_in(kb, g["k"])
+        lu, bk = g["boot"](kg)
+        arrs.append(g["starts"](kg, lu))
+        b_ks.append(bk)
+    films = films0
+    arrs = tuple(arrs)
+    jax.block_until_ready(arrs)
+    b_ks = [float(bk) for bk in b_ks]
+    if avg_lum and sum(b_ks) > 0:
+        s = float(avg_lum) / sum(b_ks)
+        b_ks = [bk * s for bk in b_ks]
+
+    i, last_batch = 0, 0.0
+    while True:
+        tb = time.perf_counter()
+        for _ in range(DISPATCH):
+            arrs, films = cycle(arrs, films, jnp.int32(i))
+            i += 1
+        jax.block_until_ready(films)
+        last_batch = time.perf_counter() - tb
+        if time.perf_counter() - t0 + last_batch > seconds:
+            break
+    dt = time.perf_counter() - t0
+
+    img = np.zeros((fc.height, fc.width, 3), np.float32)
+    steps_total = 0
+    for gi, (g, L, bk) in enumerate(zip(groups, Ls, b_ks)):
+        if L == 0 or bk <= 0:
+            continue
+        steps_g = i * L * N_MUT
+        steps_total += steps_g
+        n_pp = n_chains * steps_g / fc.npixels
+        img += np.asarray(films[gi]) * (bk / n_pp)
+    return img, dt, steps_total
 
 
 def run_pssmlt(scene, fc, depth, seconds, n_chains, avg_lum):
