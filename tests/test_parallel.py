@@ -102,3 +102,31 @@ def test_sharded_grouped_megadrmlt(setup):
     r = np.asarray(ref)
     ratio = a.mean() / r.mean()
     assert 0.8 < ratio < 1.25, f"sharded vs single image mean: {ratio}"
+
+
+def test_sharded_megadrmlt_lane_gate(setup):
+    """Real-TPU (interpret=False) launches need a 128-multiple lane
+    block per device: the kernel's deferred-splat flush reshapes each
+    (8, L/8) record row to (1, L) lanes, which Mosaic refuses below
+    L=128 (caught ON CHIP round 4 at 64 chains/device).  The driver
+    must fail loudly, not hand Mosaic an illegal shape cast."""
+    import pytest
+
+    from drmlt_mitsuba_tpu.integrators.bidir import BDPTConfig
+    from drmlt_mitsuba_tpu.integrators.mmlt_grouped import (
+        render_drmlt_mmlt_grouped_sharded,
+    )
+    from drmlt_mitsuba_tpu.render import film as filmlib
+    from drmlt_mitsuba_tpu.scene.builders import cornell_box
+    from drmlt_mitsuba_tpu.scene.types import prepare_scene
+
+    W = H = 16
+    scene = prepare_scene(cornell_box(W, H))
+    fc = filmlib.make_film_config(W, H, "box")
+    bcfg = BDPTConfig(max_depth=2)
+    dcfg = DRMLTConfig(type="orbital", n_chains=64 * 8, n_bootstrap=2048)
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError, match="chains per device"):
+        render_drmlt_mmlt_grouped_sharded(
+            mesh, scene, bcfg, dcfg, fc, jax.random.PRNGKey(3),
+            n_steps=16, interpret=False, n_mut=16)
