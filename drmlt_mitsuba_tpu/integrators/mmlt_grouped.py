@@ -361,6 +361,22 @@ def render_drmlt_mmlt_grouped_sharded(
 
     img = jnp.zeros((film_cfg.height, film_cfg.width, 3))
     all_stats = {}
+    # local lane block: per-device chain count / 8, capped at 256.  The
+    # Mosaic legality gate is loop-invariant — check it BEFORE any group
+    # bootstraps/compiles so a misconfigured TPU run fails fast.
+    local_c8 = dcfg.n_chains // 8 // n_shards
+    L = 256 if local_c8 % 256 == 0 else (
+        128 if local_c8 % 128 == 0 else local_c8)
+    if not interpret and L % 128 != 0:
+        # Mosaic legality: the deferred-splat flush reshapes each
+        # (8, L/8) record row to (1, L) lanes — a sublane->lane cast
+        # that only lowers for 128-multiple lane blocks (caught on
+        # chip, round 4: (8,8)->(1,64) fails infer-vector-layout)
+        raise ValueError(
+            f"sharded megadrmlt on real TPU needs chains per device to "
+            f"be a multiple of 1024 (lane block {L} is not a multiple "
+            f"of 128); got {dcfg.n_chains} chains over {n_shards} "
+            "shards — raise n_chains or pass interpret=True")
     for g, bk in zip(groups, b_ks):
         if equal_chains:
             steps_k = int(round(n_steps * bk / b_total))
@@ -375,20 +391,6 @@ def render_drmlt_mmlt_grouped_sharded(
                               jax.random.fold_in(k_boot, 100 + g["k"]),
                               dcfg.n_chains)
         arr = pack_chain_state(state, n_dims)
-        # local lane block: per-device chain count / 8, capped at 256
-        local_c8 = dcfg.n_chains // 8 // n_shards
-        L = 256 if local_c8 % 256 == 0 else (
-            128 if local_c8 % 128 == 0 else local_c8)
-        if not interpret and L % 128 != 0:
-            # Mosaic legality: the deferred-splat flush reshapes each
-            # (8, L/8) record row to (1, L) lanes — a sublane->lane cast
-            # that only lowers for 128-multiple lane blocks (caught on
-            # chip, round 4: (8,8)->(1,64) fails infer-vector-layout)
-            raise ValueError(
-                f"sharded megadrmlt on real TPU needs >=1024 chains per "
-                f"device (lane block {L} is not a multiple of 128); got "
-                f"{dcfg.n_chains} chains over {n_shards} shards — raise "
-                "n_chains or pass interpret=True")
         step = make_mega_drmlt(scene, g["cfg"], dcfg, film_cfg,
                                g["cfg"].max_depth, n_dims, n_mut=n_mut,
                                weight_channel=False, interpret=interpret,

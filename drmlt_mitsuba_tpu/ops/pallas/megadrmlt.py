@@ -104,15 +104,21 @@ def _wrapped_cauchy_cos_sin(u, rho):
 # --------------------------------------------------------------- kernel
 def _mega_drmlt_kernel(
         tri_ref, mat_ref, em_ref, cam_ref, seed_ref, unif_ref,
-        tri_vmem_ref, sph_ref, tex_ref, state_ref, out_state_ref,
-        film_ref, stats_ref, rec_ref, *,
+        tri_vmem_ref, sph_ref, tex_ref, state_ref, *refs,
         n_tris, n_mats, n_ems, k_depth, light_image, kinds, eye_dims,
         n_dims, n_core, n_mut, drtype, p_large, s1, s2, sigma,
         scale_second, rho, kelemen_scale, timid_after_large,
         fix_emitter_path, em_lo, em_hi, film_h, film_w, n_chan, passes,
         splat_mode, debug_uniforms, n_rand, splat_batch,
         technique="mmlt", min_depth=1, rr_depth=1000, use_nee=True,
-        thinlens=False, env_const=False, n_sphs=0, tex_shape=None):
+        thinlens=False, env_const=False, n_sphs=0, tex_shape=None,
+        clu_tpc=0, clu_passes=2):
+    if clu_tpc:
+        (clu_aabb_ref, clu_tri_ref, out_state_ref, film_ref, stats_ref,
+         rec_ref) = refs
+    else:
+        clu_aabb_ref = clu_tri_ref = None
+        out_state_ref, film_ref, stats_ref, rec_ref = refs
     f32 = jnp.float32
     bf16 = jnp.bfloat16
     D = n_dims
@@ -162,7 +168,10 @@ def _mega_drmlt_kernel(
                 min_depth=min_depth, rr_depth=rr_depth, use_nee=use_nee,
                 kinds=kinds, thinlens=thinlens, env_const=env_const,
                 tri_vmem_ref=tri_vmem_ref, sph_ref=sph_ref,
-                n_sphs=n_sphs, tex_ref=tex_ref, tex_shape=tex_shape)
+                n_sphs=n_sphs, tex_ref=tex_ref, tex_shape=tex_shape,
+                big_scene=bool(clu_tpc),
+                clu_aabb_ref=clu_aabb_ref, clu_tri_ref=clu_tri_ref,
+                clu_tpc=clu_tpc, clu_passes=clu_passes)
             px, py = u_tiles[0], u_tiles[1]
         else:
             vx, vy, vz, px, py = mmlt_trace_tile(
@@ -170,7 +179,9 @@ def _mega_drmlt_kernel(
                 lambda j: u_depth if j == 0 else u_tiles[j - 1],
                 shape, n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
                 max_depth=k_depth, light_image=light_image, kinds=kinds,
-                eye_dims=eye_dims, tri_vmem_ref=tri_vmem_ref)
+                eye_dims=eye_dims, tri_vmem_ref=tri_vmem_ref,
+                clu_aabb_ref=clu_aabb_ref, clu_tri_ref=clu_tri_ref,
+                clu_tpc=clu_tpc, clu_passes=clu_passes)
             inv = 1.0 / k_depth      # undo the uniform-depth pmf factor
             vx, vy, vz = vx * inv, vy * inv, vz * inv
         lum = _lum(vx, vy, vz)
@@ -480,7 +491,9 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
                     splat_mode: str = "three",
                     debug_uniforms: bool = False,
                     lane_block: int | None = None,
-                    technique: str = "mmlt"):
+                    technique: str = "mmlt",
+                    force_clusters: bool = False,
+                    cluster_min: int = 4096):
     """Build step_block(state_arr, seed2, [uniforms]) ->
     (state_arr, film_delta, stats) running n_mut whole DRMLT mutations of
     a fixed-depth-k MMLT group (or, technique="path", of the
@@ -493,9 +506,26 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
     stats: (6,) sums over chains x mutations of [a1, a2, accept1,
     accept2, large, moved].
     """
+    T0 = int(np.asarray(scene.tris.v0).shape[0])
+    use_clusters = force_clusters or T0 > cluster_min
+    clu_tpc = 0
+    clu_aabb = clu_tri = None
+    if use_clusters:
+        from drmlt_mitsuba_tpu.ops.pallas.cluster_sweep import (
+            cluster_reorder, pack_cluster_tables,
+        )
+        from drmlt_mitsuba_tpu.ops.pallas.megatrace import pick_tpc
+
+        clu_tpc = pick_tpc(T0)
+        scene, aabbs, starts, _C = cluster_reorder(scene, clu_tpc)
+        clu_aabb, clu_tri = pack_cluster_tables(scene, aabbs, starts,
+                                                clu_tpc)
+
     (tri, mat, emt, cam, sph, tri_ext, tex,
      env_tab, env_col, env_row) = pack_mega_tables(scene)
     n_tris, n_mats, n_ems = tri.shape[0], mat.shape[0], emt.shape[0]
+    if use_clusters:
+        tri = tri[:1]         # sweeps run off the cluster/fetch tables
     kinds = tuple(sorted(set(
         int(k) for k in np.unique(np.asarray(scene.materials.kind)))))
     if technique == "path":
@@ -576,31 +606,43 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
             em_lo=em_lo, em_hi=em_hi, film_h=H, film_w=W, n_chan=n_chan,
             passes=passes, splat_mode=splat_mode,
             debug_uniforms=debug_uniforms, n_rand=n_rand, splat_batch=mb,
+            clu_tpc=clu_tpc,
             **path_kw,
         )
+        in_specs = [
+            pl.BlockSpec(tuple(tri.shape), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_mats, _MAT_COLS), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_ems, _EM_COLS), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((uniforms.shape[0], 8, L),
+                         lambda i: (0, 0, i)),
+            pl.BlockSpec(tuple(tri_ext.shape), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sph.shape[0], 8), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tex.shape[0], 4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NR, 8, L), lambda i: (0, 0, i)),
+        ]
+        operands = [tri, mat, emt, cam, jnp.asarray(seed2, jnp.int32),
+                    uniforms, tri_ext, sph, tex, state_arr]
+        if clu_tpc:
+            in_specs += [
+                pl.BlockSpec(tuple(clu_aabb.shape), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(tuple(clu_tri.shape), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            operands += [clu_aabb, clu_tri]
         out_state, film, stats = pl.pallas_call(
             kernel,
             grid=(R8 // L,),
-            in_specs=[
-                pl.BlockSpec((n_tris, _TRI_COLS), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((n_mats, _MAT_COLS), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((n_ems, _EM_COLS), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((uniforms.shape[0], 8, L),
-                             lambda i: (0, 0, i)),
-                pl.BlockSpec(tuple(tri_ext.shape), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((sph.shape[0], 8), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((tex.shape[0], 4), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((NR, 8, L), lambda i: (0, 0, i)),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((NR, 8, L), lambda i: (0, 0, i)),
                 pl.BlockSpec((1, H, n_chan * W), lambda i: (0, 0, 0)),
@@ -615,8 +657,9 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
                 pltpu.VMEM((mb * n_states * 6, 8, L), jnp.float32),
             ],
             interpret=interpret,
-        )(tri, mat, emt, cam, jnp.asarray(seed2, jnp.int32), uniforms,
-          tri_ext, sph, tex, state_arr)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
+        )(*operands)
         film_delta = film[0].reshape(H, n_chan, W).transpose(0, 2, 1)
         return out_state, film_delta, stats.sum(axis=(1, 2))
 

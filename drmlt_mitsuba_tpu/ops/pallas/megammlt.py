@@ -150,15 +150,22 @@ def _sel_copy(dst, sel, src):
 
 
 def _mega_mmlt_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref,
-                      tri_vmem_ref, out_ref, *,
+                      tri_vmem_ref, *refs,
                       n_tris, n_mats, n_ems, max_depth, light_image, kinds,
-                      eye_dims):
+                      eye_dims, clu_tpc=0, clu_passes=2):
     """One MMLT mutation trace per lane (8, L) tile."""
+    if clu_tpc:
+        clu_aabb_ref, clu_tri_ref, out_ref = refs
+    else:
+        clu_aabb_ref = clu_tri_ref = None
+        (out_ref,) = refs
     vx, vy, vz, opx, opy = mmlt_trace_tile(
         tri_ref, mat_ref, em_ref, cam_ref, lambda j: u_ref[j],
         u_ref.shape[1:], n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
         max_depth=max_depth, light_image=light_image, kinds=kinds,
-        eye_dims=eye_dims, tri_vmem_ref=tri_vmem_ref)
+        eye_dims=eye_dims, tri_vmem_ref=tri_vmem_ref,
+        clu_aabb_ref=clu_aabb_ref, clu_tri_ref=clu_tri_ref,
+        clu_tpc=clu_tpc, clu_passes=clu_passes)
     out_ref[0] = vx
     out_ref[1] = vy
     out_ref[2] = vz
@@ -168,7 +175,8 @@ def _mega_mmlt_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref,
 
 def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
                     n_tris, n_mats, n_ems, max_depth, light_image, kinds,
-                    eye_dims, tri_vmem_ref=None):
+                    eye_dims, tri_vmem_ref=None, clu_aabb_ref=None,
+                    clu_tri_ref=None, clu_tpc=0, clu_passes=2):
     """The whole selected-strategy MMLT trace on one (8, L) tile.
 
     `udim(j)` yields PSS dim j as a tile (a ref read for the one-shot
@@ -234,7 +242,31 @@ def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
         pnx, pny, pnz = src_ns
 
         for v in range(1, n_slots):
-            if tri_vmem_ref is not None and n_tris > 512:
+            if clu_aabb_ref is not None:
+                from drmlt_mitsuba_tpu.ops.pallas.cluster_sweep import (
+                    closest_sweep_clustered,
+                )
+                from drmlt_mitsuba_tpu.ops.pallas.megatrace import (
+                    fetch_tri_attrs_split,
+                )
+                best_t, best_id = closest_sweep_clustered(
+                    clu_aabb_ref, clu_tri_ref, clu_aabb_ref.shape[0],
+                    clu_tpc, clu_passes, shape, ox, oy, oz, dx, dy, dz)
+                av = fetch_tri_attrs_split(tri_vmem_ref, shape, best_id,
+                                           with_uv=False)
+                # exact-f32 hit-distance recompute (traversal = bf16
+                # planes; av carries the 3-pass exact attributes)
+                pxr, pyr, pzr = _cross(dx, dy, dz, av[6], av[7], av[8])
+                detr = av[3] * pxr + av[4] * pyr + av[5] * pzr
+                okr = jnp.abs(detr) > 1e-12
+                invr = 1.0 / jnp.where(okr, detr, 1.0)
+                txr, tyr, tzr = ox - av[0], oy - av[1], oz - av[2]
+                qxr, qyr, qzr = _cross(txr, tyr, tzr,
+                                       av[3], av[4], av[5])
+                ttr = (av[6] * qxr + av[7] * qyr + av[8] * qzr) * invr
+                best_t = jnp.where((best_id >= 0) & okr & (ttr > 0),
+                                   ttr, best_t)
+            elif tri_vmem_ref is not None and n_tris > 512:
                 from drmlt_mitsuba_tpu.ops.pallas.megatrace import (
                     closest_sweep_idx, fetch_tri_attrs,
                 )
@@ -590,11 +622,22 @@ def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
     ok_c = (ok_conn | ok_lt) & (_lum(cc_x, cc_y, cc_z) > 0)
 
     sh_eps = RAY_EPS * jnp.maximum(1.0, dist)
-    blocked = _shadow_sweep(
-        tri_ref, n_tris, shape,
-        Sl["px"] + wlx * sh_eps, Sl["py"] + wly * sh_eps,
-        Sl["pz"] + wlz * sh_eps, wlx, wly, wlz,
-        jnp.where(ok_c, dist * (1.0 - 1e-3), 0.0))
+    if clu_aabb_ref is not None:
+        from drmlt_mitsuba_tpu.ops.pallas.cluster_sweep import (
+            shadow_sweep_clustered,
+        )
+        blocked = shadow_sweep_clustered(
+            clu_aabb_ref, clu_tri_ref, clu_aabb_ref.shape[0], clu_tpc,
+            clu_passes, shape,
+            Sl["px"] + wlx * sh_eps, Sl["py"] + wly * sh_eps,
+            Sl["pz"] + wlz * sh_eps, wlx, wly, wlz,
+            jnp.where(ok_c, dist * (1.0 - 1e-3), 0.0))
+    else:
+        blocked = _shadow_sweep(
+            tri_ref, n_tris, shape,
+            Sl["px"] + wlx * sh_eps, Sl["py"] + wly * sh_eps,
+            Sl["pz"] + wlz * sh_eps, wlx, wly, wlz,
+            jnp.where(ok_c, dist * (1.0 - 1e-3), 0.0))
     ok_c = ok_c & ~blocked
 
     # =====================================================================
@@ -719,16 +762,34 @@ def _delta_at(delta_list, idx, shape):
     return out
 
 
-def make_mega_mmlt(scene: Scene, cfg, interpret: bool = False):
+def make_mega_mmlt(scene: Scene, cfg, interpret: bool = False,
+                   force_clusters: bool = False, cluster_min: int = 4096):
     """Build trace(u) -> Splats for the MMLT technique running entirely in
     one Pallas kernel.  u = [depth dim, strategy dim, eye..., light...]
     exactly like integrators/mmlt.make_mmlt_trace; the D (depth-pmf) and
     n_strats scalings are applied inside the kernel."""
     from drmlt_mitsuba_tpu.integrators.path import Splats
 
+    T0 = int(np.asarray(scene.tris.v0).shape[0])
+    use_clusters = force_clusters or T0 > cluster_min
+    clu_tpc = 0
+    clu_aabb = clu_tri = None
+    if use_clusters:
+        from drmlt_mitsuba_tpu.ops.pallas.cluster_sweep import (
+            cluster_reorder, pack_cluster_tables,
+        )
+        from drmlt_mitsuba_tpu.ops.pallas.megatrace import pick_tpc
+
+        clu_tpc = pick_tpc(T0)
+        scene, aabbs, starts, _C = cluster_reorder(scene, clu_tpc)
+        clu_aabb, clu_tri = pack_cluster_tables(scene, aabbs, starts,
+                                                clu_tpc)
+
     (tri, mat, emt, cam, _sph, tri_ext,
      *_rest) = pack_mega_tables(scene)
     n_tris, n_mats, n_ems = tri.shape[0], mat.shape[0], emt.shape[0]
+    if use_clusters:
+        tri = tri[:1]         # sweeps run off the cluster/fetch tables
     kinds = tuple(sorted(set(
         int(k) for k in np.unique(np.asarray(scene.materials.kind)))))
     n_core = 2 + cfg.eye_dims + cfg.light_dims
@@ -736,7 +797,7 @@ def make_mega_mmlt(scene: Scene, cfg, interpret: bool = False):
     kernel = functools.partial(
         _mega_mmlt_kernel, n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
         max_depth=cfg.max_depth, light_image=bool(cfg.light_image),
-        kinds=kinds, eye_dims=cfg.eye_dims,
+        kinds=kinds, eye_dims=cfg.eye_dims, clu_tpc=clu_tpc,
     )
 
     @jax.jit
@@ -747,28 +808,40 @@ def make_mega_mmlt(scene: Scene, cfg, interpret: bool = False):
         # one whole-array block (Pallas requires %128 or == array dim)
         L = 256 if R8 % 256 == 0 else (128 if R8 % 128 == 0 else R8)
         uT = u[:, :n_core].T.reshape(n_core, 8, R8)
+        in_specs = [
+            pl.BlockSpec(tuple(tri.shape), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_mats, _MAT_COLS), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_ems, _EM_COLS), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_core, 8, L), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tuple(tri_ext.shape), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [tri, mat, emt, cam, uT, tri_ext]
+        if clu_tpc:
+            in_specs += [
+                pl.BlockSpec(tuple(clu_aabb.shape), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(tuple(clu_tri.shape), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            operands += [clu_aabb, clu_tri]
         out = pl.pallas_call(
             kernel,
             grid=(R8 // L,),
-            in_specs=[
-                pl.BlockSpec((n_tris, _TRI_COLS), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((n_mats, _MAT_COLS), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((n_ems, _EM_COLS), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((n_core, 8, L), lambda i: (0, 0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(tuple(tri_ext.shape), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((5, 8, L), lambda i: (0, 0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((5, 8, R8), jnp.float32),
             interpret=interpret,
-        )(tri, mat, emt, cam, uT, tri_ext)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
+        )(*operands)
         value = out[0:3].reshape(3, R).T
         pos = out[3:5].reshape(2, R).T
         lum = (value * jnp.asarray([0.212671, 0.715160, 0.072169])).sum(-1)

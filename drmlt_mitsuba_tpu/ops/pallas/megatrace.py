@@ -711,7 +711,8 @@ def shadow_sweep_chunked(tri_vmem_ref, n_tris, shape,
     return _unflat(blocked, shape) > 0.5
 
 
-def fetch_rows(table_ref, n_rows, shape, row_id, passes=3, chunk=None):
+def fetch_rows(table_ref, n_rows, shape, row_id, passes=3, chunk=None,
+               col_slice=None):
     """Per-lane row select from a VMEM table via one-hot MXU matmuls:
     table(R, COLS)^T @ onehot(R, K).  Returns one (8, L) tile per column.
 
@@ -726,15 +727,16 @@ def fetch_rows(table_ref, n_rows, shape, row_id, passes=3, chunk=None):
     K = shape[0] * shape[1]
     ids = row_id.reshape(1, K)
     dn = (((0,), (0,)), ((), ()))
+    lo, hi = col_slice if col_slice is not None else (0, table_ref.shape[1])
     if chunk is not None:
         # big tables: stream (chunk, COLS) slices so the bf16 splits and
         # one-hots never materialize at full table size
-        n_cols = table_ref.shape[1]
+        n_cols = hi - lo
         n_chunks = -(-n_rows // chunk)
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (chunk, K), 0)
 
         def body(c, out):
-            rows = table_ref[pl.dslice(c * chunk, chunk), :]
+            rows = table_ref[pl.dslice(c * chunk, chunk), lo:hi]
             oh = (iota_c == (ids - c * chunk)).astype(jnp.bfloat16)
             rem = rows
             for _ in range(passes):
@@ -751,6 +753,7 @@ def fetch_rows(table_ref, n_rows, shape, row_id, passes=3, chunk=None):
         iota = jax.lax.broadcasted_iota(jnp.int32, (n_rows, K), 0)
         onehot = (iota == ids).astype(jnp.bfloat16)
         tab = table_ref[...] if hasattr(table_ref, "shape") else table_ref
+        tab = tab[:, lo:hi]
         out = None
         rem = tab
         for _ in range(passes):
@@ -765,7 +768,7 @@ def fetch_rows(table_ref, n_rows, shape, row_id, passes=3, chunk=None):
     # slices at L-multiples + a sublane concat do.
     L = shape[1]
     res = []
-    for c in range(tab.shape[1]):
+    for c in range(hi - lo):
         rows = [out[c:c + 1, s * L:(s + 1) * L] for s in range(shape[0])]
         res.append(jnp.concatenate(rows, axis=0))
     return tuple(res)
@@ -777,6 +780,25 @@ def fetch_tri_attrs(tri_vmem_ref, n_tris, shape, best_id, chunk=None):
                       passes=3, chunk=chunk)
 
 
+def fetch_tri_attrs_split(tri_vmem_ref, shape, best_id, with_uv):
+    """Winner-attribute fetch with per-column-group precision (the
+    clustered sweep's post-traversal fetch): geometry cols 0-8 stay
+    exact (3 passes — they feed the barycentric + hit-distance
+    recompute), shading normals / mat / erow (cols 9-19) take 2 passes
+    (~16 mantissa bits — normals are unit-scale; the integer ids are
+    < 2^16 and exact under 2 planes), and uv (20-25) rides 2 passes
+    only for textured scenes.  Cuts the fetch from 84 to 49 (55 w/ uv)
+    column-passes."""
+    Tp = tri_vmem_ref.shape[0]
+    geo = fetch_rows(tri_vmem_ref, Tp, shape, best_id, passes=3,
+                     chunk=128, col_slice=(0, 9))
+    rest = fetch_rows(tri_vmem_ref, Tp, shape, best_id, passes=2,
+                      chunk=128, col_slice=(9, 20))
+    uv = (fetch_rows(tri_vmem_ref, Tp, shape, best_id, passes=2,
+                     chunk=128, col_slice=(20, 26)) if with_uv else ())
+    return geo + rest + uv
+
+
 # ---------------------------------------------------------------- kernel
 def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
                     n_tris, n_mats, n_ems, max_depth, min_depth, rr_depth,
@@ -784,7 +806,9 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
                     tri_vmem_ref=None, sph_ref=None, n_sphs=0,
                     tex_ref=None, tex_shape=None, env_tab_ref=None,
                     env_col_ref=None, env_row_ref=None, env_shape=None,
-                    env_row_pick=0.0, emit_grad=False, big_scene=False):
+                    env_row_pick=0.0, emit_grad=False, big_scene=False,
+                    clu_aabb_ref=None, clu_tri_ref=None, clu_tpc=0,
+                    clu_passes=2):
     """The whole unidirectional path trace on one (8, L) lane tile.
 
     udim(j) -> (8, L) tile of PSS dim j (integrators/layout.py order).
@@ -849,6 +873,31 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
 
         carry: best_t + 20 attribute tiles (v0 e1 e2 n0 n1 n2 mat erow).
         """
+        if clu_aabb_ref is not None:
+            # clustered front-to-back traversal (the kd-tree analog);
+            # triangle table is cluster_reorder'ed so ids line up
+            from drmlt_mitsuba_tpu.ops.pallas.cluster_sweep import (
+                closest_sweep_clustered,
+            )
+            best_t, best_id = closest_sweep_clustered(
+                clu_aabb_ref, clu_tri_ref, clu_aabb_ref.shape[0],
+                clu_tpc, clu_passes, shape, ox, oy, oz, dx, dy, dz)
+            av = fetch_tri_attrs_split(tri_vmem_ref, shape, best_id,
+                                       with_uv=tex_shape is not None)
+            av = (av[:19] + (jnp.where(best_id >= 0, av[19], -1.0),)
+                  + av[20:])
+            # traversal ran on bf16 planes; recompute the winner's hit
+            # distance in exact f32 from the 3-pass attribute fetch
+            pxr, pyr, pzr = _cross(dx, dy, dz, av[6], av[7], av[8])
+            detr = av[3] * pxr + av[4] * pyr + av[5] * pzr
+            okr = jnp.abs(detr) > 1e-12
+            invr = 1.0 / jnp.where(okr, detr, 1.0)
+            txr, tyr, tzr = ox - av[0], oy - av[1], oz - av[2]
+            qxr, qyr, qzr = _cross(txr, tyr, tzr, av[3], av[4], av[5])
+            ttr = (av[6] * qxr + av[7] * qyr + av[8] * qzr) * invr
+            best_t = jnp.where((best_id >= 0) & okr & (ttr > 0),
+                               ttr, best_t)
+            return best_t, av
         if big_scene:
             # past the SMEM table budget: chunked VMEM sweep + fetch
             best_t, best_id = closest_sweep_chunked(
@@ -910,6 +959,13 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
         return best_t, av
 
     def shadow_sweep(ox, oy, oz, dx, dy, dz, tmax):
+        if clu_aabb_ref is not None:
+            from drmlt_mitsuba_tpu.ops.pallas.cluster_sweep import (
+                shadow_sweep_clustered,
+            )
+            return shadow_sweep_clustered(
+                clu_aabb_ref, clu_tri_ref, clu_aabb_ref.shape[0],
+                clu_tpc, clu_passes, shape, ox, oy, oz, dx, dy, dz, tmax)
         if big_scene:
             return shadow_sweep_chunked(tri_vmem_ref, n_tris, shape,
                                         ox, oy, oz, dx, dy, dz, tmax)
@@ -1438,11 +1494,16 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
 
 def _mega_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, tri_vmem_ref,
                  sph_ref, tex_ref, env_tab_ref, env_col_ref, env_row_ref,
-                 out_ref, *,
+                 *refs,
                  n_tris, n_mats, n_ems, n_sphs, max_depth, min_depth,
                  rr_depth, use_nee, kinds, thinlens=False, env_const=False,
                  tex_shape=None, env_shape=None, env_row_pick=0.0,
-                 big_scene=False):
+                 big_scene=False, clu_tpc=0, clu_passes=2):
+    if clu_tpc:
+        clu_aabb_ref, clu_tri_ref, out_ref = refs
+    else:
+        clu_aabb_ref = clu_tri_ref = None
+        (out_ref,) = refs
     Lx, Ly, Lz = path_trace_tile(
         tri_ref, mat_ref, em_ref, cam_ref, lambda j: u_ref[j],
         u_ref.shape[1:], n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
@@ -1453,7 +1514,8 @@ def _mega_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref, tri_vmem_ref,
         tex_shape=tex_shape, env_tab_ref=env_tab_ref,
         env_col_ref=env_col_ref, env_row_ref=env_row_ref,
         env_shape=env_shape, env_row_pick=env_row_pick,
-        big_scene=big_scene)
+        big_scene=big_scene, clu_aabb_ref=clu_aabb_ref,
+        clu_tri_ref=clu_tri_ref, clu_tpc=clu_tpc, clu_passes=clu_passes)
     out_ref[0] = Lx
     out_ref[1] = Ly
     out_ref[2] = Lz
@@ -1818,13 +1880,40 @@ def make_mega_trace_rad(scene0: Scene, cfg, interpret: bool = False):
     return trace
 
 
+def pick_tpc(T: int) -> int:
+    """Cluster size for the clustered sweep: the one-hot fetch cost is
+    invariant to tpc (10*T*K MACs/iteration), so tpc trades per-iteration
+    VPU test cost against the while-loop trip count.  Measured (19.6k
+    tris, on chip): the trip count is geometry-bound (~6-8 clusters per
+    tile regardless of tpc), so the smaller test term wins — 128."""
+    return 64 if T <= 8192 else 128
+
+
 def make_mega_trace(scene: Scene, cfg, interpret: bool = False,
-                    force_big: bool = False):
+                    force_big: bool = False, force_clusters: bool = False,
+                    cluster_min: int = 4096):
     """Build trace(u) -> Splats running the whole path trace in one Pallas
     kernel.  Caller must have checked mega_eligible(scene, cfg).
     force_big: take the chunked big-scene sweep path regardless of
-    triangle count (tests exercise it on small scenes)."""
+    triangle count (tests exercise it on small scenes).
+    force_clusters: take the clustered-BVH traversal regardless of size
+    (default: scenes above `cluster_min` triangles)."""
     from drmlt_mitsuba_tpu.integrators.path import Splats
+
+    T0 = int(np.asarray(scene.tris.v0).shape[0])
+    use_clusters = force_clusters or T0 > cluster_min
+    clu_tpc = 0
+    clu_aabb = jnp.zeros((8, 8), jnp.float32)
+    clu_tri = jnp.zeros((8, 128), jnp.bfloat16)
+    if use_clusters:
+        from drmlt_mitsuba_tpu.ops.pallas.cluster_sweep import (
+            cluster_reorder, pack_cluster_tables,
+        )
+        clu_tpc = pick_tpc(T0)
+        scene, aabbs, starts, _C = cluster_reorder(scene, clu_tpc)
+        clu_aabb, clu_tri = pack_cluster_tables(scene, aabbs, starts,
+                                                clu_tpc)
+        force_big = True      # tri table rides VMEM only (ids realigned)
 
     (tri, mat, emt, cam, sph, tri_ext, tex,
      env_tab, env_col, env_row) = pack_mega_tables(scene)
@@ -1859,6 +1948,7 @@ def make_mega_trace(scene: Scene, cfg, interpret: bool = False,
         env_const=bool(
             float(np.abs(np.asarray(scene.emitters.env_radiance)).sum())
             > 0),
+        clu_tpc=clu_tpc,
     )
 
     @jax.jit
@@ -1872,43 +1962,76 @@ def make_mega_trace(scene: Scene, cfg, interpret: bool = False,
         L = min(R8, 128 if big_scene else 512)
         while R8 % L:
             L //= 2
-        uT = u[:, :n_dims].T.reshape(n_dims, 8, R8)
+        if clu_tpc:
+            # ray-coherence sort: the clustered while_loop runs to the
+            # MAX clusters-visited over each (8, L) lane tile, so
+            # grouping lanes by film position (dims 0/1) pulls the tile
+            # max toward the per-lane median.  A kernel tile covers flat
+            # slots {s*R8 + i*L + j}, so sorted ranks are laid out
+            # tile-contiguously via the static slot map below.  Pure
+            # per-lane permutation — results are gathered back, so
+            # trace stays lane-pure.
+            key = (jnp.floor(u[:, 1] * 64.0).astype(jnp.int32) * 64
+                   + jnp.floor(u[:, 0] * 64.0).astype(jnp.int32))
+            perm = jnp.argsort(key)
+            r_flat = np.arange(R)
+            sub, pos = r_flat // R8, r_flat % R8
+            g = (pos // L) * (8 * L) + sub * L + pos % L   # slot -> rank
+            total = perm[jnp.asarray(g)]
+            inv = jnp.argsort(total)
+            u_sorted = u[total]
+        else:
+            inv = None
+            u_sorted = u
+        uT = u_sorted[:, :n_dims].T.reshape(n_dims, 8, R8)
+        in_specs = [
+            pl.BlockSpec(tuple(tri.shape), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_mats, _MAT_COLS), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_ems, _EM_COLS), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_dims, 8, L), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tuple(tri_ext.shape), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sph.shape[0], _SPH_COLS), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tex.shape[0], _TEX_COLS), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((env_tab.shape[0], _TEX_COLS),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tuple(env_col.shape), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tuple(env_row.shape), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+        operands = [tri, mat, emt, cam, uT, tri_ext, sph, tex, env_tab,
+                    env_col, env_row]
+        if clu_tpc:
+            in_specs += [
+                pl.BlockSpec(tuple(clu_aabb.shape), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(tuple(clu_tri.shape), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            operands += [clu_aabb, clu_tri]
         out = pl.pallas_call(
             kernel,
             grid=(R8 // L,),
-            in_specs=[
-                pl.BlockSpec(tuple(tri.shape), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((n_mats, _MAT_COLS), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((n_ems, _EM_COLS), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((n_dims, 8, L), lambda i: (0, 0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(tuple(tri_ext.shape), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((sph.shape[0], _SPH_COLS), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((tex.shape[0], _TEX_COLS), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((env_tab.shape[0], _TEX_COLS),
-                             lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(tuple(env_col.shape), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(tuple(env_row.shape), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((3, 8, L), lambda i: (0, 0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((3, 8, R8), jnp.float32),
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=96 * 1024 * 1024),
-        )(tri, mat, emt, cam, uT, tri_ext, sph, tex, env_tab, env_col,
-          env_row)
+        )(*operands)
         value = out.reshape(3, R).T
+        if inv is not None:
+            value = value[inv]          # undo the coherence layout
         lum = (value * jnp.asarray([0.212671, 0.715160, 0.072169])).sum(-1)
         return Splats(
             pos=u[:, None, 0:2],

@@ -213,9 +213,13 @@ def render(scene, settings, args, log):
             # the reference's erpt: path-space perturbation chains
             # (erpt_proc.cpp) with per-batch equal-deposition energy;
             # direct (k < 2) via plain PT like the mlt branch
+            if pcfg.max_depth < 2:
+                log.info("erpt: raising maxDepth %d -> 2 (the chain "
+                         "stage needs at least one indirect bounce)",
+                         pcfg.max_depth)
             img, aux = render_erpt_mlt(
                 scene, ecfg, fc, key, n_batches,
-                max_depth=max(pcfg.max_depth, 3), kmin=2)
+                max_depth=max(pcfg.max_depth, 2), kmin=2)
             dp = PathConfig(max_depth=1, rr_depth=100, min_depth=1)
             dfilm = render_pt(scene, dp, jax.random.fold_in(key, 902),
                               W * H * int(icfg.get("directSamples", 64)),

@@ -92,6 +92,13 @@ def run_drmlt(scene, fc, depth, variant, seconds, n_chains, avg_lum,
               splat_mode="three"):
     """Equal-time depth-grouped DRMLT-over-MMLT; returns (img, dt, steps).
 
+    RNG note (intentional common random numbers): all RNG roots are
+    hard-coded (PRNGKey(4)/PRNGKey(6), kernel seed 1009+k), so the
+    variants (orbital vs orbital-sampled) share bootstrap and mutation
+    streams — the A/B differences are estimator-only, not seed noise.
+    Repeated invocations are therefore NOT independent replicates; vary
+    the keys below for replicate studies.
+
     Persistent-stepper loop (round-4: the chunked version re-created its
     jitted closures and ran the chain starts EAGERLY through the tunnel
     every chunk, so a '64-step' chunk cost ~90s of overhead around <1s

@@ -30,8 +30,11 @@ def main():
     passes_list = [int(x) for x in (sys.argv[2].split(",")
                                     if len(sys.argv) > 2 else [1])]
     splat_mode = sys.argv[3] if len(sys.argv) > 3 else "three"
+    tess = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     width = height = 256
-    scene = prepare_scene(cornell_box(width, height))
+    scene = prepare_scene(cornell_box(width, height, tessellate=tess)
+                          if tess else cornell_box(width, height))
+    print("T =", scene.tris.v0.shape[0], flush=True)
     fc = filmlib.make_film_config(width, height, "box")
     root = jax.random.PRNGKey(0)
     dcfg = DRMLTConfig(type="orbital", n_chains=N_CHAINS)
