@@ -48,6 +48,14 @@ CPU_ANCHOR_MMLT_PER_SEC = 663096.0 * 64
 # veach-door (procedural, 54 tris, rough-diffuse door): cpu_oracle mmlt
 # 381,529 / 392,132 mut/s/core (two 20 s runs, 2026-08-19) -> mean x 64
 CPU_ANCHOR_VEACH_MMLT_PER_SEC = 386830.0 * 64
+# large scene (cornell tessellate=24, 19,586 tris): cpu_oracle WITH its
+# round-5 binned-SAH BVH (log-T traversal, so the anchor does NOT
+# collapse with scene size), orbital/depth6, best of two 10 s runs
+# (2026-08-20) x 64.  The same-day 36-tri control measured 592k/core vs
+# the committed 663k (day-to-day box variance ~10%) — the best-of-two
+# convention deliberately favors the anchor.
+CPU_ANCHOR_MMLT_20K_PER_SEC = 279408.0 * 64
+CPU_ANCHOR_PATH_20K_PER_SEC = 64724.0 * 64
 
 N_CHAINS = 65536
 N_MUT = 64
@@ -279,6 +287,57 @@ def main():
         dict(emitter_mask=mmlt_emitter_mask(bcfg, n_mmlt),
              lt_mask_fn=mmlt_lt_mask_fn(bcfg)))
 
+    # ---- large-scene rows (round 5, VERDICT r4 items 1+7): the clustered
+    # in-kernel BVH traversal at a parity-scale triangle count, against
+    # anchors MEASURED with the BVH-equipped cpu_oracle on the SAME scene.
+    # Honesty note: the ratio DEGRADES with scene size — the TPU's dense
+    # one-hot cluster fetch is linear-in-T per visited cluster while the
+    # CPU walks a kd-tree in log T; ROOFLINE.md §round-5 derives the
+    # bound.  These rows exist precisely so that regression is visible.
+    scene_big = prepare_scene(cornell_box(width, height, tessellate=24))
+    T_big = int(scene_big.tris.v0.shape[0])
+    rate_big, per_group_big = flagship_grouped(
+        scene_big, fc, jax.random.fold_in(root, 3))
+    u0b = jax.random.uniform(jax.random.fold_in(root, 12),
+                             (N_CHAINS, n_path))
+    trace_pb = make_path_trace(scene_big, pcfg)
+    state_pb = state_from_splats(u0b, trace_pb(u0b))
+    arr_pb = pack_chain_state(state_pb, n_path)
+    step_pb = make_mega_drmlt(scene_big, pcfg, dcfg, fc, pcfg.max_depth,
+                              n_path, n_mut=N_MUT, passes=1,
+                              weight_channel=False, technique="path")
+
+    @jax.jit
+    def run_pb(arr, film, i):
+        arr, delta, stats = step_pb(arr, jnp.stack([jnp.int32(78), i]))
+        return arr, film + delta
+
+    film_pb = jnp.zeros((fc.height, fc.width, 3))
+    a_pb, f_pb = run_pb(arr_pb, film_pb, jnp.int32(0))
+    jax.block_until_ready(f_pb)
+    t0 = time.perf_counter()
+    for c in range(2):
+        a_pb, f_pb = run_pb(a_pb, f_pb, jnp.int32(c + 1))
+    jax.block_until_ready(f_pb)
+    rate_path_big = N_CHAINS / ((time.perf_counter() - t0) / (2 * N_MUT))
+    large_scene = {
+        "scene": f"cornell tessellate=24 ({T_big} tris, procedural)",
+        "flagship_mutations_per_sec": round(rate_big, 1),
+        "flagship_vs_anchor": round(
+            rate_big / CPU_ANCHOR_MMLT_20K_PER_SEC, 3),
+        "flagship_per_group": per_group_big,
+        "path_mutations_per_sec": round(rate_path_big, 1),
+        "path_vs_anchor": round(
+            rate_path_big / CPU_ANCHOR_PATH_20K_PER_SEC, 3),
+        "anchor_mmlt_mutations_per_sec": CPU_ANCHOR_MMLT_20K_PER_SEC,
+        "anchor_path_mutations_per_sec": CPU_ANCHOR_PATH_20K_PER_SEC,
+        "accel_note": "in-kernel clustered BVH traversal "
+                      "(ops/pallas/cluster_sweep.py) — this config "
+                      "overflowed SMEM before round 5; vs the chunked "
+                      "brute sweep the path trace measures 2.9x "
+                      "(27.4 vs 77.9 ms / 65536 depth-2 paths on chip)",
+    }
+
     print(json.dumps({
         "metric": "drmlt_mmlt_orbital_mutations_per_sec_per_chip",
         "value": round(rate_mmlt, 1),
@@ -323,6 +382,7 @@ def main():
             "grad_replay_paths_per_sec": round(rate_grad_replay, 1),
             "grad_replay_note": "generic any-leaf VJP (megakernel fwd, "
                                 "wavefront-replay bwd)",
+            "large_scene": large_scene,
             "cpu_anchor_mmlt_mutations_per_sec": CPU_ANCHOR_MMLT_PER_SEC,
             "cpu_anchor_path_mutations_per_sec": CPU_ANCHOR_PATH_PER_SEC,
             "anchor_note": "measured cpu_oracle orbital/depth6 per "

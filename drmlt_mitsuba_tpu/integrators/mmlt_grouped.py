@@ -133,7 +133,7 @@ def _group_starts(trace, sample_u, lums, root_key, n_chains: int):
 
 def _run_group_mega(scene, cfg_k, dcfg, film_cfg, trace_k, lums, sample_u,
                     boot_key, run_key, n_dims, n_chains, n_steps_k,
-                    n_mut=64):
+                    n_mut=64, pssmlt=False):
     """Run one depth group through the multi-mutation DRMLT megakernel
     (ops/pallas/megadrmlt.py): n_mut whole mutations per Pallas launch,
     chain state + film VMEM-resident.  Returns (film_rgb, stats, steps)."""
@@ -152,7 +152,7 @@ def _run_group_mega(scene, cfg_k, dcfg, film_cfg, trace_k, lums, sample_u,
     arr = pack_chain_state(state, n_dims)
     step = make_mega_drmlt(scene, cfg_k, dcfg, film_cfg, cfg_k.max_depth,
                            n_dims, n_mut=n_mut, weight_channel=False,
-                           splat_mode=dcfg.splat_mode)
+                           splat_mode=dcfg.splat_mode, pssmlt=pssmlt)
     seed0 = jax.random.randint(run_key, (), 0, 2**31 - 1, jnp.int32)
 
     @jax.jit
@@ -180,7 +180,8 @@ def render_drmlt_mmlt_grouped(scene: Scene, bcfg: BDPTConfig,
                               dcfg: DRMLTConfig, film_cfg, root_key,
                               n_steps: int, average_luminance=None,
                               force_xla: bool = False, min_group: int = 1024,
-                              equal_chains: bool = True):
+                              equal_chains: bool = True,
+                              pssmlt: bool = False):
     """Full depth-grouped DRMLT-over-MMLT render.
 
     Returns (image, aux) like drmlt.render_drmlt; aux adds per-group
@@ -266,11 +267,18 @@ def render_drmlt_mmlt_grouped(scene: Scene, bcfg: BDPTConfig,
                 scene, cfg_k, dcfg, film_cfg, trace_k, g["lums"],
                 g["sample_u"], jax.random.fold_in(k_boot, 100 + g["k"]),
                 jax.random.fold_in(k_run, g["k"]), n_dims, n_k_chains,
-                n_steps_k)
+                n_steps_k, pssmlt=pssmlt)
             n_per_pixel = n_k_chains * steps_eff / film_cfg.npixels
             img = img + film_rgb * (bk / n_per_pixel)
             all_stats[g["k"]] = stats_d
             continue
+
+        if pssmlt:
+            # the pssmlt control mode exists only in the megakernel (the
+            # XLA fallback would silently run DRMLT) — fail loudly
+            raise ValueError(
+                f"pssmlt=True but depth group k={g['k']} is not "
+                "megakernel-eligible; use integrators.pssmlt instead")
 
         if dcfg.splat_mode != "three":
             # only the megakernel consumes splat_mode; the XLA wavefront

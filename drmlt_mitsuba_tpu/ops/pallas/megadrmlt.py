@@ -112,7 +112,7 @@ def _mega_drmlt_kernel(
         splat_mode, debug_uniforms, n_rand, splat_batch,
         technique="mmlt", min_depth=1, rr_depth=1000, use_nee=True,
         thinlens=False, env_const=False, n_sphs=0, tex_shape=None,
-        clu_tpc=0, clu_passes=2):
+        clu_tpc=0, clu_passes=2, pssmlt=False):
     if clu_tpc:
         (clu_aabb_ref, clu_tri_ref, out_state_ref, film_ref, stats_ref,
          rec_ref) = refs
@@ -129,7 +129,8 @@ def _mega_drmlt_kernel(
     # MMLT freezes the strategy dim (index 0) on small steps; the path
     # technique has no frozen dims (dims 0/1 are the film position)
     frozen0 = technique == "mmlt"
-    n_states = 1 if splat_mode == "sampled" else 3
+    n_states = (1 if splat_mode == "sampled" else
+                (2 if pssmlt else 3))
     mb = splat_batch                     # mutations batched per splat flush
     NS = mb * n_states                   # splat slots per flush
     NN = NS * K                          # contraction width of the flush
@@ -181,7 +182,9 @@ def _mega_drmlt_kernel(
                 max_depth=k_depth, light_image=light_image, kinds=kinds,
                 eye_dims=eye_dims, tri_vmem_ref=tri_vmem_ref,
                 clu_aabb_ref=clu_aabb_ref, clu_tri_ref=clu_tri_ref,
-                clu_tpc=clu_tpc, clu_passes=clu_passes)
+                clu_tpc=clu_tpc, clu_passes=clu_passes,
+                env_const=env_const, sph_ref=sph_ref, n_sphs=n_sphs,
+                tex_ref=tex_ref, tex_shape=tex_shape)
             inv = 1.0 / k_depth      # undo the uniform-depth pmf factor
             vx, vy, vz = vx * inv, vy * inv, vz * inv
         lum = _lum(vx, vy, vz)
@@ -331,11 +334,20 @@ def _mega_drmlt_kernel(
 
         # ---- traces -------------------------------------------------------
         lum_y, px_y, py_y, vr_y, vg_y, vb_y = trace(y)
-        lum_z, px_z, py_z, vr_z, vg_z, vb_z = trace(z)
+        if pssmlt:
+            # PSSMLT control mode (equal-time study, VERDICT r4 item 3):
+            # stage 1 only — no z trace, no delayed rejection; the splat
+            # below degenerates to the Veach expected-value two-state
+            # form (pssmlt_proc.cpp:204-225 non-Kelemen weights)
+            lum_z = px_z = py_z = vr_z = vg_z = vb_z = zero
+        else:
+            lum_z, px_z, py_z, vr_z, vg_z, vb_z = trace(z)
 
         a1 = _clamp01_ratio(lum_y / jnp.maximum(lum_x, 1e-30))
         accept1 = coin1 < a1
         do_second = ~accept1
+        if pssmlt:
+            do_second = do_second & False
         if not timid_after_large:
             do_second = do_second & ~large
 
@@ -392,6 +404,9 @@ def _mega_drmlt_kernel(
             stash_splats(m, [(sel(px_y, px_z, px_x), sel(py_y, py_z, py_x),
                               sel(vr_y, vr_z, vr_x), sel(vg_y, vg_z, vg_x),
                               sel(vb_y, vb_z, vb_x), jnp.ones(shape, f32))])
+        elif pssmlt:
+            stash_splats(m, [(px_x, py_x, vr_x, vg_x, vb_x, w_x),
+                             (px_y, py_y, vr_y, vg_y, vb_y, w_y)])
         else:
             stash_splats(m, [(px_x, py_x, vr_x, vg_x, vb_x, w_x),
                              (px_y, py_y, vr_y, vg_y, vb_y, w_y),
@@ -493,7 +508,8 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
                     lane_block: int | None = None,
                     technique: str = "mmlt",
                     force_clusters: bool = False,
-                    cluster_min: int = 4096):
+                    cluster_min: int = 4096,
+                    pssmlt: bool = False):
     """Build step_block(state_arr, seed2, [uniforms]) ->
     (state_arr, film_delta, stats) running n_mut whole DRMLT mutations of
     a fixed-depth-k MMLT group (or, technique="path", of the
@@ -542,7 +558,14 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
                        if scene.textures is not None else None))
     else:
         n_core_chain = 1 + bcfg_k.eye_dims + bcfg_k.light_dims
-        path_kw = dict(technique="mmlt")
+        path_kw = dict(
+            technique="mmlt",
+            env_const=bool(float(np.abs(np.asarray(
+                scene.emitters.env_radiance)).sum()) > 0),
+            n_sphs=(sph.shape[0] if bool(np.any(
+                np.asarray(scene.spheres.valid))) else 0),
+            tex_shape=(tuple(np.asarray(scene.textures.data).shape[:3])
+                       if scene.textures is not None else None))
     assert n_dims >= n_core_chain and n_dims % 2 == 0
     H, W = film_cfg.height, film_cfg.width
     n_chan = 4 if weight_channel else 3
@@ -566,7 +589,8 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
     debug_uniforms = debug_uniforms or interpret
 
     NR = n_dims + 6
-    n_states = 1 if splat_mode == "sampled" else 3
+    n_states = (1 if splat_mode == "sampled" else
+                (2 if pssmlt else 3))
 
     @jax.jit
     def step_block(state_arr, seed2, uniforms=None):
@@ -576,6 +600,11 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
         else:
             # measured on v5e (scripts/tune_megadrmlt.py): L=256 beats 128
             # and 512 at every depth (k=4: 29.2 vs 25.0/26.3 M mut/s)
+            # measured on v5e (scripts/tune_megadrmlt.py): L=256 beats 128
+            # and 512 at every depth (k=4: 29.2 vs 25.0/26.3 M mut/s);
+            # ALSO at 19.6k tris with the clustered sweep (k=1: 2.57M at
+            # 256 vs 2.21M at 128 — the smaller while-loop tile gate does
+            # not pay for the extra launches)
             L = 256 if R8 % 256 == 0 else (128 if R8 % 128 == 0 else R8)
         # splat batch: defer splats until the matmul contraction width
         # reaches ~8192 columns (VMEM budget for the (H, NN) one-hots),
@@ -606,7 +635,7 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
             em_lo=em_lo, em_hi=em_hi, film_h=H, film_w=W, n_chan=n_chan,
             passes=passes, splat_mode=splat_mode,
             debug_uniforms=debug_uniforms, n_rand=n_rand, splat_batch=mb,
-            clu_tpc=clu_tpc,
+            clu_tpc=clu_tpc, pssmlt=pssmlt,
             **path_kw,
         )
         in_specs = [

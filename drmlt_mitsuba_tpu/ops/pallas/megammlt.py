@@ -47,15 +47,9 @@ def mega_mmlt_eligible(scene: Scene, cfg) -> bool:
     scene/config (megatrace's scene subset; surface-only, pinhole)."""
     if getattr(cfg, "thinlens", False) or getattr(cfg, "medium", False):
         return False
-    # the MMLT trace tile has no env handling on escaped eye walks yet
-    # (megatrace-only feature); constant-env scenes stay on the XLA path
-    if float(np.abs(np.asarray(scene.emitters.env_radiance)).sum()) > 0:
-        return False
-    # the MMLT walk has no sphere vertices / bitmap albedos yet
-    # (megatrace-only features)
-    if bool(np.any(np.asarray(scene.spheres.valid))):
-        return False
-    if scene.textures is not None:
+    # image-env NEE/CDF tables are not wired into the MMLT walk yet;
+    # constant env, analytic spheres and bitmap albedos are (round 5)
+    if scene.emitters.env_image is not None:
         return False
 
     class _P:   # adapt: mega_eligible reads path-config style fields
@@ -63,7 +57,7 @@ def mega_mmlt_eligible(scene: Scene, cfg) -> bool:
     return mega_eligible(scene, _P)
 
 
-def _mat_select(mat_ref, n_mats, mat_id, shape):
+def _mat_select(mat_ref, n_mats, mat_id, shape, with_tid=False):
     """Row-select the material attribute tiles for per-lane mat ids."""
     f32 = jnp.float32
     zero = jnp.zeros(shape, f32)
@@ -73,11 +67,29 @@ def _mat_select(mat_ref, n_mats, mat_id, shape):
                srx=zero, sry=zero, srz=zero, stx=zero, sty=zero, stz=zero)
     keys = ["kind", "alx", "aly", "alz", "etx", "ety", "etz", "kx", "ky",
             "kz", "rough", "srx", "sry", "srz", "stx", "sty", "stz"]
+    if with_tid:
+        out["tid"] = jnp.full(shape, -1.0, f32)
+        keys = keys + ["tid"]
     for m in range(n_mats):
         sel = mat_id == m
         for c, k in enumerate(keys):
             out[k] = jnp.where(sel, mat_ref[m, c], out[k])
     return out
+
+
+def _tex_override(mt, tex_ref, tex_shape, shape, tu, tv):
+    """Replace the constant albedo with the bitmap fetch where the
+    material carries a texture id (mirrors path_trace_tile)."""
+    from drmlt_mitsuba_tpu.ops.pallas.megatrace import tex_albedo_tile
+
+    tr, tg, tb = tex_albedo_tile(tex_ref, tex_shape, shape, mt["tid"],
+                                 tu, tv)
+    has_t = mt["tid"] >= 0
+    mt = dict(mt)
+    mt["alx"] = jnp.where(has_t, tr, mt["alx"])
+    mt["aly"] = jnp.where(has_t, tg, mt["aly"])
+    mt["alz"] = jnp.where(has_t, tb, mt["alz"])
+    return mt
 
 
 def _closest_sweep(tri_ref, n_tris, shape, ox, oy, oz, dx, dy, dz):
@@ -134,7 +146,61 @@ def _shadow_sweep(tri_ref, n_tris, shape, ox, oy, oz, dx, dy, dz, tmax):
 
 
 _VTX_KEYS = ("px", "py", "pz", "nsx", "nsy", "nsz", "ngx", "ngy", "ngz",
-             "wix", "wiy", "wiz", "bx", "by", "bz", "mat", "valid")
+             "wix", "wiy", "wiz", "bx", "by", "bz", "mat", "valid",
+             "esc", "tu", "tv")
+
+
+def _sphere_closest(sph_ref, n_sphs, shape, ox, oy, oz, dx, dy, dz,
+                    best_t):
+    """Analytic sphere sweep (mirrors megatrace.sphere_closest): returns
+    (t, hit_any, cx, cy, cz, r, mat, erow) of the winner."""
+    f32 = jnp.float32
+    zero = jnp.zeros(shape, f32)
+    bt = best_t
+    scx = scy = scz = srr = zero
+    smat = jnp.full(shape, -1.0, f32)
+    sem = jnp.full(shape, -1.0, f32)
+    hit_any = jnp.zeros(shape, bool)
+    for si in range(n_sphs):
+        cx, cy, cz = sph_ref[si, 0], sph_ref[si, 1], sph_ref[si, 2]
+        r = sph_ref[si, 3]
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        bq = ocx * dx + ocy * dy + ocz * dz
+        cq = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = bq * bq - cq
+        ok = (disc >= 0.0) & (sph_ref[si, 6] > 0.5)
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = -bq - sq
+        t1 = -bq + sq
+        t = jnp.where(t0 > RAY_EPS, t0, t1)
+        hit = ok & (t > RAY_EPS) & (t < bt)
+        bt = jnp.where(hit, t, bt)
+        scx = jnp.where(hit, cx, scx)
+        scy = jnp.where(hit, cy, scy)
+        scz = jnp.where(hit, cz, scz)
+        srr = jnp.where(hit, r, srr)
+        smat = jnp.where(hit, sph_ref[si, 4], smat)
+        sem = jnp.where(hit, sph_ref[si, 5], sem)
+        hit_any = hit_any | hit
+    return bt, hit_any, scx, scy, scz, srr, smat, sem
+
+
+def _sphere_blocked(sph_ref, n_sphs, shape, ox, oy, oz, dx, dy, dz, tmax):
+    blocked = jnp.zeros(shape, bool)
+    for si in range(n_sphs):
+        cx, cy, cz = sph_ref[si, 0], sph_ref[si, 1], sph_ref[si, 2]
+        r = sph_ref[si, 3]
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        bq = ocx * dx + ocy * dy + ocz * dz
+        cq = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = bq * bq - cq
+        ok = (disc >= 0.0) & (sph_ref[si, 6] > 0.5)
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = -bq - sq
+        t1 = -bq + sq
+        t = jnp.where(t0 > RAY_EPS, t0, t1)
+        blocked = blocked | (ok & (t > RAY_EPS) & (t < tmax))
+    return blocked
 
 
 def _sel_init(shape):
@@ -150,9 +216,10 @@ def _sel_copy(dst, sel, src):
 
 
 def _mega_mmlt_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref,
-                      tri_vmem_ref, *refs,
+                      tri_vmem_ref, sph_ref, tex_ref, *refs,
                       n_tris, n_mats, n_ems, max_depth, light_image, kinds,
-                      eye_dims, clu_tpc=0, clu_passes=2):
+                      eye_dims, clu_tpc=0, clu_passes=2, env_const=False,
+                      n_sphs=0, tex_shape=None):
     """One MMLT mutation trace per lane (8, L) tile."""
     if clu_tpc:
         clu_aabb_ref, clu_tri_ref, out_ref = refs
@@ -165,7 +232,9 @@ def _mega_mmlt_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref,
         max_depth=max_depth, light_image=light_image, kinds=kinds,
         eye_dims=eye_dims, tri_vmem_ref=tri_vmem_ref,
         clu_aabb_ref=clu_aabb_ref, clu_tri_ref=clu_tri_ref,
-        clu_tpc=clu_tpc, clu_passes=clu_passes)
+        clu_tpc=clu_tpc, clu_passes=clu_passes, env_const=env_const,
+        sph_ref=sph_ref, n_sphs=n_sphs, tex_ref=tex_ref,
+        tex_shape=tex_shape)
     out_ref[0] = vx
     out_ref[1] = vy
     out_ref[2] = vz
@@ -176,7 +245,9 @@ def _mega_mmlt_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref,
 def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
                     n_tris, n_mats, n_ems, max_depth, light_image, kinds,
                     eye_dims, tri_vmem_ref=None, clu_aabb_ref=None,
-                    clu_tri_ref=None, clu_tpc=0, clu_passes=2):
+                    clu_tri_ref=None, clu_tpc=0, clu_passes=2,
+                    env_const=False, sph_ref=None, n_sphs=0,
+                    tex_ref=None, tex_shape=None):
     """The whole selected-strategy MMLT trace on one (8, L) tile.
 
     `udim(j)` yields PSS dim j as a tile (a ref read for the one-shot
@@ -252,8 +323,9 @@ def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
                 best_t, best_id = closest_sweep_clustered(
                     clu_aabb_ref, clu_tri_ref, clu_aabb_ref.shape[0],
                     clu_tpc, clu_passes, shape, ox, oy, oz, dx, dy, dz)
-                av = fetch_tri_attrs_split(tri_vmem_ref, shape, best_id,
-                                           with_uv=False)
+                av = fetch_tri_attrs_split(
+                    tri_vmem_ref, shape, best_id,
+                    with_uv=tex_shape is not None)
                 # exact-f32 hit-distance recompute (traversal = bf16
                 # planes; av carries the 3-pass exact attributes)
                 pxr, pyr, pzr = _cross(dx, dy, dz, av[6], av[7], av[8])
@@ -266,7 +338,8 @@ def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
                 ttr = (av[6] * qxr + av[7] * qyr + av[8] * qzr) * invr
                 best_t = jnp.where((best_id >= 0) & okr & (ttr > 0),
                                    ttr, best_t)
-            elif tri_vmem_ref is not None and n_tris > 512:
+            elif tri_vmem_ref is not None and (n_tris > 512
+                                               or tex_shape is not None):
                 from drmlt_mitsuba_tpu.ops.pallas.megatrace import (
                     closest_sweep_idx, fetch_tri_attrs,
                 )
@@ -276,14 +349,26 @@ def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
             else:
                 best_t, av = _closest_sweep(tri_ref, n_tris, shape,
                                             ox, oy, oz, dx, dy, dz)
+            use_sph = jnp.zeros(shape, bool)
+            if n_sphs:
+                (best_t, use_sph, scx, scy, scz, srr, smat,
+                 sem) = _sphere_closest(sph_ref, n_sphs, shape,
+                                        ox, oy, oz, dx, dy, dz, best_t)
             hit_valid = best_t < _INF
             t_hit = jnp.where(hit_valid, best_t, _INF)
+            # escaped: the segment entering THIS slot left the scene —
+            # wi/beta below stay meaningful for constant-env eval
+            # (mirrors SubpathSoA.escaped, bidir.py:131)
+            escaped = act & ~hit_valid
             active = act & hit_valid
             v0x, v0y, v0z = av[0], av[1], av[2]
             e1x, e1y, e1z = av[3], av[4], av[5]
             e2x, e2y, e2z = av[6], av[7], av[8]
             mat_id = av[18]
             erow = jnp.where(hit_valid, av[19], -1.0)
+            if n_sphs:
+                mat_id = jnp.where(use_sph, smat, mat_id)
+                erow = jnp.where(use_sph, sem, erow)
             hpx = ox + t_hit * dx
             hpy = oy + t_hit * dy
             hpz = oz + t_hit * dz
@@ -301,6 +386,30 @@ def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
             nsy = w0 * av[10] + b1 * av[13] + b2 * av[16]
             nsz = w0 * av[11] + b1 * av[14] + b2 * av[17]
             nsx, nsy, nsz = _normalize(nsx, nsy, nsz)
+            if n_sphs:
+                inv_r = 1.0 / jnp.maximum(srr, 1e-20)
+                sngx = (hpx - scx) * inv_r
+                sngy = (hpy - scy) * inv_r
+                sngz = (hpz - scz) * inv_r
+                ngx = jnp.where(use_sph, sngx, ngx)
+                ngy = jnp.where(use_sph, sngy, ngy)
+                ngz = jnp.where(use_sph, sngz, ngz)
+                nsx = jnp.where(use_sph, sngx, nsx)
+                nsy = jnp.where(use_sph, sngy, nsy)
+                nsz = jnp.where(use_sph, sngz, nsz)
+            if tex_shape is not None:
+                from drmlt_mitsuba_tpu.ops.pallas.megatrace import (
+                    _acos as _tacos, _atan2 as _tatan2,
+                )
+                tuc = w0 * av[20] + b1 * av[22] + b2 * av[24]
+                tvc = w0 * av[21] + b1 * av[23] + b2 * av[25]
+                if n_sphs:
+                    stu = _tacos(jnp.clip(sngz, -1.0, 1.0)) / _PI
+                    stv = _tatan2(sngy, sngx) / (2.0 * _PI) + 0.5
+                    tuc = jnp.where(use_sph, stu, tuc)
+                    tvc = jnp.where(use_sph, stv, tvc)
+            else:
+                tuc = tvc = zero
 
             # pdf_fwd: prev dir pdf -> area at this vertex
             segx, segy, segz = hpx - ppx, hpy - ppy, hpz - ppz
@@ -311,7 +420,10 @@ def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
             pdf_fwd[v] = jnp.where(active, pdf_sa * cos_to / d2, 0.0)
             valid_s[v] = active
 
-            mt = _mat_select(mat_ref, n_mats, mat_id, shape)
+            mt = _mat_select(mat_ref, n_mats, mat_id, shape,
+                             with_tid=tex_shape is not None)
+            if tex_shape is not None:
+                mt = _tex_override(mt, tex_ref, tex_shape, shape, tuc, tvc)
             kind = mt["kind"]
             is_delta = fbool
             from drmlt_mitsuba_tpu.ops.pallas.megatrace import _DELTA_KINDS
@@ -328,7 +440,9 @@ def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
                        by=jnp.where(act, by, 0.0),
                        bz=jnp.where(act, bz, 0.0),
                        mat=mat_id,
-                       valid=jnp.where(active, 1.0, 0.0))
+                       valid=jnp.where(active, 1.0, 0.0),
+                       esc=jnp.where(escaped, 1.0, 0.0),
+                       tu=tuc, tv=tvc)
             for name, idx in sel_slots.items():
                 m = idx == float(v)
                 sel[name] = _sel_copy(sel[name], m, vtx)
@@ -420,7 +534,8 @@ def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
                    nsx=cam_fx, nsy=cam_fy, nsz=cam_fz,
                    ngx=cam_fx, ngy=cam_fy, ngz=cam_fz,
                    wix=-cam_fx, wiy=-cam_fy, wiz=-cam_fz,
-                   bx=one, by=one, bz=one, mat=zero, valid=one)
+                   bx=one, by=one, bz=one, mat=zero, valid=one,
+                   esc=zero, tu=zero, tv=zero)
     E = walk(
         (cam_ox, cam_oy, cam_oz), (edx, edy, edz), (one, one, one), pdf0,
         (cam_ox, cam_oy, cam_oz), (cam_fx, cam_fy, cam_fz),
@@ -489,7 +604,8 @@ def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
                      ngx=lngx, ngy=lngy, ngz=lngz,
                      wix=lngx, wiy=lngy, wiz=lngz,
                      bx=l_end_bx, by=l_end_by, bz=l_end_bz,
-                     mat=zero, valid=jnp.where(valid0, 1.0, 0.0))
+                     mat=zero, valid=jnp.where(valid0, 1.0, 0.0),
+                     esc=zero, tu=zero, tv=zero)
     o0x = p0x + ldx * (RAY_EPS * 10.0)
     o0y = p0y + ldy * (RAY_EPS * 10.0)
     o0z = p0z + ldz * (RAY_EPS * 10.0)
@@ -552,7 +668,11 @@ def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
     is_s1 = s_pick == 1
     # light end: area-emitter endpoint lobe for s=1, BSDF otherwise
     front = (wlx * Sl["ngx"] + wly * Sl["ngy"] + wlz * Sl["ngz"]) > 0
-    mtl = _mat_select(mat_ref, n_mats, Sl["mat"], shape)
+    mtl = _mat_select(mat_ref, n_mats, Sl["mat"], shape,
+                      with_tid=tex_shape is not None)
+    if tex_shape is not None:
+        mtl = _tex_override(mtl, tex_ref, tex_shape, shape,
+                            Sl["tu"], Sl["tv"])
     wl_loc = _to_local((Sl["nsx"], Sl["nsy"], Sl["nsz"]), (wlx, wly, wlz))
     wi_l_loc = _to_local((Sl["nsx"], Sl["nsy"], Sl["nsz"]),
                          (Sl["wix"], Sl["wiy"], Sl["wiz"]))
@@ -571,7 +691,11 @@ def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
     flz = jnp.where(is_s1, f_l_ep, flz)
 
     # eye end: BSDF (t >= 2) or sensor importance (t = 1)
-    mte = _mat_select(mat_ref, n_mats, Se["mat"], shape)
+    mte = _mat_select(mat_ref, n_mats, Se["mat"], shape,
+                      with_tid=tex_shape is not None)
+    if tex_shape is not None:
+        mte = _tex_override(mte, tex_ref, tex_shape, shape,
+                            Se["tu"], Se["tv"])
     we_loc = _to_local((Se["nsx"], Se["nsy"], Se["nsz"]),
                        (-wlx, -wly, -wlz))
     wi_e_loc = _to_local((Se["nsx"], Se["nsy"], Se["nsz"]),
@@ -635,6 +759,12 @@ def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
     else:
         blocked = _shadow_sweep(
             tri_ref, n_tris, shape,
+            Sl["px"] + wlx * sh_eps, Sl["py"] + wly * sh_eps,
+            Sl["pz"] + wlz * sh_eps, wlx, wly, wlz,
+            jnp.where(ok_c, dist * (1.0 - 1e-3), 0.0))
+    if n_sphs:
+        blocked = blocked | _sphere_blocked(
+            sph_ref, n_sphs, shape,
             Sl["px"] + wlx * sh_eps, Sl["py"] + wly * sh_eps,
             Sl["pz"] + wlz * sh_eps, wlx, wly, wlz,
             jnp.where(ok_c, dist * (1.0 - 1e-3), 0.0))
@@ -747,6 +877,13 @@ def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
     vx = jnp.where(ok_hit, ch_x * w_mis, 0.0)
     vy = jnp.where(ok_hit, ch_y * w_mis, 0.0)
     vz = jnp.where(ok_hit, ch_z * w_mis, 0.0)
+    if env_const:
+        # constant env on an ESCAPED s=0 eye walk, MIS weight 1
+        # (mirrors trace_mmlt's case_hit & Eesc term, bidir.py:1350)
+        ok_env = case_hit & (Se["esc"] > 0.5)
+        vx = vx + jnp.where(ok_env, Se["bx"] * cam_ref[0, 16], 0.0)
+        vy = vy + jnp.where(ok_env, Se["by"] * cam_ref[0, 17], 0.0)
+        vz = vz + jnp.where(ok_env, Se["bz"] * cam_ref[0, 18], 0.0)
     vx = vx + jnp.where(ok_c, cc_x * w_mis, 0.0)
     vy = vy + jnp.where(ok_c, cc_y * w_mis, 0.0)
     vz = vz + jnp.where(ok_c, cc_z * w_mis, 0.0)
@@ -785,11 +922,17 @@ def make_mega_mmlt(scene: Scene, cfg, interpret: bool = False,
         clu_aabb, clu_tri = pack_cluster_tables(scene, aabbs, starts,
                                                 clu_tpc)
 
-    (tri, mat, emt, cam, _sph, tri_ext,
+    (tri, mat, emt, cam, sph, tri_ext, tex,
      *_rest) = pack_mega_tables(scene)
     n_tris, n_mats, n_ems = tri.shape[0], mat.shape[0], emt.shape[0]
     if use_clusters:
         tri = tri[:1]         # sweeps run off the cluster/fetch tables
+    n_sphs = (sph.shape[0]
+              if bool(np.any(np.asarray(scene.spheres.valid))) else 0)
+    tex_shape = (tuple(np.asarray(scene.textures.data).shape[:3])
+                 if scene.textures is not None else None)
+    env_const = bool(
+        float(np.abs(np.asarray(scene.emitters.env_radiance)).sum()) > 0)
     kinds = tuple(sorted(set(
         int(k) for k in np.unique(np.asarray(scene.materials.kind)))))
     n_core = 2 + cfg.eye_dims + cfg.light_dims
@@ -798,6 +941,7 @@ def make_mega_mmlt(scene: Scene, cfg, interpret: bool = False,
         _mega_mmlt_kernel, n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
         max_depth=cfg.max_depth, light_image=bool(cfg.light_image),
         kinds=kinds, eye_dims=cfg.eye_dims, clu_tpc=clu_tpc,
+        env_const=env_const, n_sphs=n_sphs, tex_shape=tex_shape,
     )
 
     @jax.jit
@@ -821,8 +965,12 @@ def make_mega_mmlt(scene: Scene, cfg, interpret: bool = False,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(tuple(tri_ext.shape), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(tuple(sph.shape), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(tuple(tex.shape), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ]
-        operands = [tri, mat, emt, cam, uT, tri_ext]
+        operands = [tri, mat, emt, cam, uT, tri_ext, sph, tex]
         if clu_tpc:
             in_specs += [
                 pl.BlockSpec(tuple(clu_aabb.shape), lambda i: (0, 0),

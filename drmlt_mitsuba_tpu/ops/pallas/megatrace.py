@@ -799,6 +799,35 @@ def fetch_tri_attrs_split(tri_vmem_ref, shape, best_id, with_uv):
     return geo + rest + uv
 
 
+def tex_albedo_tile(tex_ref, tex_shape, shape, tid, tu, tv):
+    """Bilinear bitmap-albedo fetch at (tu, tv) from the flattened atlas
+    (mirrors path._albedo; 4 one-hot corner fetches, 2-pass bf16).
+    Returns (r, g, b) tiles — callers mask with tid >= 0."""
+    n_pages, th, tw = tex_shape
+    zero = jnp.zeros(shape, jnp.float32)
+    x = jnp.clip(jnp.mod(tu, 1.0), 0.0, 1.0) * (tw - 1)
+    y = jnp.clip(jnp.mod(tv, 1.0), 0.0, 1.0) * (th - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = jnp.minimum(x0 + 1.0, tw - 1.0)
+    y1 = jnp.minimum(y0 + 1.0, th - 1.0)
+    fx = x - x0
+    fy = y - y0
+    page = jnp.clip(tid, 0.0, n_pages - 1.0) * float(th * tw)
+    tex_r = tex_g = tex_b = zero
+    for yc, xc, wgt in ((y0, x0, (1 - fx) * (1 - fy)),
+                        (y0, x1, fx * (1 - fy)),
+                        (y1, x0, (1 - fx) * fy),
+                        (y1, x1, fx * fy)):
+        idx = (page + yc * tw + xc).astype(jnp.int32)
+        cr, cg, cb, _p = fetch_rows(
+            tex_ref, n_pages * th * tw, shape, idx, passes=2)
+        tex_r += wgt * cr
+        tex_g += wgt * cg
+        tex_b += wgt * cb
+    return tex_r, tex_g, tex_b
+
+
 # ---------------------------------------------------------------- kernel
 def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
                     n_tris, n_mats, n_ems, max_depth, min_depth, rr_depth,
@@ -808,7 +837,7 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
                     env_col_ref=None, env_row_ref=None, env_shape=None,
                     env_row_pick=0.0, emit_grad=False, big_scene=False,
                     clu_aabb_ref=None, clu_tri_ref=None, clu_tpc=0,
-                    clu_passes=2):
+                    clu_passes=2, albedo_grad=False):
     """The whole unidirectional path trace on one (8, L) lane tile.
 
     udim(j) -> (8, L) tile of PSS dim j (integrators/layout.py order).
@@ -862,6 +891,28 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
     # exactly (the in-kernel fast adjoint, round 4)
     if emit_grad:
         Tacc = [[zero, zero, zero] for _ in range(n_ems)]
+    # per-lane albedo Jacobian rows: contributions are polynomials in each
+    # material's albedo (diffuse-like bounces multiply the throughput by
+    # al channel-diagonally), so d value[c]/d al_m[c] =
+    # sum_contribs contrib[c] * power_m(contrib) / al_m[c] — exact for
+    # al > 0; RR survival probabilities are DETACHED (treated as sampling
+    # pdfs), matching the detached-sampling convention of differentiable
+    # rendering (and path.py runs rr_depth=100 for gradient work).
+    if albedo_grad:
+        Aacc = [[zero, zero, zero] for _ in range(n_mats)]
+        n_alb = [zero for _ in range(n_mats)]
+
+        def alb_accum(mask, cx_, cy_, cz_, extra_mask=None):
+            for m_i in range(n_mats):
+                pw = n_alb[m_i]
+                if extra_mask is not None:
+                    pw = pw + jnp.where(extra_mask & (mat_id == m_i),
+                                        1.0, 0.0)
+                for c_i, cc in enumerate((cx_, cy_, cz_)):
+                    al_v = mat_ref[m_i, 1 + c_i]
+                    g = jnp.where(al_v > 1e-12, pw / jnp.maximum(
+                        al_v, 1e-12), 0.0)
+                    Aacc[m_i][c_i] += jnp.where(mask, cc * g, 0.0)
     active = jnp.ones(shape, bool)
     prev_pdf = zero
     prev_delta = jnp.ones(shape, bool)
@@ -1181,7 +1232,6 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
 
         # ---- bitmap albedo (bilinear atlas fetch; mirrors path._albedo) --
         if tex_shape is not None:
-            n_pages, th, tw = tex_shape
             tu = w0 * av[20] + b1 * av[22] + b2 * av[24]
             tv = w0 * av[21] + b1 * av[23] + b2 * av[25]
             if n_sphs:
@@ -1190,26 +1240,8 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
                 stv = _atan2(sngy, sngx) / (2.0 * _PI) + 0.5
                 tu = jnp.where(use_sph, stu, tu)
                 tv = jnp.where(use_sph, stv, tv)
-            x = jnp.clip(jnp.mod(tu, 1.0), 0.0, 1.0) * (tw - 1)
-            y = jnp.clip(jnp.mod(tv, 1.0), 0.0, 1.0) * (th - 1)
-            x0 = jnp.floor(x)
-            y0 = jnp.floor(y)
-            x1 = jnp.minimum(x0 + 1.0, tw - 1.0)
-            y1 = jnp.minimum(y0 + 1.0, th - 1.0)
-            fx = x - x0
-            fy = y - y0
-            page = jnp.clip(tid, 0.0, n_pages - 1.0) * float(th * tw)
-            tex_r = tex_g = tex_b = zero
-            for yc, xc, wgt in ((y0, x0, (1 - fx) * (1 - fy)),
-                                (y0, x1, fx * (1 - fy)),
-                                (y1, x0, (1 - fx) * fy),
-                                (y1, x1, fx * fy)):
-                idx = (page + yc * tw + xc).astype(jnp.int32)
-                cr, cg, cb, _p = fetch_rows(
-                    tex_ref, n_pages * th * tw, shape, idx, passes=2)
-                tex_r += wgt * cr
-                tex_g += wgt * cg
-                tex_b += wgt * cb
+            tex_r, tex_g, tex_b = tex_albedo_tile(
+                tex_ref, tex_shape, shape, tid, tu, tv)
             has_t = tid >= 0
             alx = jnp.where(has_t, tex_r, alx)
             aly = jnp.where(has_t, tex_g, aly)
@@ -1250,6 +1282,9 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
                 Tacc[e][0] += jnp.where(m_e, tpx * w_bsdf, 0.0)
                 Tacc[e][1] += jnp.where(m_e, tpy * w_bsdf, 0.0)
                 Tacc[e][2] += jnp.where(m_e, tpz * w_bsdf, 0.0)
+        if albedo_grad:
+            alb_accum(hit_emitter, tpx * e_radx * w_bsdf,
+                      tpy * e_rady * w_bsdf, tpz * e_radz * w_bsdf)
 
         if env_shape is not None:
             # image environment on escape, MIS'd against env NEE
@@ -1266,6 +1301,9 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
             Lx = Lx + jnp.where(escaped, tpx * er * w_env, 0.0)
             Ly = Ly + jnp.where(escaped, tpy * eg * w_env, 0.0)
             Lz = Lz + jnp.where(escaped, tpz * eb * w_env, 0.0)
+            if albedo_grad:
+                alb_accum(escaped, tpx * er * w_env, tpy * eg * w_env,
+                          tpz * eb * w_env)
         elif env_const:
             # constant environment on escape (no NEE row exists for a
             # constant env, so no MIS weight — mirrors trace_paths)
@@ -1273,6 +1311,9 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
             Lx = Lx + jnp.where(escaped, tpx * cam_ref[0, 16], 0.0)
             Ly = Ly + jnp.where(escaped, tpy * cam_ref[0, 17], 0.0)
             Lz = Lz + jnp.where(escaped, tpz * cam_ref[0, 18], 0.0)
+            if albedo_grad:
+                alb_accum(escaped, tpx * cam_ref[0, 16],
+                          tpy * cam_ref[0, 17], tpz * cam_ref[0, 18])
 
         active = active & hit_valid
 
@@ -1441,6 +1482,15 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
                     Tacc[e][0] += jnp.where(m_e, tpx * f_vx * inv_pdf, 0.0)
                     Tacc[e][1] += jnp.where(m_e, tpy * f_vy * inv_pdf, 0.0)
                     Tacc[e][2] += jnp.where(m_e, tpz * f_vz * inv_pdf, 0.0)
+            if albedo_grad:
+                # the NEE eval at this vertex adds ONE albedo factor for
+                # diffuse-like kinds (f_v ∝ al)
+                dlike = ((kind == BSDF_DIFFUSE)
+                         | (kind == BSDF_ROUGH_DIFFUSE))
+                alb_accum(add, tpx * f_vx * l_radx * inv_pdf,
+                          tpy * f_vy * l_rady * inv_pdf,
+                          tpz * f_vz * l_radz * inv_pdf,
+                          extra_mask=dlike)
 
         # ---- BSDF sampling (mirrors sample_bsdf for supported kinds) -----
         uc = udim(base + OFF_BSDF_CMP)
@@ -1452,6 +1502,14 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
             alx, aly, alz, etx, ety, etz, kx, ky, kz, rough,
             srx, sry, srz, stx, sty, stz, shape)
         wowx, wowy, wowz = _to_world((nsx, nsy, nsz), (swx, swy, swz))
+        if albedo_grad:
+            # this bounce multiplies tp by al (diffuse-like sample
+            # weights are ∝ albedo): bump the per-material power count
+            dlike_s = (((kind == BSDF_DIFFUSE)
+                        | (kind == BSDF_ROUGH_DIFFUSE)) & active)
+            for m_i in range(n_mats):
+                n_alb[m_i] = n_alb[m_i] + jnp.where(
+                    dlike_s & (mat_id == m_i), 1.0, 0.0)
         tpx = tpx * bwx
         tpy = tpy * bwy
         tpz = tpz * bwz
@@ -1489,6 +1547,8 @@ def path_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
 
     if emit_grad:
         return Lx, Ly, Lz, Tacc
+    if albedo_grad:
+        return Lx, Ly, Lz, Aacc
     return Lx, Ly, Lz
 
 
@@ -1874,6 +1934,153 @@ def make_mega_trace_rad(scene0: Scene, cfg, interpret: bool = False):
         # lum folds through the luminance weights
         ctv = ct.value[:, 0, :] + ct.lum[:, None] * lum_w[None, :]
         g = jnp.einsum("rc,rec->ec", ctv, T)
+        return g, jnp.zeros(u_shape, jnp.float32)
+
+    trace.defvjp(trace_fwd, trace_bwd)
+    return trace
+
+
+def _mega_kernel_alb(tri_ref, mat_ref, em_ref, cam_ref, u_ref,
+                     tri_vmem_ref, sph_ref, tex_ref, env_tab_ref,
+                     env_col_ref, env_row_ref, out_ref, *,
+                     n_tris, n_mats, n_ems, n_sphs, max_depth, min_depth,
+                     rr_depth, use_nee, kinds, thinlens=False,
+                     env_const=False, tex_shape=None, env_shape=None,
+                     env_row_pick=0.0, big_scene=False):
+    """Forward + per-lane material-albedo Jacobian rows (albedo_grad)."""
+    Lx, Ly, Lz, Aacc = path_trace_tile(
+        tri_ref, mat_ref, em_ref, cam_ref, lambda j: u_ref[j],
+        u_ref.shape[1:], n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
+        max_depth=max_depth, min_depth=min_depth, rr_depth=rr_depth,
+        use_nee=use_nee, kinds=kinds, thinlens=thinlens,
+        env_const=env_const, tri_vmem_ref=tri_vmem_ref,
+        sph_ref=sph_ref, n_sphs=n_sphs, tex_ref=tex_ref,
+        tex_shape=tex_shape, env_tab_ref=env_tab_ref,
+        env_col_ref=env_col_ref, env_row_ref=env_row_ref,
+        env_shape=env_shape, env_row_pick=env_row_pick, albedo_grad=True,
+        big_scene=big_scene)
+    out_ref[0] = Lx
+    out_ref[1] = Ly
+    out_ref[2] = Lz
+    for m in range(n_mats):
+        for c in range(3):
+            out_ref[3 + m * 3 + c] = Aacc[m][c]
+
+
+def make_mega_trace_alb(scene0: Scene, cfg, interpret: bool = False):
+    """trace(albedo, u) -> Splats with an in-kernel VJP with respect to
+    materials.albedo — the generic-parameter extension of
+    make_mega_trace_rad (VERDICT r4 item 6).
+
+    Contributions are POLYNOMIALS in each material's albedo (every
+    diffuse-like bounce multiplies the throughput channel-diagonally by
+    al), so d value[c]/d al_m[c] = sum_contribs contrib[c] *
+    power_m(contrib) / al_m[c], accumulated per lane during the FORWARD
+    pass; the backward is one einsum — no wavefront replay.  Exact for
+    al > 1e-12 (a black material's one-bounce derivative is lost — start
+    optimizations above zero) and with RR survival DETACHED (sampling
+    pdf convention); use rr_depth >= max_depth for gradient-exactness
+    against jax.grad of the wavefront.  Constant albedos only (textured
+    scenes carry the atlas, not materials.albedo)."""
+    from drmlt_mitsuba_tpu.integrators.path import Splats
+
+    assert scene0.textures is None, "albedo adjoint = constant albedos"
+    n_tris = np.asarray(scene0.tris.v0).shape[0]
+    n_mats = np.asarray(scene0.materials.kind).shape[0]
+    n_ems = np.asarray(scene0.emitters.kind).shape[0]
+    n_sphs = (np.asarray(scene0.spheres.valid).shape[0]
+              if bool(np.any(np.asarray(scene0.spheres.valid))) else 0)
+    if scene0.emitters.env_image is not None:
+        env_shape0 = tuple(np.asarray(scene0.emitters.env_image).shape[:2])
+        env_row_pick0 = float(np.sum(np.where(
+            np.asarray(scene0.emitters.kind) == 4,
+            np.asarray(scene0.emitters.pmf), 0.0)))
+    else:
+        env_shape0, env_row_pick0 = None, 0.0
+    kinds = tuple(sorted(set(
+        int(k) for k in np.unique(np.asarray(scene0.materials.kind)))))
+    n_dims = cfg.n_dims
+    lum_w = jnp.asarray([0.212671, 0.715160, 0.072169])
+
+    big_scene = n_tris > 8192
+    kernel = functools.partial(
+        _mega_kernel_alb, n_tris=n_tris, n_mats=n_mats, n_ems=n_ems,
+        n_sphs=n_sphs, tex_shape=None, env_shape=env_shape0,
+        env_row_pick=env_row_pick0, big_scene=big_scene,
+        max_depth=cfg.max_depth, min_depth=cfg.min_depth,
+        rr_depth=cfg.rr_depth, use_nee=cfg.use_nee, kinds=kinds,
+        thinlens=getattr(cfg, "thinlens", False),
+        env_const=bool(float(np.abs(np.asarray(
+            scene0.emitters.env_radiance)).sum()) > 0),
+    )
+    NO = 3 + n_mats * 3
+
+    def _fwd_impl(albedo, u):
+        scene = scene0.replace(
+            materials=scene0.materials.replace(albedo=albedo))
+        (tri, mat, emt, cam, sph, tri_ext, tex,
+         env_tab, env_col, env_row) = pack_mega_tables_jnp(scene)
+        if big_scene:
+            tri = tri[:1]            # chunked sweeps read tri_ext only
+        R = u.shape[0]
+        R8 = R // 8
+        L = min(R8, 512)
+        while R8 % L:
+            L //= 2
+        uT = u[:, :n_dims].T.reshape(n_dims, 8, R8)
+        out = pl.pallas_call(
+            kernel,
+            grid=(R8 // L,),
+            in_specs=[
+                pl.BlockSpec(tuple(tri.shape), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_mats, _MAT_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_ems, _EM_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_dims, 8, L), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(tuple(tri_ext.shape), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((sph.shape[0], _SPH_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tex.shape[0], _TEX_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((env_tab.shape[0], _TEX_COLS),
+                             lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(tuple(env_col.shape), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(tuple(env_row.shape), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((NO, 8, L), lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((NO, 8, R8), jnp.float32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
+        )(tri, mat, emt, cam, uT, tri_ext, sph, tex, env_tab, env_col,
+          env_row)
+        value = out[0:3].reshape(3, R).T
+        A = out[3:].reshape(n_mats, 3, R).transpose(2, 0, 1)   # (R, M, 3)
+        lum = (value * lum_w).sum(-1)
+        return Splats(pos=u[:, None, 0:2], value=value[:, None, :],
+                      lum=lum), A
+
+    @jax.custom_vjp
+    def trace(albedo, u):
+        return _fwd_impl(albedo, u)[0]
+
+    def trace_fwd(albedo, u):
+        sp, A = _fwd_impl(albedo, u)
+        return sp, (A, u.shape)
+
+    def trace_bwd(res, ct):
+        A, u_shape = res
+        ctv = ct.value[:, 0, :] + ct.lum[:, None] * lum_w[None, :]
+        g = jnp.einsum("rc,rmc->mc", ctv, A)
         return g, jnp.zeros(u_shape, jnp.float32)
 
     trace.defvjp(trace_fwd, trace_bwd)

@@ -162,6 +162,38 @@ def render(scene, settings, args, log):
         img = filmlib.develop(fc, film, mode="accum")
         return np.asarray(img), stats, None
 
+    if itype == "ptracer":
+        # adjoint particle tracer (ptracer.cpp:203): light-tracing-only
+        from drmlt_mitsuba_tpu.integrators.misc import render_ptracer
+
+        img = render_ptracer(
+            scene, fc, key, W * H * settings.spp,
+            max_depth=max(1, int(icfg.get("maxDepth", 5))))
+        return np.asarray(img), stats, None
+
+    if itype == "field":
+        from drmlt_mitsuba_tpu.integrators.misc import render_field
+
+        img = render_field(scene, fc, key,
+                           icfg.get("field", "shnormal"),
+                           spp=max(1, settings.spp))
+        return np.asarray(img), stats, None
+
+    if itype == "multichannel":
+        from drmlt_mitsuba_tpu.integrators.misc import render_multichannel
+
+        chans = tuple(icfg.get(
+            "channels", "radiance,shnormal,distance,albedo").split(","))
+        img = render_multichannel(scene, fc, key, channels=chans,
+                                  radiance_spp=max(1, settings.spp))
+        return np.asarray(img), stats, None
+
+    if itype == "motion":
+        from drmlt_mitsuba_tpu.integrators.misc import render_motion_aov
+
+        img = render_motion_aov(scene, fc, key, spp=max(1, settings.spp))
+        return np.asarray(img), stats, None
+
     if itype == "bdpt":
         bcfg = BDPTConfig(max_depth=int(icfg.get("maxDepth", 5)),
                           light_image=_pbool(icfg.get("lightImage"), True),

@@ -475,6 +475,120 @@ def run_kernel_smoke(verbose: bool = False) -> dict:
 
     _check("megatrace[rad-grad]", mega_rad_grad_case, results)
 
+    def mega_alb_grad_case():
+        from drmlt_mitsuba_tpu.ops.pallas.megatrace import (
+            make_mega_trace_alb,
+        )
+
+        pcfg = PathConfig(max_depth=4, rr_depth=100)
+        trace_a = make_mega_trace_alb(scene, pcfg)
+        u = jax.random.uniform(key, (2048, pcfg.n_dims))
+        g = jax.grad(lambda a: jnp.mean(trace_a(a, u).lum))(
+            scene.materials.albedo)
+        assert bool(jnp.isfinite(g).all()) and float(jnp.abs(g).sum()) > 0
+
+    _check("megatrace[alb-grad]", mega_alb_grad_case, results)
+
+    def megammlt_feature_case(feature):
+        """Round-5 MMLT-kernel scene-scope closes (VERDICT r4 item 2):
+        constant env on escaped eye walks, analytic spheres, bitmap
+        albedos — each must LOWER AND RUN on real TPU (Mosaic traps do
+        not show in interpret mode)."""
+        from drmlt_mitsuba_tpu.ops.pallas.megammlt import (
+            make_mega_mmlt, mega_mmlt_eligible,
+        )
+        from drmlt_mitsuba_tpu.scene import types as st
+
+        if feature == "env":
+            sc = cornell_box(256, 256)
+            sc = sc.replace(emitters=sc.emitters.replace(
+                env_radiance=jnp.asarray([0.4, 0.5, 0.7])))
+        elif feature == "sphere":
+            sc = cornell_box(256, 256, sphere_material="mirror")
+        else:
+            sc = cornell_box(256, 256)
+            p0 = sc.tris.v0
+            p1 = p0 + sc.tris.e1
+            p2 = p0 + sc.tris.e2
+
+            def wuv(p):
+                return jnp.stack([p[:, 0] / 556.0, p[:, 1] / 556.0],
+                                 axis=-1)
+
+            tris = sc.tris.replace(uv0=wuv(p0), uv1=wuv(p1), uv2=wuv(p2))
+            tex = 0.2 + 0.8 * jax.random.uniform(
+                jax.random.fold_in(key, 10), (1, 16, 16, 3))
+            mats = sc.materials.replace(
+                tex_id=sc.materials.tex_id.at[0].set(0))
+            sc = sc.replace(tris=tris, materials=mats,
+                            textures=st.TextureAtlas(data=tex))
+        sc = prepare_scene(sc)
+        bcfg = BDPTConfig(max_depth=4)
+        assert mega_mmlt_eligible(sc, bcfg)
+        trace = make_mega_mmlt(sc, bcfg)
+        n_core = 2 + bcfg.eye_dims + bcfg.light_dims
+        u = jax.random.uniform(key, (2048, n_core))
+        sp = trace(u)
+        lum = np.asarray(sp.lum)
+        assert np.isfinite(lum).all() and lum.mean() > 0
+
+    for feature in ("env", "sphere", "textured"):
+        _check(f"megammlt[{feature}]",
+               lambda f=feature: megammlt_feature_case(f), results)
+
+    def megadrmlt_clustered_case():
+        """Flagship MMLT megadrmlt at 19.6k tris: the clustered
+        traversal inside the multi-mutation kernel (round 5) — this
+        configuration overflowed SMEM before."""
+        from drmlt_mitsuba_tpu.integrators.mmlt_grouped import (
+            make_mmlt_trace_fixed,
+        )
+        from drmlt_mitsuba_tpu.ops.pallas.megadrmlt import (
+            make_mega_drmlt, pack_chain_state,
+        )
+        from drmlt_mitsuba_tpu.scene.builders import cornell_box as cb
+
+        sc = prepare_scene(cb(256, 256, tessellate=24))
+        assert int(np.asarray(sc.tris.v0).shape[0]) > 4096
+        k = 2
+        trace_k, cfg_k, n_dims = make_mmlt_trace_fixed(sc, k)
+        dcfg = DRMLTConfig(type="orbital", n_chains=2048)
+        u0 = jax.random.uniform(key, (2048, n_dims))
+        state = state_from_splats(u0, trace_k(u0))
+        arr = pack_chain_state(state, n_dims)
+        step = make_mega_drmlt(sc, cfg_k, dcfg, fc, k, n_dims, n_mut=4,
+                               weight_channel=False)
+        out, delta, stats = step(arr, jnp.asarray([5, 0], jnp.int32))
+        assert bool(jnp.isfinite(delta).all())
+        a1 = float(stats[0]) / (2048 * 4)
+        assert 0.02 < a1 < 0.98, f"implausible a1 {a1}"
+
+    _check("megadrmlt[mmlt,clustered-19.6k]", megadrmlt_clustered_case,
+           results)
+
+    def megadrmlt_pssmlt_case():
+        """PSSMLT control mode (stage-1-only, two-state splat)."""
+        from drmlt_mitsuba_tpu.integrators.mmlt_grouped import (
+            make_mmlt_trace_fixed,
+        )
+        from drmlt_mitsuba_tpu.ops.pallas.megadrmlt import (
+            make_mega_drmlt, pack_chain_state,
+        )
+
+        k = 2
+        trace_k, cfg_k, n_dims = make_mmlt_trace_fixed(scene, k)
+        dcfg = DRMLTConfig(type="mira", n_chains=2048)
+        u0 = jax.random.uniform(key, (2048, n_dims))
+        state = state_from_splats(u0, trace_k(u0))
+        arr = pack_chain_state(state, n_dims)
+        step = make_mega_drmlt(scene, cfg_k, dcfg, fc, k, n_dims, n_mut=4,
+                               weight_channel=False, pssmlt=True)
+        out, delta, stats = step(arr, jnp.asarray([5, 0], jnp.int32))
+        assert bool(jnp.isfinite(delta).all())
+        assert float(stats[1]) == 0.0, "stage-2 mass in pssmlt mode"
+
+    _check("megadrmlt[pssmlt-mode]", megadrmlt_pssmlt_case, results)
+
     if verbose:
         for k, v in results.items():
             if not k.startswith("_"):

@@ -319,3 +319,44 @@ def test_mega_trace_rad_matches_wavefront_grad():
     g_ref = jax.grad(loss_ref)(rad)
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
                                rtol=5e-3, atol=1e-7)
+
+
+def test_mega_trace_alb_matches_wavefront_grad():
+    """In-kernel albedo adjoint (round 5, VERDICT r4 item 6): the
+    megakernel accumulates per-lane polynomial-power Jacobian rows
+    A[m][c] during the FORWARD (contrib * power / albedo) and the custom
+    VJP is one einsum — must equal jax.grad of the XLA wavefront on both
+    forward values and d mean(lum) / d albedo.  rr_depth > max_depth:
+    the kernel detaches RR survival (sampling-pdf convention), so only
+    RR-free configs are exactly comparable."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from drmlt_mitsuba_tpu.integrators.layout import PathConfig
+    from drmlt_mitsuba_tpu.integrators.path import trace_paths
+    from drmlt_mitsuba_tpu.ops.pallas.megatrace import make_mega_trace_alb
+    from drmlt_mitsuba_tpu.scene.builders import cornell_box
+    from drmlt_mitsuba_tpu.scene.types import prepare_scene
+
+    scene = prepare_scene(cornell_box(32, 32,
+                                      tall_box_material="roughconductor"))
+    cfg = PathConfig(max_depth=4, rr_depth=100)
+    trace_a = make_mega_trace_alb(scene, cfg, interpret=True)
+    u = jax.random.uniform(jax.random.PRNGKey(12), (512, cfg.n_dims))
+    alb = scene.materials.albedo
+
+    sp = trace_a(alb, u)
+    ref_sp = trace_paths(scene, cfg, u)
+    np.testing.assert_allclose(np.asarray(sp.lum).mean(),
+                               np.asarray(ref_sp.lum).mean(), rtol=2e-3)
+
+    g_fast = jax.grad(lambda a: jnp.mean(trace_a(a, u).lum))(alb)
+
+    def loss_ref(a):
+        s2 = scene.replace(materials=scene.materials.replace(albedo=a))
+        return jnp.mean(trace_paths(s2, cfg, u).lum)
+
+    g_ref = jax.grad(loss_ref)(alb)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                               rtol=5e-3, atol=1e-6)

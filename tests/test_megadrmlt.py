@@ -96,7 +96,7 @@ def _interp_trace(scene, k, n_dims):
 
 
 def _reference_multistep(trace, dcfg, fc, k, state, uniforms, n_mut, n_rand,
-                         splat_mode="three", frozen0=True):
+                         splat_mode="three", frozen0=True, pssmlt=False):
     """Pure-JAX replica of the megadrmlt mutation loop consuming the
     debug-uniform array in the kernel's documented order."""
     C, D = state.u.shape
@@ -162,6 +162,8 @@ def _reference_multistep(trace, dcfg, fc, k, state, uniforms, n_mut, n_rand,
         a1 = metropolis_clamp(prop1.lum / jnp.maximum(state.lum, 1e-30))
         accept1 = coin1 < a1
         do_second = ~accept1 & ~large
+        if pssmlt:
+            do_second = do_second & False
         lum_ratio = prop2.lum / jnp.maximum(state.lum, 1e-30)
         if dcfg.type == "orbital":
             num = prop2.lum - prop1.lum
@@ -195,6 +197,9 @@ def _reference_multistep(trace, dcfg, fc, k, state, uniforms, n_mut, n_rand,
         a2 = jnp.where(prop2.lum > 0, a2, 0.0)
         a2 = jnp.where(do_second, a2, 0.0)
         accept2 = (coin2 < a2) & do_second
+        if pssmlt:
+            a2 = jnp.zeros_like(a2)
+            accept2 = accept2 & False
 
         w_y = a1
         w_z = (1.0 - a1) * a2
@@ -213,6 +218,12 @@ def _reference_multistep(trace, dcfg, fc, k, state, uniforms, n_mut, n_rand,
                 fc, film, sel(prop1.pos, prop2.pos, state.pos),
                 sel(prop1.value, prop2.value, state.value),
                 jnp.ones_like(w_x))
+        elif pssmlt:
+            film = splat_state(
+                fc, film,
+                jnp.concatenate([state.pos, prop1.pos]),
+                jnp.concatenate([state.value, prop1.value]),
+                jnp.concatenate([w_x, w_y]))
         else:
             film = splat_state(
                 fc, film,
@@ -431,3 +442,43 @@ def test_megadrmlt_path_matches_reference():
     a, b = np.asarray(film_d), np.asarray(ref_film)
     scale = np.abs(b).max() + 1e-8
     np.testing.assert_allclose(a / scale, b / scale, atol=5e-3)
+
+
+def test_megadrmlt_pssmlt_mode_matches_reference():
+    """PSSMLT control mode (round 5, equal-time fairness): stage-1-only
+    chains + Veach expected-value two-state splat must match the pure-JAX
+    reference loop with stage 2 disabled, on identical uniforms."""
+    W, H = 128, 32
+    scene = prepare_scene(cornell_box(W, H))
+    fc = filmlib.make_film_config(W, H, "box")
+    k = 2
+    C, n_mut = 64, 3
+    _, cfg_k, n_dims = make_mmlt_trace_fixed(scene, k)
+    trace, _ = _interp_trace(scene, k, n_dims)
+    dcfg = DRMLTConfig(type="mira", n_chains=C)
+
+    key = jax.random.PRNGKey(13)
+    u0 = jax.random.uniform(key, (C, n_dims))
+    state0 = state_from_splats(u0, trace(u0))
+
+    step = MD.make_mega_drmlt(scene, cfg_k, dcfg, fc, k, n_dims,
+                              n_mut=n_mut, interpret=True, passes=2,
+                              debug_uniforms=True, lane_block=C // 8,
+                              pssmlt=True)
+    n_rand = 3 + 4 * n_dims
+    uniforms = jax.random.uniform(jax.random.PRNGKey(6),
+                                  (n_mut * n_rand, 8, C // 8))
+    arr = MD.pack_chain_state(state0, n_dims)
+    out, film_d, stats = step(arr, jnp.asarray([0, 0], jnp.int32), uniforms)
+    got = MD.unpack_chain_state(out, n_dims)
+
+    ref_state, ref_film = _reference_multistep(
+        trace, dcfg, fc, k, state0,
+        uniforms.reshape(n_mut * n_rand, C), n_mut, n_rand, pssmlt=True)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(ref_state.u),
+                               atol=2e-5)
+    a = np.asarray(film_d)
+    b = np.asarray(ref_film)
+    scale = np.abs(b).max() + 1e-8
+    np.testing.assert_allclose(a / scale, b / scale, atol=5e-3)
+    assert float(np.asarray(stats[1])) == 0.0     # no stage-2 mass

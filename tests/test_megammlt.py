@@ -19,7 +19,7 @@ from drmlt_mitsuba_tpu.scene.builders import cornell_box
 R = 1024
 
 
-def _compare(scene, cfg, seed=0):
+def _compare(scene, cfg, seed=0, bad_frac=250):
     assert mega_mmlt_eligible(scene, cfg)
     xla = make_mmlt_trace(scene, cfg)
     mega = make_mega_mmlt(scene, cfg, interpret=True)
@@ -31,7 +31,7 @@ def _compare(scene, cfg, seed=0):
     pa, pb = np.asarray(a.pos[:, 0]), np.asarray(b.pos[:, 0])
     rel = np.abs(va - vb) / (np.abs(va) + 1e-4)
     bad = (rel > 1e-3).any(-1)
-    assert bad.sum() <= R // 250, (
+    assert bad.sum() <= R // bad_frac, (
         f"{bad.sum()} lanes diverge; worst {rel.max()}"
     )
     np.testing.assert_allclose(va.mean(0), vb.mean(0), rtol=5e-3, atol=1e-5)
@@ -70,3 +70,53 @@ def test_megammlt_ineligible_cases():
                                                     thinlens=True))
     assert not mega_mmlt_eligible(scene, BDPTConfig(max_depth=4,
                                                     medium=True))
+
+
+def test_megammlt_constant_env():
+    """Round 5 (VERDICT r4 item 2): constant env on ESCAPED s=0 eye
+    walks, MIS weight 1 — the open cornell leaks env light everywhere,
+    so every depth exercises the new term."""
+    import jax.numpy as jnp
+
+    scene = cornell_box(32, 32)
+    scene = scene.replace(emitters=scene.emitters.replace(
+        env_radiance=jnp.asarray([0.4, 0.5, 0.7])))
+    _compare(scene, BDPTConfig(max_depth=4), seed=4)
+
+
+def test_megammlt_sphere():
+    """Analytic sphere vertices in the MMLT walk + sphere shadow
+    blocking on the connection (round 5)."""
+    scene = cornell_box(32, 32, sphere_material="diffuse")
+    _compare(scene, BDPTConfig(max_depth=4), seed=5)
+
+
+def test_megammlt_mirror_sphere():
+    scene = cornell_box(32, 32, sphere_material="mirror")
+    _compare(scene, BDPTConfig(max_depth=4), seed=6)
+
+
+def test_megammlt_textured():
+    """Bitmap albedos in the MMLT walk: per-slot uv interpolation +
+    atlas fetch for the walk BSDFs AND the captured junction vertices
+    (round 5)."""
+    import jax.numpy as jnp
+
+    from drmlt_mitsuba_tpu.scene import types as st
+
+    scene = cornell_box(32, 32)
+
+    def wuv(p):
+        return jnp.stack([p[:, 0] / 556.0, p[:, 1] / 556.0], axis=-1)
+
+    p0 = scene.tris.v0
+    p1 = scene.tris.v0 + scene.tris.e1
+    p2 = scene.tris.v0 + scene.tris.e2
+    tris = scene.tris.replace(uv0=wuv(p0), uv1=wuv(p1), uv2=wuv(p2))
+    tex = (0.2 + 0.8 * jax.random.uniform(jax.random.PRNGKey(5),
+                                          (1, 16, 16, 3)))
+    mats = scene.materials.replace(
+        tex_id=scene.materials.tex_id.at[0].set(0))
+    scene = scene.replace(tris=tris, materials=mats,
+                          textures=st.TextureAtlas(data=tex))
+    _compare(scene, BDPTConfig(max_depth=3), seed=7, bad_frac=50)

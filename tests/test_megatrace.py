@@ -94,11 +94,12 @@ def test_megatrace_matches_wavefront_constant_env():
     vb = np.asarray(trace(u).value[:, 0, :])
     rel = np.abs(va - vb) / (np.abs(va) + 1e-3)
     assert (rel > 1e-3).any(-1).sum() <= R // 500
-    # the MMLT kernel has no env escape handling: must stay XLA
+    # round 5: the MMLT kernel handles constant env on escaped eye walks
+    # (tests/test_megammlt.py::test_megammlt_constant_env)
     from drmlt_mitsuba_tpu.integrators.bidir import BDPTConfig
     from drmlt_mitsuba_tpu.ops.pallas.megammlt import mega_mmlt_eligible
 
-    assert not mega_mmlt_eligible(scene, BDPTConfig(max_depth=4))
+    assert mega_mmlt_eligible(scene, BDPTConfig(max_depth=4))
 
 
 def test_megatrace_no_nee_and_min_depth():
