@@ -367,7 +367,15 @@ def render_drmlt_mmlt_grouped_sharded(
     if average_luminance is not None:
         b_total = float(average_luminance)
 
-    img = jnp.zeros((film_cfg.height, film_cfg.width, 3))
+    # per-device film accumulator, sharded over the mesh: each group
+    # adds its LOCAL (unreduced) film here, so the cross-device film
+    # reduction happens ONCE at the end of the render instead of once
+    # per depth group — the group-k reduction fully overlaps group-k+1's
+    # bootstrap/compile/mutations (SURVEY §5.8 "overlapping film
+    # reduction with the next mutation batch").
+    img_shards = jax.device_put(
+        jnp.zeros((n_shards, film_cfg.height, film_cfg.width, 3)),
+        jax.sharding.NamedSharding(mesh, P(CHAIN_AXES)))
     all_stats = {}
     # local lane block: per-device chain count / 8, capped at 256.  The
     # Mosaic legality gate is loop-invariant — check it BEFORE any group
@@ -408,11 +416,11 @@ def render_drmlt_mmlt_grouped_sharded(
 
         @partial(
             shard_map, mesh=mesh,
-            in_specs=(P(None, None, CHAIN_AXES), P()),
-            out_specs=(P(None, None, CHAIN_AXES), P(), P()),
+            in_specs=(P(None, None, CHAIN_AXES), P(), P(CHAIN_AXES)),
+            out_specs=(P(None, None, CHAIN_AXES), P(CHAIN_AXES), P()),
             check_vma=False,
         )
-        def run(arr_l, seed):
+        def run(arr_l, seed, img_l):
             # independent per-device RNG: fold the mesh position into the
             # kernel seed (the kernel folds program_id per lane tile)
             dev = (jax.lax.axis_index(CHAIN_AXES[0])
@@ -429,18 +437,19 @@ def render_drmlt_mmlt_grouped_sharded(
                 (film_cfg.height, film_cfg.width, 3))
             (arr_l, film), stats = jax.lax.scan(
                 body, (arr_l, film0), jnp.arange(n_launches))
-            film = jax.lax.psum(
-                jax.lax.psum(film, CHAIN_AXES[0]), CHAIN_AXES[1])
+            # NO film psum here: the local delta joins the sharded
+            # accumulator; one reduction happens after the group loop
+            n_per_pixel = dcfg.n_chains * steps_eff / film_cfg.npixels
+            img_l = img_l + film[None] * (bk / n_per_pixel)
             stats = jax.lax.psum(
                 jax.lax.psum(stats.sum(0), CHAIN_AXES[0]), CHAIN_AXES[1])
-            return arr_l, film, stats
+            return arr_l, img_l, stats
 
-        arr, film_rgb, stats = jax.jit(run)(arr, seed0[None])
-        n_per_pixel = dcfg.n_chains * steps_eff / film_cfg.npixels
-        img = img + film_rgb * (bk / n_per_pixel)
+        arr, img_shards, stats = jax.jit(run)(arr, seed0[None], img_shards)
         denom = dcfg.n_chains * steps_eff
         all_stats[g["k"]] = dict(
             a1=stats[0] / denom, a2=stats[1] / denom,
             accept1=stats[2] / denom, accept2=stats[3] / denom,
             large=stats[4] / denom)
+    img = img_shards.sum(0)      # the single cross-device film reduction
     return img, dict(b=b_total, b_k=b_ks, stats=all_stats)

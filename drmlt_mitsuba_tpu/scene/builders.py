@@ -199,6 +199,78 @@ def cornell_box(
     )
 
 
+def pool_box(width: int = 64, height: int = 64,
+             light_radiance=(60.0, 52.0, 30.0)) -> st.Scene:
+    """Pool-caustic SDS torture scene (VERDICT r4 item 5): a cornell-
+    style box with a horizontal GLASS SLAB (y in [100, 120]) spanning
+    the whole interior.  The camera (y=278) and the ceiling light both
+    sit above the slab, and the diffuse floor below it — so EVERY
+    floor-transport path is E S S D S S L (specular-diffuse-specular,
+    the domain of the reference's ManifoldPerturbation,
+    mut_manifold.cpp:1476 / manifold.cpp:1324).  Walls above the slab
+    give the chains easy non-SDS mass to mix through."""
+    verts: list = []
+    faces: list = []
+    mat_ids: list = []
+    emit_ids: list = []
+
+    def add_tri(tri, mat, emit=-1):
+        base = len(verts)
+        verts.extend(tri)
+        faces.append([base, base + 1, base + 2])
+        mat_ids.append(mat)
+        emit_ids.append(emit)
+
+    white, red, green, light_m, glass = 0, 1, 2, 3, 4
+    s = 556.0
+    for t in _quad([0, 0, 0], [0, 0, s], [s, 0, s], [s, 0, 0]):
+        add_tri(t, white)                                       # floor
+    for t in _quad([0, s, 0], [s, s, 0], [s, s, s], [0, s, s]):
+        add_tri(t, white)                                       # ceiling
+    for t in _quad([0, 0, s], [0, s, s], [s, s, s], [s, 0, s]):
+        add_tri(t, white)                                       # back
+    for t in _quad([0, 0, 0], [0, s, 0], [0, s, s], [0, 0, s]):
+        add_tri(t, red)                                         # left
+    for t in _quad([s, 0, 0], [s, 0, s], [s, s, s], [s, s, 0]):
+        add_tri(t, green)                                       # right
+    lx0, lx1, lz0, lz1, ly = 213.0, 343.0, 227.0, 332.0, s - 0.5
+    for t in _quad([lx0, ly, lz0], [lx1, ly, lz0], [lx1, ly, lz1],
+                   [lx0, ly, lz1]):
+        add_tri(t, light_m, emit=0)
+    # glass slab: top face (normal +y) and bottom face (normal -y)
+    y0, y1 = 100.0, 120.0
+    for t in _quad([0, y1, 0], [0, y1, s], [s, y1, s], [s, y1, 0]):
+        add_tri(t, glass)
+    for t in _quad([0, y0, 0], [s, y0, 0], [s, y0, s], [0, y0, s]):
+        add_tri(t, glass)
+
+    mats = [
+        dict(kind=st.BSDF_DIFFUSE, albedo=(0.725, 0.71, 0.68)),
+        dict(kind=st.BSDF_DIFFUSE, albedo=(0.63, 0.065, 0.05)),
+        dict(kind=st.BSDF_DIFFUSE, albedo=(0.14, 0.45, 0.091)),
+        dict(kind=st.BSDF_DIFFUSE, albedo=(0.78, 0.78, 0.78)),
+        dict(kind=st.BSDF_DIELECTRIC, eta=(1.5, 1.5, 1.5)),
+    ]
+    tris = st.build_triangles(
+        np.asarray(verts, np.float32), np.asarray(faces, np.int32),
+        np.asarray(mat_ids, np.int32), np.asarray(emit_ids, np.int32))
+    emitters = st.build_emitters(
+        tris, np.asarray([light_radiance], np.float32))
+    import jax.numpy as jnp
+
+    area_rows = np.nonzero(np.asarray(emitters.kind) == 0)[0]
+    row_of_tri = np.full(len(faces), -1, np.int32)
+    row_of_tri[np.asarray(emitters.tri_idx)[area_rows]] = (
+        area_rows.astype(np.int32))
+    tris = tris.replace(emitter_id=jnp.asarray(row_of_tri))
+    cam = st.make_camera(
+        transform.look_at([278, 278, -800], [278, 120, 0], [0, 1, 0]),
+        fov_x_deg=39.3077, aspect=width / height)
+    return st.Scene(tris=tris, spheres=st.empty_spheres(),
+                    materials=st.make_material_table(mats),
+                    emitters=emitters, camera=cam)
+
+
 def furnace_sphere(albedo=0.8, env=1.0) -> st.Scene:
     """A diffuse sphere in a constant environment — the analytic 'furnace'
     oracle: every pixel converges to env (white furnace) when albedo
