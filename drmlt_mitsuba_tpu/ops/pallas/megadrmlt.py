@@ -104,7 +104,7 @@ def _wrapped_cauchy_cos_sin(u, rho):
 # --------------------------------------------------------------- kernel
 def _mega_drmlt_kernel(
         tri_ref, mat_ref, em_ref, cam_ref, seed_ref, unif_ref,
-        tri_vmem_ref, sph_ref, tex_ref, state_ref, *refs,
+        tri_vmem_ref, sph_ref, tex_ref, env_tab_ref, state_ref, *refs,
         n_tris, n_mats, n_ems, k_depth, light_image, kinds, eye_dims,
         n_dims, n_core, n_mut, drtype, p_large, s1, s2, sigma,
         scale_second, rho, kelemen_scale, timid_after_large,
@@ -112,7 +112,7 @@ def _mega_drmlt_kernel(
         splat_mode, debug_uniforms, n_rand, splat_batch,
         technique="mmlt", min_depth=1, rr_depth=1000, use_nee=True,
         thinlens=False, env_const=False, n_sphs=0, tex_shape=None,
-        clu_tpc=0, clu_passes=2, pssmlt=False):
+        clu_tpc=0, clu_passes=2, pssmlt=False, env_shape=None):
     if clu_tpc:
         (clu_aabb_ref, clu_tri_ref, out_state_ref, film_ref, stats_ref,
          rec_ref) = refs
@@ -184,7 +184,8 @@ def _mega_drmlt_kernel(
                 clu_aabb_ref=clu_aabb_ref, clu_tri_ref=clu_tri_ref,
                 clu_tpc=clu_tpc, clu_passes=clu_passes,
                 env_const=env_const, sph_ref=sph_ref, n_sphs=n_sphs,
-                tex_ref=tex_ref, tex_shape=tex_shape)
+                tex_ref=tex_ref, tex_shape=tex_shape,
+                env_tab_ref=env_tab_ref, env_shape=env_shape)
             inv = 1.0 / k_depth      # undo the uniform-depth pmf factor
             vx, vy, vz = vx * inv, vy * inv, vz * inv
         lum = _lum(vx, vy, vz)
@@ -555,7 +556,10 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
             n_sphs=(sph.shape[0] if bool(np.any(
                 np.asarray(scene.spheres.valid))) else 0),
             tex_shape=(tuple(np.asarray(scene.textures.data).shape[:3])
-                       if scene.textures is not None else None))
+                       if scene.textures is not None else None),
+            env_shape=(tuple(np.asarray(
+                scene.emitters.env_image).shape[:2])
+                if scene.emitters.env_image is not None else None))
     else:
         n_core_chain = 1 + bcfg_k.eye_dims + bcfg_k.light_dims
         path_kw = dict(
@@ -565,7 +569,10 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
             n_sphs=(sph.shape[0] if bool(np.any(
                 np.asarray(scene.spheres.valid))) else 0),
             tex_shape=(tuple(np.asarray(scene.textures.data).shape[:3])
-                       if scene.textures is not None else None))
+                       if scene.textures is not None else None),
+            env_shape=(tuple(np.asarray(
+                scene.emitters.env_image).shape[:2])
+                if scene.emitters.env_image is not None else None))
     assert n_dims >= n_core_chain and n_dims % 2 == 0
     H, W = film_cfg.height, film_cfg.width
     n_chan = 4 if weight_channel else 3
@@ -656,10 +663,12 @@ def make_mega_drmlt(scene, bcfg_k, dcfg, film_cfg, k_depth: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((tex.shape[0], 4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(tuple(env_tab.shape), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((NR, 8, L), lambda i: (0, 0, i)),
         ]
         operands = [tri, mat, emt, cam, jnp.asarray(seed2, jnp.int32),
-                    uniforms, tri_ext, sph, tex, state_arr]
+                    uniforms, tri_ext, sph, tex, env_tab, state_arr]
         if clu_tpc:
             in_specs += [
                 pl.BlockSpec(tuple(clu_aabb.shape), lambda i: (0, 0),

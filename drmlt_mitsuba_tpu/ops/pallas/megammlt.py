@@ -47,10 +47,6 @@ def mega_mmlt_eligible(scene: Scene, cfg) -> bool:
     scene/config (megatrace's scene subset; surface-only, pinhole)."""
     if getattr(cfg, "thinlens", False) or getattr(cfg, "medium", False):
         return False
-    # image-env NEE/CDF tables are not wired into the MMLT walk yet;
-    # constant env, analytic spheres and bitmap albedos are (round 5)
-    if scene.emitters.env_image is not None:
-        return False
 
     class _P:   # adapt: mega_eligible reads path-config style fields
         thinlens = False
@@ -216,10 +212,10 @@ def _sel_copy(dst, sel, src):
 
 
 def _mega_mmlt_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref,
-                      tri_vmem_ref, sph_ref, tex_ref, *refs,
+                      tri_vmem_ref, sph_ref, tex_ref, env_tab_ref, *refs,
                       n_tris, n_mats, n_ems, max_depth, light_image, kinds,
                       eye_dims, clu_tpc=0, clu_passes=2, env_const=False,
-                      n_sphs=0, tex_shape=None):
+                      n_sphs=0, tex_shape=None, env_shape=None):
     """One MMLT mutation trace per lane (8, L) tile."""
     if clu_tpc:
         clu_aabb_ref, clu_tri_ref, out_ref = refs
@@ -234,7 +230,8 @@ def _mega_mmlt_kernel(tri_ref, mat_ref, em_ref, cam_ref, u_ref,
         clu_aabb_ref=clu_aabb_ref, clu_tri_ref=clu_tri_ref,
         clu_tpc=clu_tpc, clu_passes=clu_passes, env_const=env_const,
         sph_ref=sph_ref, n_sphs=n_sphs, tex_ref=tex_ref,
-        tex_shape=tex_shape)
+        tex_shape=tex_shape, env_tab_ref=env_tab_ref,
+        env_shape=env_shape)
     out_ref[0] = vx
     out_ref[1] = vy
     out_ref[2] = vz
@@ -247,7 +244,8 @@ def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
                     eye_dims, tri_vmem_ref=None, clu_aabb_ref=None,
                     clu_tri_ref=None, clu_tpc=0, clu_passes=2,
                     env_const=False, sph_ref=None, n_sphs=0,
-                    tex_ref=None, tex_shape=None):
+                    tex_ref=None, tex_shape=None, env_tab_ref=None,
+                    env_shape=None):
     """The whole selected-strategy MMLT trace on one (8, L) tile.
 
     `udim(j)` yields PSS dim j as a tile (a ref read for the one-shot
@@ -580,6 +578,9 @@ def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
         lngx = jnp.where(selr, em_ref[e, 15], lngx)
         lngy = jnp.where(selr, em_ref[e, 16], lngy)
         lngz = jnp.where(selr, em_ref[e, 17], lngz)
+    l_kind = zero
+    for e in range(n_ems):
+        l_kind = jnp.where(row == e, em_ref[e, 18], l_kind)
     tw = jnp.sqrt(jnp.maximum(1.0 - udim(lbase + 1), 0.0))
     lb0 = 1.0 - tw
     lb1 = tw * udim(lbase + 2)
@@ -587,7 +588,9 @@ def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
     p0y = lv0y + lb0 * le1y + lb1 * le2y
     p0z = lv0z + lb0 * le1z + lb1 * le2z
     pdf_pos = l_pmf / jnp.maximum(l_area, 1e-20)
-    valid0 = l_pmf > 0
+    # only AREA rows start light walks (light_subpath marks env/delta-dir
+    # rows invalid; their transport reaches the film via s=0 at weight 1)
+    valid0 = (l_pmf > 0) & (l_kind == 0.0)
     cx, cy, cz = _cosine_hemisphere(udim(lbase + 3), udim(lbase + 4))
     ldx, ldy, ldz = _to_world((lngx, lngy, lngz), (cx, cy, cz))
     pdf_dir = jnp.maximum(cz, 1e-12) / _PI
@@ -877,13 +880,47 @@ def mmlt_trace_tile(tri_ref, mat_ref, em_ref, cam_ref, udim, shape, *,
     vx = jnp.where(ok_hit, ch_x * w_mis, 0.0)
     vy = jnp.where(ok_hit, ch_y * w_mis, 0.0)
     vz = jnp.where(ok_hit, ch_z * w_mis, 0.0)
-    if env_const:
-        # constant env on an ESCAPED s=0 eye walk, MIS weight 1
-        # (mirrors trace_mmlt's case_hit & Eesc term, bidir.py:1350)
+    if env_const or env_shape is not None:
+        # env on an ESCAPED s=0 eye walk, MIS weight 1 (mirrors
+        # trace_mmlt's case_hit & Eesc term, bidir.py:1350); the escape
+        # direction is -wi of the captured (virtual) vertex
         ok_env = case_hit & (Se["esc"] > 0.5)
-        vx = vx + jnp.where(ok_env, Se["bx"] * cam_ref[0, 16], 0.0)
-        vy = vy + jnp.where(ok_env, Se["by"] * cam_ref[0, 17], 0.0)
-        vz = vz + jnp.where(ok_env, Se["bz"] * cam_ref[0, 18], 0.0)
+        if env_shape is not None:
+            from drmlt_mitsuba_tpu.ops.pallas.megatrace import (
+                _acos as _eacos, _atan2 as _eatan2, fetch_rows,
+            )
+            edx, edy, edz = -Se["wix"], -Se["wiy"], -Se["wiz"]
+            theta = _eacos(jnp.clip(edy, -1.0, 1.0))
+            phi = _eatan2(edx, -edz)
+            ue = (phi / _PI + 1.0) * 0.5
+            ve = theta / _PI
+            He, We = env_shape
+            xx = jnp.clip(ue, 0.0, 1.0 - 1e-6) * We - 0.5
+            yy = jnp.clip(ve, 0.0, 1.0 - 1e-6) * He - 0.5
+            x0 = jnp.clip(jnp.floor(xx), 0.0, We - 1.0)
+            y0 = jnp.clip(jnp.floor(yy), 0.0, He - 1.0)
+            x1 = jnp.mod(x0 + 1.0, float(We))
+            y1 = jnp.minimum(y0 + 1.0, He - 1.0)
+            fx = jnp.clip(xx - x0, 0.0, 1.0)
+            fy = jnp.clip(yy - y0, 0.0, 1.0)
+            er = eg = eb = zero
+            for yc, xc, wgt in ((y0, x0, (1 - fx) * (1 - fy)),
+                                (y0, x1, fx * (1 - fy)),
+                                (y1, x0, (1 - fx) * fy),
+                                (y1, x1, fx * fy)):
+                idx = (yc * We + xc).astype(jnp.int32)
+                cr, cg, cb, _p = fetch_rows(env_tab_ref, He * We, shape,
+                                            idx, passes=2)
+                er += wgt * cr
+                eg += wgt * cg
+                eb += wgt * cb
+        else:
+            er = jnp.broadcast_to(cam_ref[0, 16], shape)
+            eg = jnp.broadcast_to(cam_ref[0, 17], shape)
+            eb = jnp.broadcast_to(cam_ref[0, 18], shape)
+        vx = vx + jnp.where(ok_env, Se["bx"] * er, 0.0)
+        vy = vy + jnp.where(ok_env, Se["by"] * eg, 0.0)
+        vz = vz + jnp.where(ok_env, Se["bz"] * eb, 0.0)
     vx = vx + jnp.where(ok_c, cc_x * w_mis, 0.0)
     vy = vy + jnp.where(ok_c, cc_y * w_mis, 0.0)
     vz = vz + jnp.where(ok_c, cc_z * w_mis, 0.0)
@@ -923,7 +960,7 @@ def make_mega_mmlt(scene: Scene, cfg, interpret: bool = False,
                                                 clu_tpc)
 
     (tri, mat, emt, cam, sph, tri_ext, tex,
-     *_rest) = pack_mega_tables(scene)
+     env_tab, *_rest) = pack_mega_tables(scene)
     n_tris, n_mats, n_ems = tri.shape[0], mat.shape[0], emt.shape[0]
     if use_clusters:
         tri = tri[:1]         # sweeps run off the cluster/fetch tables
@@ -933,6 +970,8 @@ def make_mega_mmlt(scene: Scene, cfg, interpret: bool = False,
                  if scene.textures is not None else None)
     env_const = bool(
         float(np.abs(np.asarray(scene.emitters.env_radiance)).sum()) > 0)
+    env_shape = (tuple(np.asarray(scene.emitters.env_image).shape[:2])
+                 if scene.emitters.env_image is not None else None)
     kinds = tuple(sorted(set(
         int(k) for k in np.unique(np.asarray(scene.materials.kind)))))
     n_core = 2 + cfg.eye_dims + cfg.light_dims
@@ -942,6 +981,7 @@ def make_mega_mmlt(scene: Scene, cfg, interpret: bool = False,
         max_depth=cfg.max_depth, light_image=bool(cfg.light_image),
         kinds=kinds, eye_dims=cfg.eye_dims, clu_tpc=clu_tpc,
         env_const=env_const, n_sphs=n_sphs, tex_shape=tex_shape,
+        env_shape=env_shape,
     )
 
     @jax.jit
@@ -969,8 +1009,10 @@ def make_mega_mmlt(scene: Scene, cfg, interpret: bool = False,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(tuple(tex.shape), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(tuple(env_tab.shape), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ]
-        operands = [tri, mat, emt, cam, uT, tri_ext, sph, tex]
+        operands = [tri, mat, emt, cam, uT, tri_ext, sph, tex, env_tab]
         if clu_tpc:
             in_specs += [
                 pl.BlockSpec(tuple(clu_aabb.shape), lambda i: (0, 0),

@@ -503,6 +503,23 @@ def run_kernel_smoke(verbose: bool = False) -> dict:
             sc = cornell_box(256, 256)
             sc = sc.replace(emitters=sc.emitters.replace(
                 env_radiance=jnp.asarray([0.4, 0.5, 0.7])))
+        elif feature == "image-env":
+            sc = cornell_box(256, 256)
+            ei = 0.1 + 2.0 * jax.random.uniform(
+                jax.random.fold_in(key, 11), (16, 32, 3))
+            src_eid = jnp.where(sc.tris.emitter_id >= 0, 0, -1)
+            sc = sc.replace(tris=sc.tris.replace(emitter_id=src_eid))
+            emitters = st.build_emitters(
+                sc.tris, np.asarray([[18.4, 15.6, 8.0]], np.float32),
+                env_image=np.asarray(ei))
+            area_rows = np.nonzero(
+                np.asarray(emitters.kind) == st.EMITTER_AREA)[0]
+            row_of_tri = np.full(sc.tris.v0.shape[0], -1, np.int32)
+            row_of_tri[np.asarray(emitters.tri_idx)[area_rows]] = (
+                area_rows.astype(np.int32))
+            sc = sc.replace(
+                tris=sc.tris.replace(emitter_id=jnp.asarray(row_of_tri)),
+                emitters=emitters)
         elif feature == "sphere":
             sc = cornell_box(256, 256, sphere_material="mirror")
         else:
@@ -532,7 +549,7 @@ def run_kernel_smoke(verbose: bool = False) -> dict:
         lum = np.asarray(sp.lum)
         assert np.isfinite(lum).all() and lum.mean() > 0
 
-    for feature in ("env", "sphere", "textured"):
+    for feature in ("env", "image-env", "sphere", "textured"):
         _check(f"megammlt[{feature}]",
                lambda f=feature: megammlt_feature_case(f), results)
 

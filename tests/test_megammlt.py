@@ -120,3 +120,33 @@ def test_megammlt_textured():
     scene = scene.replace(tris=tris, materials=mats,
                           textures=st.TextureAtlas(data=tex))
     _compare(scene, BDPTConfig(max_depth=3), seed=7, bad_frac=50)
+
+
+def test_megammlt_image_env():
+    """Image env on ESCAPED s=0 eye walks (round 5): bilinear lat-long
+    fetch at MIS weight 1, env emitter rows excluded from light walks —
+    both mirroring trace_mmlt / light_subpath."""
+    import jax.numpy as jnp
+
+    from drmlt_mitsuba_tpu.scene import types as st
+    from drmlt_mitsuba_tpu.scene.types import prepare_scene
+
+    scene = cornell_box(32, 32)
+    ei = 0.1 + 2.0 * jax.random.uniform(jax.random.PRNGKey(7), (16, 32, 3))
+    src_eid = jnp.where(scene.tris.emitter_id >= 0, 0, -1)
+    scene = scene.replace(tris=scene.tris.replace(emitter_id=src_eid))
+    emitters = st.build_emitters(
+        scene.tris,
+        np.asarray([[18.4, 15.6, 8.0]], np.float32),
+        env_image=np.asarray(ei))
+    area_rows = np.nonzero(np.asarray(emitters.kind) == st.EMITTER_AREA)[0]
+    row_of_tri = np.full(scene.tris.v0.shape[0], -1, np.int32)
+    row_of_tri[np.asarray(emitters.tri_idx)[area_rows]] = (
+        area_rows.astype(np.int32))
+    scene = scene.replace(
+        tris=scene.tris.replace(emitter_id=jnp.asarray(row_of_tri)),
+        emitters=emitters)
+    scene = prepare_scene(scene)
+    # env texel-grid boundaries flip floor() picks on ~2-3% of lanes
+    # (the same class test_megatrace_matches_wavefront_image_env allows)
+    _compare(scene, BDPTConfig(max_depth=4), seed=8, bad_frac=30)
