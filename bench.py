@@ -320,8 +320,28 @@ def main():
         a_pb, f_pb = run_pb(a_pb, f_pb, jnp.int32(c + 1))
     jax.block_until_ready(f_pb)
     rate_path_big = N_CHAINS / ((time.perf_counter() - t0) / (2 * N_MUT))
+    # tri-count sweep (the VERDICT r4 item-1 'Done' rows): one-shot
+    # clustered path trace at ~6k / ~20k / ~66k tris, depth 2
+    from drmlt_mitsuba_tpu.ops.pallas.megatrace import make_mega_trace
+    sweep_rows = {}
+    pcfg2 = PathConfig(max_depth=2, rr_depth=100)
+    u_sw = jax.random.uniform(jax.random.fold_in(root, 13),
+                              (N_CHAINS, pcfg2.n_dims))
+    for tess in (13, 24, 44):
+        sc_t = prepare_scene(cornell_box(width, height, tessellate=tess))
+        tr_t = make_mega_trace(sc_t, pcfg2)
+        s = tr_t(u_sw)
+        jax.block_until_ready(s.value)
+        t0 = time.perf_counter()
+        for _ in range(4):
+            s = tr_t(u_sw)
+        jax.block_until_ready(s.value)
+        dt = (time.perf_counter() - t0) / 4
+        sweep_rows[int(sc_t.tris.v0.shape[0])] = round(N_CHAINS / dt, 1)
+
     large_scene = {
         "scene": f"cornell tessellate=24 ({T_big} tris, procedural)",
+        "path_trace_depth2_paths_per_sec_by_tris": sweep_rows,
         "flagship_mutations_per_sec": round(rate_big, 1),
         "flagship_vs_anchor": round(
             rate_big / CPU_ANCHOR_MMLT_20K_PER_SEC, 3),
