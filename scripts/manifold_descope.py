@@ -60,8 +60,16 @@ def main():
         "pool-SDS (glass slab, every floor path SDS)": (
             pool_box(64, 64), 64, 8, 3000),
     }
+    if os.environ.get("MANIFOLD_SCENES"):
+        want = os.environ["MANIFOLD_SCENES"].split(",")
+        scenes = {k: v for k, v in scenes.items()
+                  if any(w in k for w in want)}
     out = {"chains": chains, "scenes": {}, "film_per_scene": {
         k: [v[1], v[1]] for k, v in scenes.items()}}
+    if os.path.exists("MANIFOLD_DESCOPE.json"):
+        with open("MANIFOLD_DESCOPE.json") as f:
+            prev = json.load(f)
+        out["scenes"].update(prev.get("scenes", {}))
     for name, (scene, W, depth, steps) in scenes.items():
         H = W
         scene = prepare_scene(scene)
@@ -122,6 +130,8 @@ def main():
 
         out["scenes"][name] = rows
         print(name, rows, flush=True)
+        with open("MANIFOLD_DESCOPE.json", "w") as f:
+            json.dump(out, f, indent=1)
     with open("MANIFOLD_DESCOPE.json", "w") as f:
         json.dump(out, f, indent=1)
     print("wrote MANIFOLD_DESCOPE.json")
