@@ -298,7 +298,23 @@ def main():
     # one-hot cluster fetch is linear-in-T per visited cluster while the
     # CPU walks a kd-tree in log T; ROOFLINE.md §round-5 derives the
     # bound.  These rows exist precisely so that regression is visible.
-    scene_big = prepare_scene(cornell_box(width, height, tessellate=24))
+    # the large scene loads END-TO-END through the XML + OBJ loaders
+    # (tests/data/large/, generated by scripts/gen_large_scene.py to be
+    # bitwise-identical to cornell_box(tessellate=24) — verified
+    # rel err 0.0 in tests/test_cli.py::test_large_xml_scene)
+    import os
+
+    from drmlt_mitsuba_tpu.scene.xml import load_scene_xml
+    xml_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests", "data", "large", "cornell_large.xml")
+    if os.path.exists(xml_path):
+        scene_big, _settings_big = load_scene_xml(xml_path)
+        scene_big = prepare_scene(scene_big)
+        big_src = "xml"
+    else:
+        scene_big = prepare_scene(cornell_box(width, height,
+                                              tessellate=24))
+        big_src = "builder"
     T_big = int(scene_big.tris.v0.shape[0])
     rate_big, per_group_big = flagship_grouped(
         scene_big, fc, jax.random.fold_in(root, 3))
@@ -344,7 +360,8 @@ def main():
         sweep_rows[int(sc_t.tris.v0.shape[0])] = round(N_CHAINS / dt, 1)
 
     large_scene = {
-        "scene": f"cornell tessellate=24 ({T_big} tris, procedural)",
+        "scene": f"cornell tessellate=24 ({T_big} tris, via {big_src}: "
+                 "real OBJ meshes + XML loader)",
         "path_trace_depth2_paths_per_sec_by_tris": sweep_rows,
         "flagship_mutations_per_sec": round(rate_big, 1),
         "flagship_vs_anchor": round(

@@ -560,8 +560,8 @@ def mega_eligible(scene: Scene, cfg) -> bool:
         if not kinds.issubset(set(SUPPORTED_KINDS)):
             return False
         T = np.asarray(scene.tris.v0).shape[0]
-        if T > 65536:     # VMEM chunked-sweep budget (SMEM path <= 8192)
-            return False
+        if T > 131072:    # clustered-traversal ceiling tested on chip at
+            return False  # 130k tris (round 5); SMEM brute path <= 8192
         return True
     except Exception:
         return False
