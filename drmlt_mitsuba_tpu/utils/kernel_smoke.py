@@ -583,6 +583,38 @@ def run_kernel_smoke(verbose: bool = False) -> dict:
     _check("megadrmlt[mmlt,clustered-19.6k]", megadrmlt_clustered_case,
            results)
 
+    def megadrmlt_clustered_glass_case():
+        """GLASS x clustered traversal: dielectric branches exercise
+        select/compare paths the diffuse big-scene cases never compile
+        (the l_deltab i1-select class), now through the while_loop
+        cluster sweep."""
+        from drmlt_mitsuba_tpu.integrators.mmlt_grouped import (
+            make_mmlt_trace_fixed,
+        )
+        from drmlt_mitsuba_tpu.ops.pallas.megadrmlt import (
+            make_mega_drmlt, pack_chain_state,
+        )
+        from drmlt_mitsuba_tpu.scene.builders import cornell_box as cb
+
+        sc = prepare_scene(cb(256, 256, tall_box_material="glass",
+                              tessellate=13))
+        assert int(np.asarray(sc.tris.v0).shape[0]) > 4096
+        k = 3
+        trace_k, cfg_k, n_dims = make_mmlt_trace_fixed(sc, k)
+        dcfg = DRMLTConfig(type="orbital", n_chains=2048)
+        u0 = jax.random.uniform(key, (2048, n_dims))
+        state = state_from_splats(u0, trace_k(u0))
+        arr = pack_chain_state(state, n_dims)
+        step = make_mega_drmlt(sc, cfg_k, dcfg, fc, k, n_dims, n_mut=4,
+                               weight_channel=False)
+        out, delta, stats = step(arr, jnp.asarray([5, 0], jnp.int32))
+        assert bool(jnp.isfinite(delta).all())
+        a1 = float(stats[0]) / (2048 * 4)
+        assert 0.02 < a1 < 0.98, f"implausible a1 {a1}"
+
+    _check("megadrmlt[mmlt,glass-clustered-5.7k]",
+           megadrmlt_clustered_glass_case, results)
+
     def megadrmlt_pssmlt_case():
         """PSSMLT control mode (stage-1-only, two-state splat)."""
         from drmlt_mitsuba_tpu.integrators.mmlt_grouped import (
