@@ -363,6 +363,14 @@ def main():
             print(f"{name:14s} {tag:22s} rmse {rows[tag]['rmse']:.4f} "
                   f"({dt:.1f}s)", flush=True)
         out["scenes"][name] = rows
+    out["note"] = (
+        "v2 (round 5): 'pssmlt-mega' is the FAIR control (same grouped "
+        "megakernel + same MMLT technique as drmlt; stage-1-only "
+        "Kelemen chains, Veach two-state splat); round-4's 9-63x "
+        "headline compared against the unaccelerated wavefront and was "
+        "implementation-confounded — the legacy 'pssmlt' row remains "
+        "for continuity.  Fair A/B verdict: drmlt ~= pssmlt at equal "
+        "time on these scenes.")
     with open("EQUAL_TIME.json", "w") as f:
         json.dump(out, f, indent=1)
     print("wrote EQUAL_TIME.json")
