@@ -266,6 +266,23 @@ def main():
     jax.block_until_ready(g)
     rate_grad = n_calls * N_CHAINS / (time.perf_counter() - t0)
 
+    # (a2) in-kernel albedo adjoint (round 5): per-material polynomial
+    # power/albedo Jacobian rows, same forward-accumulation scheme
+    from drmlt_mitsuba_tpu.ops.pallas.megatrace import make_mega_trace_alb
+    trace_a = make_mega_trace_alb(scene, pcfg)
+
+    @jax.jit
+    def grad_step_alb(albedo):
+        return jax.grad(lambda a: jnp.mean(trace_a(a, u_g).lum))(albedo)
+
+    ga = grad_step_alb(scene.materials.albedo)
+    jax.block_until_ready(ga)
+    t0 = time.perf_counter()
+    for _ in range(16):
+        ga = grad_step_alb(scene.materials.albedo)
+    jax.block_until_ready(ga)
+    rate_grad_alb = 16 * N_CHAINS / (time.perf_counter() - t0)
+
     # (b) generic replay backward (any scene leaf; kept for honesty)
     dtrace = make_path_trace_diff(scene, pcfg)
 
@@ -423,6 +440,11 @@ def main():
                          "during the forward, backward = one einsum; "
                          "pinned vs jax.grad of the wavefront in "
                          "tests/test_gradients.py)",
+            "grad_albedo_paths_per_sec": round(rate_grad_alb, 1),
+            "grad_albedo_note": "d lum / d materials.albedo via the "
+                                "round-5 in-kernel polynomial-power "
+                                "adjoint (make_mega_trace_alb; pinned "
+                                "vs jax.grad of the wavefront)",
             "grad_replay_paths_per_sec": round(rate_grad_replay, 1),
             "grad_replay_note": "generic any-leaf VJP (megakernel fwd, "
                                 "wavefront-replay bwd)",
